@@ -1,0 +1,237 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** The token-parallel document sample: the output of the pre-processing +
+  * label-generation stages (B/C blocks of SURVEY.md §2), mirroring the dict
+  * returned by /root/reference/data/datasets/sibr.py:447-460.
+  *
+  * Token-parallel invariant: tokens.length == bbox.length == origBbox.length.
+  * Spot channels carry (i, j, tag) triples in emission order; they are
+  * canonicalized (dense round-trip order, score 1.0) at decode time.
+  */
+final case class DocSample(
+    uid: String,
+    tokens: Vector[String],
+    bbox: Vector[Vector[Int]],
+    origBbox: Vector[Vector[Int]],
+    relations: Vector[(String, String)],
+    lineExtractionSpots: Vector[(Int, Int, Int)],
+    entHeadSpots: Vector[(Int, Int, Int)],
+    entTailSpots: Vector[(Int, Int, Int)],
+    groupHeadSpots: Vector[(Int, Int, Int)],
+    groupTailSpots: Vector[(Int, Int, Int)]
+)
+
+/** Exact port of the dataset pre-processing pipeline
+  * (/root/reference/data/datasets/sibr.py:90-460): tokenize + fetch,
+  * empty-line/empty-entity filtering, reading-order sort, truncation with the
+  * dataset-side `>=` rule (sibr.py:232-235; the inference-side `>` variant is
+  * intentionally NOT used, see SURVEY.md §7.5), in-scope bookkeeping, and the
+  * generation of the five spot channels (C1-C3).
+  *
+  * Known reference quirks preserved exactly (SURVEY.md §7.5):
+  *  - `empty_entity` is only populated while the *global* kept-line list is
+  *    empty (sibr.py:184-186);
+  *  - `entity_last_line_map` records the last *globally kept* line at the
+  *    time the entity closes (sibr.py:188-192);
+  *  - the line that trips the truncation check is present in
+  *    `line_orig_to_sorted_map` but carries no token offsets.
+  */
+object DocBuilder {
+
+  final val DefaultMaxTokenLen = 511
+
+  private final class LineInfo(
+      val coords: Vector[Int],
+      val tokens: Vector[String],
+      val category: String,
+      val origEntityId: Int,
+      val origLineId: Int
+  ) {
+    var sortedStartToken: Option[Int] = None
+    var sortedEndToken: Option[Int] = None
+  }
+
+  /** Normalize a raw annotation line text exactly as the engine does before
+    * tokenization: ordered replacement table + full-width folding
+    * (/root/reference/data/datasets/rfund.py:95-109 applied dataset-side).
+    */
+  def normalizeLineText(raw: String): String = TextNorm.specialReplace(raw)
+
+  def build(doc: AnnDoc, maxTokenLen: Int = DefaultMaxTokenLen): DocSample = {
+    val allOrigLines = mutable.ArrayBuffer.empty[LineInfo]
+    val allOrigBoxes = mutable.ArrayBuffer.empty[Vector[Int]]
+    val emptyLine = mutable.HashSet.empty[Int]
+    val emptyEntity = mutable.HashSet.empty[Int]
+    val entityIdToText = mutable.HashMap.empty[Int, String]
+    val entityFirstLine = mutable.HashMap.empty[Int, Int]
+    val entityLastLine = mutable.HashMap.empty[Int, Int]
+    val lineIdToEntityId = mutable.HashMap.empty[Int, Int]
+
+    doc.entities.foreach { entity =>
+      var firstLineFlag = true
+      val entityTextList = mutable.ArrayBuffer.empty[String]
+      entity.lines.foreach { line =>
+        val lineText = normalizeLineText(line.text)
+        val lineTokens = Tokenizer.tokenize(lineText)
+        if (lineTokens.isEmpty) {
+          emptyLine.add(line.id)
+        } else {
+          entityTextList += lineText
+          val b = Boxes.boxTwoPointConvert(line.bbox)
+          allOrigLines += new LineInfo(b, lineTokens, entity.label, entity.id, line.id)
+          allOrigBoxes += b
+          if (firstLineFlag) entityFirstLine.put(entity.id, line.id)
+          firstLineFlag = false
+          lineIdToEntityId.put(line.id, entity.id)
+        }
+      }
+      if (allOrigLines.isEmpty) {
+        emptyEntity.add(entity.id)
+      } else {
+        entityLastLine.put(entity.id, allOrigLines.last.origLineId)
+        entityIdToText.put(entity.id, entityTextList.mkString)
+      }
+    }
+
+    val sortedIdx = Boxes.sortBoxes(allOrigBoxes)
+    val sortedLines: Vector[LineInfo] = sortedIdx.map(allOrigLines(_))
+
+    val texts = Vector.newBuilder[String]
+    val bbox = Vector.newBuilder[Vector[Int]]
+    val origBbox = Vector.newBuilder[Vector[Int]]
+    val lineExtractionSpots = Vector.newBuilder[(Int, Int, Int)]
+    val entHeadSpots = Vector.newBuilder[(Int, Int, Int)]
+    val entTailSpots = Vector.newBuilder[(Int, Int, Int)]
+    val groupHeadSpots = Vector.newBuilder[(Int, Int, Int)]
+    val groupTailSpots = Vector.newBuilder[(Int, Int, Int)]
+
+    var currTokenIdx = 0
+    val lineOrigToSorted = mutable.HashMap.empty[Int, Int]
+    val inScopeEntityId = mutable.HashSet.empty[Int]
+    val inScopeLineId = mutable.HashSet.empty[Int]
+
+    var sortedLineIdx = 0
+    var truncated = false
+    while (sortedLineIdx < sortedLines.length && !truncated) {
+      val ln = sortedLines(sortedLineIdx)
+      lineOrigToSorted.put(ln.origLineId, sortedLineIdx)
+      val lineTokenLen = ln.tokens.length
+      if (currTokenIdx + lineTokenLen >= maxTokenLen) {
+        truncated = true // dataset-side `>=` rule (sibr.py:233)
+      } else {
+        inScopeEntityId.add(ln.origEntityId)
+        inScopeLineId.add(ln.origLineId)
+        val norm = Boxes.normalizeBbox(ln.coords, doc.width, doc.height)
+        var k = 0
+        while (k < lineTokenLen) { origBbox += ln.coords; bbox += norm; k += 1 }
+        texts ++= ln.tokens
+        val start = currTokenIdx
+        ln.sortedStartToken = Some(start)
+        currTokenIdx += lineTokenLen
+        ln.sortedEndToken = Some(currTokenIdx)
+        if (ln.category == AnnLabels.Question || ln.category == AnnLabels.Answer) {
+          lineExtractionSpots += ((start, currTokenIdx - 1, 1))
+        }
+        sortedLineIdx += 1
+      }
+    }
+
+    // --- C2: entity-linking spots (sibr.py:266-347) ---
+    doc.kvEntity.foreach { rel =>
+      val qId = rel.fromId
+      val aId = rel.toId
+      val skip =
+        emptyEntity.contains(qId) || emptyEntity.contains(aId) ||
+          !inScopeEntityId.contains(qId) || !inScopeEntityId.contains(aId)
+      if (!skip) {
+        val qFirst = entityFirstLine(qId)
+        val aFirst = entityFirstLine(aId)
+        val qLast = entityLastLine(qId)
+        val aLast = entityLastLine(aId)
+        val linesInScope =
+          inScopeLineId.contains(qFirst) && inScopeLineId.contains(qLast) &&
+            inScopeLineId.contains(aFirst) && inScopeLineId.contains(aLast)
+        if (linesInScope) {
+          val qFirstStart = sortedLines(lineOrigToSorted(qFirst)).sortedStartToken.get
+          val aFirstStart = sortedLines(lineOrigToSorted(aFirst)).sortedStartToken.get
+          val qLastEnd = sortedLines(lineOrigToSorted(qLast)).sortedEndToken.get
+          val aLastEnd = sortedLines(lineOrigToSorted(aLast)).sortedEndToken.get
+          if (qFirstStart < aFirstStart)
+            entHeadSpots += ((qFirstStart, aFirstStart, 1))
+          else
+            entHeadSpots += ((aFirstStart, qFirstStart, 2))
+          if (qLastEnd < aLastEnd)
+            entTailSpots += ((qLastEnd - 1, aLastEnd - 1, 1))
+          else
+            entTailSpots += ((aLastEnd - 1, qLastEnd - 1, 2))
+        }
+      }
+    }
+
+    // --- C3: line-grouping spots (sibr.py:349-408) ---
+    doc.lineGrouping.foreach { rel =>
+      val fromId = rel.fromId
+      val toId = rel.toId
+      val skip =
+        emptyLine.contains(fromId) || emptyLine.contains(toId) || {
+          val fromEnt = lineIdToEntityId.getOrElse(fromId, -1)
+          val toEnt = lineIdToEntityId.getOrElse(toId, -1)
+          !inScopeEntityId.contains(fromEnt) || !inScopeEntityId.contains(toEnt)
+        } || !inScopeLineId.contains(fromId) || !inScopeLineId.contains(toId)
+      if (!skip) {
+        val fromLn = sortedLines(lineOrigToSorted(fromId))
+        val toLn = sortedLines(lineOrigToSorted(toId))
+        (fromLn.sortedStartToken, fromLn.sortedEndToken, toLn.sortedStartToken, toLn.sortedEndToken) match {
+          case (Some(fs), Some(fe), Some(ts), Some(te)) =>
+            if (fs < ts) groupHeadSpots += ((fs, ts, 1))
+            else groupHeadSpots += ((ts, fs, 2))
+            if (fe < te) groupTailSpots += ((fe - 1, te - 1, 1))
+            else groupTailSpots += ((te - 1, fe - 1, 2))
+          case _ => ()
+        }
+      }
+    }
+
+    // --- auxiliary gt relations list (sibr.py:410-425) ---
+    val relations = Vector.newBuilder[(String, String)]
+    doc.kvEntity.foreach { rel =>
+      val qId = rel.fromId
+      val aId = rel.toId
+      val ok =
+        entityIdToText.contains(qId) && entityIdToText.contains(aId) &&
+          !emptyEntity.contains(qId) && !emptyEntity.contains(aId) &&
+          inScopeEntityId.contains(qId) && inScopeEntityId.contains(aId)
+      if (ok) relations += ((entityIdToText(qId), entityIdToText(aId)))
+    }
+
+    DocSample(
+      uid = doc.uid,
+      tokens = texts.result(),
+      bbox = bbox.result(),
+      origBbox = origBbox.result(),
+      relations = relations.result(),
+      lineExtractionSpots = lineExtractionSpots.result(),
+      entHeadSpots = entHeadSpots.result(),
+      entTailSpots = entTailSpots.result(),
+      groupHeadSpots = groupHeadSpots.result(),
+      groupTailSpots = groupTailSpots.result()
+    )
+  }
+
+  /** Canonicalize + decode one sample: the shared kernel body used by the
+    * oracle and the engine (pred path: mutual-best; gt path: first-wins).
+    */
+  def decodeSample(sample: DocSample, decodeGt: Boolean = false): DecodedDoc =
+    Decode.decode(
+      text = sample.tokens,
+      lineExtractionSpots = Spots.canonicalize(sample.lineExtractionSpots),
+      entHeadSpots = Spots.canonicalize(sample.entHeadSpots),
+      entTailSpots = Spots.canonicalize(sample.entTailSpots),
+      groupHeadSpots = Spots.canonicalize(sample.groupHeadSpots),
+      groupTailSpots = Spots.canonicalize(sample.groupTailSpots),
+      bbox = sample.origBbox,
+      decodeGt = decodeGt
+    )
+}

@@ -1,0 +1,111 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** A sparse pairwise relation over token indices: `(i, j, tag)` with
+  * `i <= j`, tag in {0=none, 1=upper-tri, 2=flipped-lower-tri}, plus a score
+  * once decoded. Mirrors the reference "matrix spot"
+  * (/root/reference/data/datasets/sibr.py:261-264,315-347,392-408 and
+  * /root/reference/model/peneo_decoder.py:107-115).
+  */
+final case class Spot(i: Int, j: Int, tag: Int, score: Double)
+
+object Spots {
+
+  /** Canonicalize a channel's spot list the way the reference's dense
+    * shaking-tag round trip does (spots -> dense vector -> sparse spots):
+    *  - conflicting writes to the same (i, j) cell resolve last-wins
+    *    (/root/reference/model/peneo_decoder.py:68-73);
+    *  - the sparse read-back iterates cells in row-major upper-triangle
+    *    order, i.e. sorted by (i, j)
+    *    (/root/reference/model/peneo_decoder.py:100-115);
+    *  - ground-truth scores are all 1.0 (torch.ones_like).
+    * Never materializes the dense L(L+1)/2 vector (SURVEY.md §2 C8).
+    */
+  def canonicalize(spots: Seq[(Int, Int, Int)]): Vector[Spot] = {
+    if (spots.isEmpty) return Vector.empty
+    val cell = mutable.HashMap.empty[Long, Int]
+    spots.foreach { case (i, j, tag) =>
+      require(i <= j, s"spot ($i,$j) not upper-triangular")
+      cell.put(i.toLong << 32 | (j.toLong & 0xFFFFFFFFL), tag)
+    }
+    val keys = cell.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val out = Vector.newBuilder[Spot]
+    keys.foreach { k =>
+      val tag = cell(k)
+      if (tag != 0) out += Spot((k >>> 32).toInt, (k & 0xFFFFFFFFL).toInt, tag, 1.0)
+    }
+    out.result()
+  }
+
+  /** `parse_matrix_spots(top_score_only=False)`:
+    * insertion-ordered multimap head -> [tails]
+    * (/root/reference/pipeline/decode.py:37-49). Python dict preserves
+    * insertion order, which is semantically load-bearing downstream, hence
+    * LinkedHashMap.
+    */
+  def parseMulti(
+      spots: Seq[Spot],
+      triuMode: Boolean,
+      scoreThresh: Double = 0.0
+  ): mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Int]] = {
+    val m = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
+    spots.foreach { sp =>
+      if (sp.tag != 0 && sp.score >= scoreThresh) {
+        val (h, t) =
+          if (triuMode && sp.tag == 2) (sp.j, sp.i) else (sp.i, sp.j)
+        m.getOrElseUpdate(h, mutable.ArrayBuffer.empty[Int]) += t
+      }
+    }
+    m
+  }
+
+  /** `parse_matrix_spots(top_score_only=True)`: per-head argmax by score,
+    * then per-tail argmax over those — a mutual-best bipartite assignment
+    * ("each element has only one input and only one output"). Ties resolve
+    * first-encountered (strict `>` comparisons) in spot order; final map
+    * iterates in reverse-map insertion order
+    * (/root/reference/pipeline/decode.py:50-67).
+    */
+  def parseTop(
+      spots: Seq[Spot],
+      triuMode: Boolean,
+      scoreThresh: Double = 0.0
+  ): mutable.LinkedHashMap[Int, Int] = {
+    val perHead = mutable.LinkedHashMap.empty[Int, (Int, Double)]
+    spots.foreach { sp =>
+      if (sp.tag != 0 && sp.score >= scoreThresh) {
+        val (h, t) =
+          if (triuMode && sp.tag == 2) (sp.j, sp.i) else (sp.i, sp.j)
+        perHead.get(h) match {
+          case None                           => perHead.put(h, (t, sp.score))
+          case Some((_, s0)) if sp.score > s0 => perHead.put(h, (t, sp.score))
+          case _                              => ()
+        }
+      }
+    }
+    val perTail = mutable.LinkedHashMap.empty[Int, (Int, Double)]
+    perHead.foreach { case (h, (t, s)) =>
+      perTail.get(t) match {
+        case None                     => perTail.put(t, (h, s))
+        case Some((_, s0)) if s > s0  => perTail.put(t, (h, s))
+        case _                        => ()
+      }
+    }
+    val out = mutable.LinkedHashMap.empty[Int, Int]
+    perTail.foreach { case (t, (h, _)) => out.put(h, t) }
+    out
+  }
+
+  /** Ground-truth collapse: multi-map -> first tail per head, preserving
+    * insertion order (/root/reference/pipeline/decode.py:191-200).
+    */
+  def collapseFirst(
+      m: mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Int]]
+  ): mutable.LinkedHashMap[Int, Int] = {
+    val out = mutable.LinkedHashMap.empty[Int, Int]
+    m.foreach { case (k, vs) => out.put(k, vs.head) }
+    out
+  }
+}

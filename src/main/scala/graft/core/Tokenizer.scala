@@ -1,0 +1,73 @@
+package graft.core
+
+/** Deterministic whitespace+punctuation tokenizer with the *fetcher-identity*
+  * contract.
+  *
+  * The reference tokenizes each line with a subword tokenizer and then runs a
+  * "tokenizer fetcher" (/root/reference/model/backbone_mapping.py:35-253) to
+  * map each subword back to the exact original substring, such that
+  * `"".join(fetched_tokens) == original_line_text`. That concatenation
+  * invariant is THE mechanism behind byte-identical text reconstruction at
+  * decode time (/root/reference/pipeline/decode.py:205-212, 245-246).
+  *
+  * We own the tokenizer contract (no pretrained vocab exists here), so the
+  * tokenizer is built to make fetch the identity partition of the line:
+  *   - a token is an optional run of leading whitespace followed by a core,
+  *     where a core is either a maximal run of letters/digits or one single
+  *     other (non-space) character — mirroring the " word"-prefix shape of
+  *     SentencePiece pieces after the fetcher;
+  *   - trailing whitespace with no following core attaches to the last token;
+  *   - a line with no non-space character tokenizes to the empty list, which
+  *     feeds the empty-line filter (/root/reference/data/datasets/sibr.py:128-130).
+  *
+  * Invariants (property-tested): tokens.mkString == text whenever tokens is
+  * non-empty; tokens is empty iff the line has no non-space char.
+  */
+object Tokenizer {
+
+  @inline private def isCoreWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c)
+
+  @inline private def isSpaceChar(c: Char): Boolean = TextNorm.pyIsSpace(c)
+
+  def tokenize(text: String): Vector[String] = {
+    val n = text.length
+    val out = Vector.newBuilder[String]
+    var count = 0
+    var i = 0
+    var tokenStart = 0 // includes any leading whitespace run
+    var last = ""
+    while (i < n) {
+      if (isSpaceChar(text.charAt(i))) {
+        i += 1
+      } else {
+        var end = i + 1
+        if (isCoreWordChar(text.charAt(i))) {
+          while (end < n && isCoreWordChar(text.charAt(end))) end += 1
+        }
+        last = text.substring(tokenStart, end)
+        out += last
+        count += 1
+        i = end
+        tokenStart = end
+      }
+    }
+    if (count == 0) Vector.empty
+    else if (tokenStart < n) {
+      // trailing whitespace attaches to the last token
+      val v = out.result()
+      v.updated(v.length - 1, v(v.length - 1) + text.substring(tokenStart))
+    } else out.result()
+  }
+
+  /** Stable 64-bit id for a token (stands in for `convert_tokens_to_ids`,
+    * /root/reference/data/datasets/sibr.py:228-231); only used as an opaque
+    * id column, never for reconstruction.
+    */
+  def tokenId(token: String): Long = {
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < token.length) { h = 31 * h + token.charAt(i); i += 1 }
+    h
+  }
+}

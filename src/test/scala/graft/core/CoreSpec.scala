@@ -1,0 +1,174 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite {
+
+  private def randomLine(rng: java.util.Random): String = {
+    val pieces = Array(
+      "Name", "Date", "Total", "2024", "N/A", "　", "１２", "word", "x9",
+      " ", "  ", "\t", ":", ".", ",", "-", "(", ")", "/", "$", "é", "–", "☑"
+    )
+    (0 until rng.nextInt(12)).map(_ => pieces(rng.nextInt(pieces.length))).mkString
+  }
+
+  test("fetcher-identity: concat(tokens) == text for any line with content") {
+    val rng = new java.util.Random(20260816L)
+    (0 until 2000).foreach { _ =>
+      val raw = randomLine(rng)
+      val text = TextNorm.specialReplace(raw)
+      val toks = Tokenizer.tokenize(text)
+      if (text.exists(c => !TextNorm.pyIsSpace(c))) {
+        assert(toks.nonEmpty)
+        assert(toks.mkString == text, s"raw=${raw.map(_.toInt)}")
+      } else {
+        assert(toks.isEmpty)
+      }
+    }
+  }
+
+  test("empty and whitespace-only lines tokenize to empty (empty-line filter input)") {
+    assert(Tokenizer.tokenize("") == Vector.empty)
+    assert(Tokenizer.tokenize("   \t ") == Vector.empty)
+    assert(Tokenizer.tokenize(" 　") == Vector.empty)
+  }
+
+  test("token shapes: leading space attaches, punct splits, trailing space attaches to last") {
+    assert(Tokenizer.tokenize("Name: John  Doe ") ==
+      Vector("Name", ":", " John", "  Doe "))
+    assert(Tokenizer.tokenize(" a-b") == Vector(" a", "-", "b"))
+  }
+}
+
+class TextNormSpec extends AnyFunSuite {
+  test("pyStrip strips python whitespace incl NBSP and ideographic space") {
+    assert(TextNorm.pyStrip("  a b  ") == "a b")
+    assert(TextNorm.pyStrip(" x　") == "x")
+    assert(TextNorm.pyStrip("x") == "x")
+    assert(TextNorm.pyStrip("") == "")
+    assert(TextNorm.pyStrip(" \t\n") == "")
+  }
+
+  test("specialReplace applies ordered table then f2h") {
+    assert(TextNorm.specialReplace("☑done? – yés™") == "done? - yesTM")
+    assert(TextNorm.specialReplace("ＡＢ　！") == "AB !")
+    assert(TextNorm.specialReplace("Tοpic §¢") == "Topic ")
+  }
+}
+
+class DecodeSpec extends AnyFunSuite {
+  // 6 tokens over 3 lines: line A = [0,1], line B = [2,3], line C = [4,5]
+  private val text = Vector("Key", ":1", " v", "al", " x", "tra")
+  private val box = Vector.tabulate(6)(i => Vector(i * 10, 0, i * 10 + 9, 10))
+
+  private def spots(ts: (Int, Int, Int)*): Vector[Spot] =
+    Spots.canonicalize(ts.toVector)
+
+  test("single-line KV pair decodes with strip and merged boxes") {
+    val d = Decode.decode(
+      text = text,
+      lineExtractionSpots = spots((0, 1, 1), (2, 3, 1)),
+      entHeadSpots = spots((0, 2, 1)),
+      entTailSpots = spots((1, 3, 1)),
+      groupHeadSpots = Vector.empty,
+      groupTailSpots = Vector.empty,
+      bbox = box
+    )
+    assert(d.lines.map(_.text) == Vector("Key:1", " val"))
+    assert(d.kvPairs == Vector(KvPair("Key:1", "val", Vector(0, 0, 19, 10), Vector(20, 0, 39, 10))))
+  }
+
+  test("multi-line value follows grouping chain validated against line extraction") {
+    val d = Decode.decode(
+      text = text,
+      lineExtractionSpots = spots((0, 1, 1), (2, 3, 1), (4, 5, 1)),
+      entHeadSpots = spots((0, 2, 1)),
+      entTailSpots = spots((1, 5, 1)), // key tail 1 -> value chain-tail 5
+      groupHeadSpots = spots((2, 4, 1)), // value line B head -> line C head
+      groupTailSpots = spots((3, 5, 1)), // value line B tail -> line C tail
+      bbox = box
+    )
+    assert(d.kvPairs.map(p => (p.key, p.value)) == Vector(("Key:1", "val xtra")))
+  }
+
+  test("chain breaks when grouping tail disagrees with line extraction") {
+    val d = Decode.decode(
+      text = text,
+      lineExtractionSpots = spots((0, 1, 1), (2, 3, 1), (4, 5, 1)),
+      entHeadSpots = spots((0, 2, 1)),
+      entTailSpots = spots((1, 3, 1)), // valid only if chain stops at B
+      groupHeadSpots = spots((2, 4, 1)),
+      groupTailSpots = spots((3, 4, 1)), // grouping says tail 4, extraction says 5 -> break
+      bbox = box
+    )
+    // chain broke after line B, so value tail = 3 which IS registered
+    assert(d.kvPairs.map(p => (p.key, p.value)) == Vector(("Key:1", "val")))
+  }
+
+  test("validation failure emits nothing") {
+    val d = Decode.decode(
+      text = text,
+      lineExtractionSpots = spots((0, 1, 1), (2, 3, 1)),
+      entHeadSpots = spots((0, 2, 1)),
+      entTailSpots = Vector.empty,
+      groupHeadSpots = Vector.empty,
+      groupTailSpots = Vector.empty,
+      bbox = box
+    )
+    assert(d.kvPairs.isEmpty)
+    assert(d.lines.nonEmpty)
+  }
+
+  test("triu flip (tag=2) swaps key and value heads") {
+    val d = Decode.decode(
+      text = text,
+      lineExtractionSpots = spots((0, 1, 1), (2, 3, 1)),
+      entHeadSpots = spots((0, 2, 2)), // key head is 2, value head is 0
+      entTailSpots = spots((1, 3, 2)), // key tail 3 -> value tail 1
+      groupHeadSpots = Vector.empty,
+      groupTailSpots = Vector.empty,
+      bbox = box
+    )
+    assert(d.kvPairs.map(p => (p.key, p.value)) == Vector(("val", "Key:1")))
+  }
+
+  test("self-loop in grouping head map terminates") {
+    // grouping head 2 -> 2 would loop; reference breaks on equality
+    val d = Decode.decode(
+      text = text,
+      lineExtractionSpots = spots((0, 1, 1), (2, 3, 1)),
+      entHeadSpots = spots((0, 2, 1)),
+      entTailSpots = spots((1, 3, 1)),
+      groupHeadSpots = spots((2, 2, 1)),
+      groupTailSpots = Vector.empty,
+      bbox = box
+    )
+    assert(d.kvPairs.map(p => (p.key, p.value)) == Vector(("Key:1", "val")))
+  }
+
+  test("gt decode collapses multimaps to first tail per head") {
+    val le = spots((0, 1, 1), (2, 3, 1))
+    val gh = Vector(Spot(0, 2, 1, 1.0), Spot(0, 4, 1, 1.0)) // head 0 -> tails 2 then 4
+    val pred = Decode.decode(text, le, Vector.empty, Vector.empty, gh, Vector.empty, box, decodeGt = false)
+    val gt = Decode.decode(text, le, Vector.empty, Vector.empty, gh, Vector.empty, box, decodeGt = true)
+    assert(gt.groupHead == Vector((0, 2))) // first wins
+    assert(pred.groupHead == Vector((0, 2))) // top-score: first at equal score wins
+  }
+}
+
+class PairMetricsSpec extends AnyFunSuite {
+  import PairMetrics._
+
+  test("duplicate predictions each count as correct (membership quirk)") {
+    val c = membershipCounts(Seq(("a", "b"), ("a", "b")), Seq(("a", "b")))
+    assert(c == Counts(2, 1, 2))
+    val (p, r, f1) = prf(c)
+    assert(p == 1.0 && r == 2.0)
+    assert(math.abs(f1 - 2 * 1.0 * 2.0 / 3.0) < 1e-12)
+  }
+
+  test("detail emits TP/FP in pred order then FN for unmatched gt") {
+    val d = detail(Seq(1, 9), Seq(1, 7))
+    assert(d == Vector(("TP", 1), ("FP", 9), ("FN", 7)))
+  }
+}
