@@ -1,0 +1,66 @@
+package graft.html
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.synth.CorpusGen
+
+/** The engine-side mirror of the reference's GT round-trip invariant
+  * (/root/reference/pipeline/decode.py:496-508): synthesized annotation ->
+  * rendered HTML -> parse -> lineize must reproduce the annotation, and the
+  * decoded engine output must equal the oracle's decode of the original
+  * annotation — including byte-identical extracted text.
+  */
+class RoundTripSpec extends AnyFunSuite {
+
+  private val nDocs = 300
+
+  test("lineize(render(ann)) reproduces the annotation structurally") {
+    (0L until nDocs.toLong).foreach { idx =>
+      val synth = CorpusGen.annFor(idx)
+      val html = CorpusGen.render(synth, "en")
+      val got = Lineizer.lineize(HtmlParser.parse(html), synth.ann.uid)
+      assert(got.width == synth.ann.width && got.height == synth.ann.height, s"doc $idx dims")
+      assert(got.entities == synth.ann.entities, s"doc $idx entities")
+      assert(got.lineGrouping == synth.ann.lineGrouping, s"doc $idx grouping")
+      // kv order may differ by idiom scan order; compare as sets
+      assert(got.kvEntity.toSet == synth.ann.kvEntity.toSet, s"doc $idx kv")
+      assert(got.kvEntity.length == synth.ann.kvEntity.length, s"doc $idx kv dupes")
+    }
+  }
+
+  test("engine extract == oracle decode, byte-identical text per url") {
+    (0L until nDocs.toLong).foreach { idx =>
+      val (ann, page) = CorpusGen.pageFor(idx)
+      val engine = Lineizer.extract(page.url, page.html)
+      val oracle = DocBuilder.decodeSample(DocBuilder.build(ann))
+      assert(engine.extractedText == oracle.extractedText, s"doc $idx text")
+      assert(engine.lines == oracle.lines, s"doc $idx lines")
+      assert(engine.kvPairs == oracle.kvPairs, s"doc $idx kv")
+      assert(engine.groupHead == oracle.groupHead, s"doc $idx groupHead")
+      assert(engine.entTail == oracle.entTail, s"doc $idx entTail")
+    }
+  }
+
+  test("pred decode == gt decode on clean pages (self-consistency)") {
+    (0L until 50L).foreach { idx =>
+      val (ann, _) = CorpusGen.pageFor(idx)
+      val sample = DocBuilder.build(ann)
+      val pred = DocBuilder.decodeSample(sample)
+      val gt = DocBuilder.decodeSample(sample, decodeGt = true)
+      val m = PairMetrics.docMetrics(ann.uid, pred, gt)
+      assert(m.kv.pred == m.kv.correct && m.kv.gt == m.kv.correct, s"doc $idx $m")
+      assert(m.line.pred == m.line.correct && m.line.gt == m.line.correct, s"doc $idx $m")
+    }
+  }
+
+  test("html parser handles entities, comments, void and raw-text tags") {
+    val root = HtmlParser.parse(
+      """<!DOCTYPE html><html><body><!-- c --><script>if(a<b){}</script>
+        |<div style="left:1px;top:2px;width:3px;height:4px">A&amp;B &lt;x&gt; &#65;&#x42;</div>
+        |<br><img src=x><p>un&nbsp;closed</body></html>""".stripMargin)
+    val txt = HtmlParser.textContent(root)
+    assert(txt.contains("A&B <x> AB"))
+    assert(txt.contains("un closed")) // &nbsp; decodes to U+00A0
+    assert(!txt.contains("if(a<b)"))
+  }
+}
