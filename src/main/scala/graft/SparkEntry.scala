@@ -1,13 +1,142 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.app.Corpus
+import graft.engine.{Pipeline, WindowedSpots}
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), an
+  * equivalent DuckDB oracle where the operator is SQL-expressible.
+  *
+  * Extraction queries (x*) run the full engine over the deterministic
+  * synthetic corpus (BASELINE.json input shape) and are verified against the
+  * oracle-written golden parquet — an independent code path (annotation ->
+  * decode, no HTML) — so the DuckDB compare is a real end-to-end check.
+  * Relational queries (q*) exercise the engine-support operators (agg,
+  * broadcast join, window top-k, semi/anti join, dedup) on the driver's
+  * TPC-H-ish tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def pages(spark: SparkSession, sfDir: String): DataFrame = {
+    Corpus.ensure(spark, sfDir)
+    spark.read.parquet(Corpus.pagesPath(sfDir))
+  }
+
+  private def extracted(spark: SparkSession, sfDir: String): DataFrame =
+    Pipeline.extract(pages(spark, sfDir)).toDF()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    extracted(spark, "/root/testdata/sf0.001")
+      .select(col("url"), col("text"), col("nKv"))
+      .orderBy(col("url"))
+
+  // oracle-side paths for the driver's correctness sf (0.01)
+  private val G = "/root/repo/target/corpus/v1/sf0.01/golden.parquet/*.parquet"
+  private val S = "/root/repo/target/corpus/v1/sf0.01/spots.parquet/*.parquet"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- extraction pipeline (engine vs oracle-goldens) ---
+    "x1_extract_text" -> ((s, dir) =>
+      extracted(s, dir)
+        .select(col("url"), col("text"), col("nTokens"), col("nLines"), col("nKv"))
+        .orderBy(col("url"))),
+    "x2_extract_kv" -> ((s, dir) =>
+      extracted(s, dir)
+        .select(col("url"),
+          array_join(transform(col("kv"), k => concat_ws("", k.getField("key"), k.getField("value"))), "").as("kvs"))
+        .orderBy(col("url"))),
+    "x3_lineage" -> ((s, dir) =>
+      Pipeline.lineage(Pipeline.extract(pages(s, dir)))
+        .select(col("bucket"), col("nDocs"), col("nTokens"), col("nKv"))
+        .orderBy(col("bucket"))),
+    "x4_spots_window" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      WindowedSpots.parseTop(s.read.parquet(Corpus.spotsPath(dir)), triuMode = true)
+        .orderBy(col("doc_id"), col("head"), col("tail"))
+    }),
+    // --- relational engine-support operators on driver tables ---
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q2_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("rn"))
+        .orderBy(col("c_custkey"), col("rn"))
+    }),
+    "q3_anti" -> ((s, dir) => {
+      // resume-style anti join (SURVEY.md §2 A8): customers with no recent
+      // order; the filter makes the result non-trivial at every sf
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val recent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+      cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q4_dedup_exact" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .orderBy(col("lang"))),
+    "q5_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).as("n_tokens"),
+          length(col("text")).as("n_chars_m"))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x1_extract_text" ->
+      s"SELECT url, text, nTokens, nLines, nKv FROM read_parquet('$G') ORDER BY url",
+    "x2_extract_kv" ->
+      s"""SELECT url, array_to_string(list_transform(kv, x -> x."key" || chr(1) || x."value"), chr(2)) AS kvs FROM read_parquet('$G') ORDER BY url""",
+    "x3_lineage" ->
+      s"SELECT bucket, CAST(count(*) AS BIGINT) AS nDocs, CAST(sum(nTokens) AS BIGINT) AS nTokens, CAST(sum(nKv) AS BIGINT) AS nKv FROM read_parquet('$G') GROUP BY bucket ORDER BY bucket",
+    "x4_spots_window" -> WindowedSpots.parseTopSql(S, triuMode = true),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_topk" ->
+      """SELECT c_custkey, c_name, o_orderkey, CAST(rn AS INT) AS rn FROM (
+        |  SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |) WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin,
+    "q3_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q4_dedup_exact" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q5_tokens" ->
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

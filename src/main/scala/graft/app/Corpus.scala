@@ -1,0 +1,106 @@
+package graft.app
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.DocBuilder
+import graft.engine.{DocOut, KvOut, LineOut, MultiOut, PairOut, Pipeline}
+import graft.synth.{CorpusGen, PageRow}
+
+/** Materializes the deterministic synthetic corpus (pages + oracle goldens)
+  * as Parquet, sized per driver scale-factor directory. Generation is
+  * distributed (spark.range -> per-index synthesis) and idempotent: a
+  * corpus directory with a _SUCCESS marker is reused as-is, so every query
+  * and bench run sees identical bytes.
+  */
+object Corpus {
+
+  final val Version = "v1"
+
+  def docsFor(sfDir: String): Int = {
+    val base = new java.io.File(sfDir).getName
+    base match {
+      case "sf0.001" => 400
+      case "sf0.01"  => 4000
+      case "sf0.1"   => 40000
+      case _         => 2000
+    }
+  }
+
+  def corpusDir(sfDir: String): String = {
+    val base = new java.io.File(sfDir).getName
+    s"/root/repo/target/corpus/$Version/$base"
+  }
+
+  def pagesPath(sfDir: String): String = s"${corpusDir(sfDir)}/pages.parquet"
+  def goldenPath(sfDir: String): String = s"${corpusDir(sfDir)}/golden.parquet"
+  def spotsPath(sfDir: String): String = s"${corpusDir(sfDir)}/spots.parquet"
+
+  /** Oracle-side golden: annotation -> token sample -> decode, NEVER
+    * touching HTML (independent path from the engine's parse+lineize).
+    */
+  def goldenFor(docIdx: Long, buckets: Int): DocOut = {
+    val (ann, page) = CorpusGen.pageFor(docIdx)
+    val sample = DocBuilder.build(ann)
+    val d = DocBuilder.decodeSample(sample)
+    DocOut(
+      url = page.url,
+      host = Pipeline.hostOf(page.url),
+      lang = page.lang,
+      bucket = Pipeline.bucketOf(page.url, buckets),
+      nTokens = sample.tokens.length,
+      nLines = d.lines.length,
+      nKv = d.kvPairs.length,
+      text = d.extractedText,
+      lines = d.lines.map(l => LineOut(l.text, l.box)),
+      kv = d.kvPairs.map(p => KvOut(p.key, p.value, p.keyBox, p.valueBox)),
+      lineExtraction = d.lineExtraction.map(p => PairOut(p._1, p._2)),
+      entHead = d.entHead.map(m => MultiOut(m._1, m._2)),
+      entTail = d.entTail.map(m => MultiOut(m._1, m._2)),
+      groupHead = d.groupHead.map(p => PairOut(p._1, p._2)),
+      groupTail = d.groupTail.map(p => PairOut(p._1, p._2))
+    )
+  }
+
+  /** Deterministic per-document spot table for the windowed parse-spots
+    * parity backend (SURVEY.md §2 D3 relational fallback): columns
+    * (doc_id, ord, i, j, tag, score) with deliberate score ties.
+    */
+  final case class SpotRow(doc_id: Long, ord: Int, i: Int, j: Int, tag: Int, score: Double)
+
+  def spotsFor(docIdx: Long): Seq[SpotRow] = {
+    val rng = new java.util.Random(docIdx * 0x9E3779B97F4A7C15L + 7L)
+    val l = 4 + rng.nextInt(12)
+    val n = 1 + rng.nextInt(18)
+    (0 until n).map { ord =>
+      val i = rng.nextInt(l)
+      val j = i + rng.nextInt(l - i)
+      val tag = if (rng.nextDouble() < 0.25) 2 else 1
+      val score = Vector(0.5, 0.7, 0.7, 0.9, 1.0)(rng.nextInt(5))
+      SpotRow(docIdx, ord, i, j, tag, score)
+    }
+  }
+
+  private def exists(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  /** Ensure pages + golden + spots parquet exist for this scale. */
+  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+    import spark.implicits._
+    val n = docsFor(sfDir)
+    if (!exists(pagesPath(sfDir))) {
+      val pages: Dataset[PageRow] =
+        spark.range(0, n.toLong, 1, spark.sparkContext.defaultParallelism)
+          .map(i => CorpusGen.pageFor(i)._2)
+      pages.write.mode("overwrite").parquet(pagesPath(sfDir))
+    }
+    if (!exists(goldenPath(sfDir))) {
+      spark.range(0, n.toLong, 1, spark.sparkContext.defaultParallelism)
+        .map(i => goldenFor(i, Pipeline.DefaultBuckets))
+        .write.mode("overwrite").parquet(goldenPath(sfDir))
+    }
+    if (!exists(spotsPath(sfDir))) {
+      spark.range(0, math.min(n, 2000).toLong, 1, 8)
+        .flatMap(i => spotsFor(i))
+        .write.mode("overwrite").parquet(spotsPath(sfDir))
+    }
+  }
+}

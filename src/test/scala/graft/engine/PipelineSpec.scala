@@ -1,0 +1,97 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.app.Corpus
+
+/** Distributed-correctness gates (SURVEY.md §5.2): byte-identical text per
+  * url vs the oracle goldens through the REAL Spark pipeline, invariance to
+  * partitioning/salting/input order, idempotent resume, and the windowed-D3
+  * parity backend.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def ensured(): Unit = {
+    Corpus.ensure(spark, sfDir)
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  test("engine output is byte-identical to oracle goldens per url (sbt gate)") {
+    ensured()
+    val pages = spark.read.parquet(Corpus.pagesPath(sfDir))
+    val decoded = Pipeline.extract(pages)
+    val golden = spark.read.parquet(Corpus.goldenPath(sfDir))
+    val joined = decoded.toDF().as("e")
+      .join(golden.as("g"), col("e.url") === col("g.url"), "full_outer")
+    val total = joined.count()
+    val matched = joined.filter(
+      col("e.url").isNotNull && col("g.url").isNotNull &&
+        col("e.text") === col("g.text") && col("e.nTokens") === col("g.nTokens"))
+      .count()
+    assert(total == Corpus.docsFor(sfDir).toLong)
+    assert(matched == total, s"byte-identity: $matched/$total")
+    // full decode equality incl. kv/lines/maps via the eval path: P=R=1
+    import spark.implicits._
+    val report = Eval.aggregate(Eval.metricRows(decoded, golden.as[DocOut])).collect()(0)
+    Seq("kv", "line", "entHead", "entTail", "groupHead", "groupTail").foreach { g =>
+      assert(report.getAs[Double](s"${g}F1") == 1.0, s"$g F1")
+    }
+  }
+
+  test("result set invariant to parallelism, salting, and input order") {
+    ensured()
+    val pages = spark.read.parquet(Corpus.pagesPath(sfDir))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(col("url"), col("text"), col("nTokens"), col("nKv")).as("h"))
+        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    val base = fingerprint(Pipeline.extract(pages).toDF())
+    val salted = fingerprint(Pipeline.extract(Pipeline.saltedByHost(pages, 7, 3)).toDF())
+    val shuffled = fingerprint(Pipeline.extract(pages.orderBy(rand(42))).toDF())
+    val coalesced = fingerprint(Pipeline.extract(pages.repartition(1)).toDF())
+    assert(base == salted && base == shuffled && base == coalesced)
+  }
+
+  test("resume skips done buckets and total output is complete and duplicate-free") {
+    ensured()
+    val outDir = java.nio.file.Files.createTempDirectory("resume").toString
+    val pages = spark.read.parquet(Corpus.pagesPath(sfDir))
+    // first run: only half the buckets (simulated interrupted run)
+    val half = pages.filter(
+      udf((u: String) => Pipeline.bucketOf(u, Pipeline.DefaultBuckets) % 2 == 0).apply(col("url")))
+    val dHalf = Pipeline.extract(half)
+    Pipeline.writeDecoded(dHalf, outDir)
+    Pipeline.writeLineage(dHalf, outDir)
+    val remaining = Pipeline.resumeFilter(spark, pages, outDir)
+    val remBuckets = Pipeline.extract(remaining).select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(remBuckets.forall(_ % 2 == 1), "resume must only re-run unfinished buckets")
+    assert(remaining.count() + half.count() == pages.count())
+  }
+
+  test("windowed parse-spots backend matches the kernel (two-backend parity)") {
+    ensured()
+    import graft.core.{Spot, Spots}
+    val spots = spark.read.parquet(Corpus.spotsPath(sfDir))
+    val windowed = WindowedSpots.parseTop(spots, triuMode = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val kernel = spots.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))
+      .groupBy(_._1)
+      .flatMap { case (doc, rows) =>
+        val ordered = rows.sortBy(_._2).map(r => Spot(r._3, r._4, r._5, r._6)).toSeq
+        Spots.parseTop(ordered, triuMode = true).map { case (h, t) => (doc, h, t) }
+      }.toSet
+    assert(windowed == kernel)
+  }
+}
