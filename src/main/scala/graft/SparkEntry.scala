@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.app.Corpus
 import graft.engine.{Pipeline, WindowedSpots}
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, EvalMetrics, Media, Similarity, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2), an
   * equivalent DuckDB oracle where the operator is SQL-expressible.
@@ -35,6 +37,24 @@ object SparkEntry {
   // oracle-side paths for the driver's correctness sf (0.01)
   private val G = "/root/repo/target/corpus/v1/sf0.01/golden.parquet/*.parquet"
   private val S = "/root/repo/target/corpus/v1/sf0.01/spots.parquet/*.parquet"
+  private val M = "/root/repo/target/corpus/v1/sf0.01/media.parquet/*.parquet"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    Corpus.ensure(s, dir)
+    s.read.parquet(Corpus.mediaPath(dir))
+  }
+
+  // full-width test construct for the native f2h expression: prepend/append
+  // full-width chars to real doc text; identical construct in the oracle
+  private val FwPrefix = "Ａｂ１！　" // fullwidth A b 1 ! + ideographic space
+  private val FwSuffix = "？ｚ"                   // fullwidth ? z
+  // translate() args for the DuckDB oracle: all 94 full-width forms + U+3000
+  private val FwFrom = ((0xFF01 to 0xFF5E).map(_.toChar) :+ '　').mkString
+  private val FwTo = ((0x21 to 0x7E).map(_.toChar) :+ ' ').mkString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- extraction pipeline (engine vs oracle-goldens) ---
@@ -101,7 +121,46 @@ object SparkEntry {
         .select(col("doc_id"),
           size(split(col("text"), " ", -1)).as("n_tokens"),
           length(col("text")).as("n_chars_m"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "q6_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_vmilli"))
+        .orderBy(col("hour"), col("event_type"))),
+    // --- text analysis (training-data pipeline ops) ---
+    "t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "t2_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "t3_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // --- deduplication family ---
+    "d1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "d2_minhash_lsh" -> ((s, dir) => Dedup.lshCandidatePairs(docs(s, dir))),
+    "d3_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    // --- embedding similarity / ANN ---
+    "s1_cos_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(emb(s, dir))),
+    "s2_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "s3_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
+    "s4_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
+    // --- multimodal binary-column plumbing ---
+    "m1_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      Media.extractMeta(media(s, dir).as[Media.MediaRow]).orderBy("doc_id").toDF()
+    }),
+    "m2_media_hist" -> ((s, dir) => Media.byteHistogram(media(s, dir))),
+    "m3_frame_sample" -> ((s, dir) => Media.frameSample(media(s, dir))),
+    // --- evaluation metrics (SURVEY.md §2 E-block) ---
+    "e1_eval_metrics" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      EvalMetrics.perturbedEval(s, Corpus.goldenPath(dir))
+    }),
+    // --- native Catalyst expression (SURVEY.md §7.3 stretch) ---
+    "f1_f2h" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          concat(lit(FwPrefix), substring(col("text"), 1, 40), lit(FwSuffix)).as("fw"))
+        .select(col("doc_id"), GraftFunctions.f2hExpr("fw").as("halfwidth"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,6 +196,33 @@ object SparkEntry {
     "q5_tokens" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(length(text) AS INT) AS n_chars_m
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q6_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_vmilli
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "t1_langid" -> TextAnalysis.langIdSql("documents"),
+    "t2_quality" -> TextAnalysis.qualitySql("documents"),
+    "t3_token_counts" -> TextAnalysis.tokenCountsSql("documents"),
+    "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
+    "d1_dedup_exact" -> Dedup.exactSql("documents"),
+    "d2_minhash_lsh" -> Dedup.lshCandidatePairsSql("documents"),
+    "d3_simhash" -> Dedup.simhashSql("documents"),
+    "d4_jaccard" -> Dedup.jaccardPairsSql("documents"),
+    "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings"),
+    "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
+    "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),
+    "s4_lsh_buckets" -> Similarity.lshBucketsSql("embeddings"),
+    "m1_media_meta" -> Media.extractMetaSql(M),
+    "m2_media_hist" -> Media.byteHistogramSql(M),
+    "m3_frame_sample" -> Media.frameSampleSql(M),
+    "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
+    "f1_f2h" -> {
+      val from = FwFrom.replace("'", "''")
+      s"""SELECT doc_id, translate('$FwPrefix' || substring(text, 1, 40) || '$FwSuffix',
+         |  '$from', '${FwTo.replace("'", "''")}') AS halfwidth
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -33,6 +33,7 @@ object Corpus {
   def pagesPath(sfDir: String): String = s"${corpusDir(sfDir)}/pages.parquet"
   def goldenPath(sfDir: String): String = s"${corpusDir(sfDir)}/golden.parquet"
   def spotsPath(sfDir: String): String = s"${corpusDir(sfDir)}/spots.parquet"
+  def mediaPath(sfDir: String): String = s"${corpusDir(sfDir)}/media.parquet"
 
   /** Oracle-side golden: annotation -> token sample -> decode, NEVER
     * touching HTML (independent path from the engine's parse+lineize).
@@ -101,6 +102,11 @@ object Corpus {
       spark.range(0, math.min(n, 2000).toLong, 1, 8)
         .flatMap(i => spotsFor(i))
         .write.mode("overwrite").parquet(spotsPath(sfDir))
+    }
+    if (!exists(mediaPath(sfDir))) {
+      spark.range(0, math.min(n, 2000).toLong, 1, 8)
+        .map(i => graft.ops.Media.rowFor(i))
+        .write.mode("overwrite").parquet(mediaPath(sfDir))
     }
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine column building blocks shared by the training-data pipeline
+  * operators (dedup / similarity / text analysis).
+  *
+  * Every primitive here has an exact DuckDB equivalent so the driver's
+  * oracle compare is bit-exact:
+  *   - [[h32]]   <->  `CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)`
+  *   - [[words]] <->  `list_filter(string_split(text,' '), w -> w <> '')`
+  *   - [[shingles]] <-> `list_transform(generate_series(1, len(w)-n+1), ...)`
+  *
+  * md5 is the one hash both engines implement identically; all derived
+  * hashes (minhash, simhash, fingerprints, LSH planes) are built on its
+  * first 8 hex chars -> unsigned 32-bit value in a LONG. Everything stays
+  * inside whole-stage codegen (no UDFs).
+  */
+object ColFns {
+
+  /** Cross-engine 32-bit hash in [0, 2^32): first 8 hex chars of md5. */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace words with empties dropped (split keeps trailing empties). */
+  def words(text: Column): Column =
+    filter(split(text, " ", -1), w => w =!= lit(""))
+
+  /** Word n-grams, 1-based to mirror DuckDB list indexing; empty array when
+    * the doc is shorter than n (guarded: Spark `sequence(1, k)` with k < 1
+    * would generate a DESCENDING sequence, unlike DuckDB's empty list).
+    */
+  def shingles(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sequential-fold double dot product of two float vectors; cast to
+    * double BEFORE multiply so Spark and DuckDB produce identical IEEE
+    * sequences (DuckDB mirror: list_reduce over per-index products).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** floor(x * 1e6) as BIGINT — the hash-stable way to emit a double:
+    * floor is exact given identical IEEE inputs, unlike round (HALF_UP in
+    * Spark, bankers-ish in some engines).
+    */
+  def micro(x: Column): Column = floor(x * lit(1000000.0)).cast("long")
+
+  // ----- DuckDB-side fragments (kept beside the Spark forms so the two
+  // ----- dialects evolve together; used by SparkEntry.oracleSql) -----
+
+  /** DuckDB equivalent of [[h32]] applied to SQL fragment `s`. */
+  def sqlH32(s: String): String =
+    s"CAST(('0x' || substring(md5($s),1,8)) AS BIGINT)"
+
+  /** DuckDB equivalent of [[words]] on column `text`. */
+  def sqlWords(text: String): String =
+    s"list_filter(string_split($text, ' '), w -> w <> '')"
+
+  /** DuckDB equivalent of [[shingles]] over a words column `w`. */
+  def sqlShingles(w: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"$w[i+$k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($w) >= $n THEN list_transform(generate_series(1, len($w)-${n - 1}), i -> $parts) ELSE [] END"
+  }
+
+  /** DuckDB sequential-fold dot product over 1..dim (mirror of [[dot]]). */
+  def sqlDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(generate_series(1,$dim), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+
+  def sqlCosine(a: String, b: String, dim: Int): String =
+    s"(${sqlDot(a, b, dim)} / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)})))"
+
+  def sqlMicro(x: String): String = s"CAST(floor(($x) * 1000000.0) AS BIGINT)"
+}

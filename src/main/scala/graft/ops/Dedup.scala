@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import ColFns._
+
+/** Deduplication operators for a large-scale training-data pipeline, over a
+  * `documents(doc_id, text, ...)` table. Four families:
+  *
+  *  - exact:      md5 content hash -> canonical id per group (one shuffle on
+  *                the 16-byte hash; at 100 TB this is the cheapest possible
+  *                exact dedup — no text comparison ever shuffles).
+  *  - MinHash+LSH: word-shingle minhash signatures, banded into bucket keys,
+  *                candidate pairs via an equi-join on the band key (the
+  *                classic shingle->minhash->band->bucket-join; all-pairs is
+  *                never materialized, so cost is ~linear in near-dup mass).
+  *  - SimHash:    32-bit sign-of-weighted-bit-sums over word hashes; explode
+  *                + hash-aggregate form so the bit sums get map-side partial
+  *                aggregation (scales to any doc length without wide rows).
+  *  - n-gram Jaccard: exact verification via a rare-shingle inverted-index
+  *                join (document-frequency cap prunes stop-shingles, the
+  *                standard guard against quadratic hot buckets at scale).
+  *
+  * Everything is built on the cross-engine md5-derived [[ColFns.h32]] so the
+  * DuckDB oracles are bit-exact.
+  */
+object Dedup {
+
+  /** Exact dedup: every doc mapped to the minimum doc_id sharing its md5. */
+  def exact(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    docs.select(col("doc_id"), min(col("doc_id")).over(w).as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  def exactSql(table: String): String =
+    s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+       |FROM $table ORDER BY doc_id""".stripMargin
+
+  /** MinHash signatures: K independent hash slots, each the min over
+    * word n-gram shingles of h32(slot || '|' || shingle).
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 8, n: Int = 4): DataFrame = {
+    val sh = shingles(words(col("text")), n)
+    val sig = transform(sequence(lit(0), lit(k - 1)),
+      h => array_min(transform(col("sh"),
+        s => h32(concat(h.cast("string"), lit("|"), s)))))
+    docs.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), sig.as("mh"))
+  }
+
+  /** LSH candidate pairs: band the signature (rows=2), bucket-join on the
+    * band key, emit distinct (id_a < id_b) pairs.
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 8, n: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, k, n)
+    val banded = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(k / 2 - 1)),
+          b => md5(concat(b.cast("string"), lit(":"),
+            element_at(col("mh"), b * 2 + 1).cast("string"), lit(","),
+            element_at(col("mh"), b * 2 + 2).cast("string"))))).as("bkey"))
+    val a = banded.as("a")
+    val bb = banded.as("b")
+    a.join(bb, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  def lshCandidatePairsSql(table: String, k: Int = 8, n: Int = 4): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("w", n)
+    val slotHash = sqlH32("h || '|' || s")
+    s"""WITH docs AS (SELECT doc_id, $w AS w FROM $table),
+       |sh AS (SELECT doc_id, $sh AS shingles FROM docs),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0,${k - 1}),
+       |    h -> list_min(list_transform(shingles, s -> $slotHash))) AS mh
+       |  FROM sh WHERE len(shingles) > 0),
+       |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
+       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 32-bit SimHash over word hashes, explode + hash-aggregate form. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), h32(col("w")).as("h"))
+    val sums = (0 until 32).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b"))
+    val grouped = ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sig = (0 until 32)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  def simhashSql(table: String): String = {
+    val sums = (0 until 32)
+      .map(b => s"sum(((h >> $b) & 1)*2 - 1) AS s$b").mkString(", ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM $table),
+       |h AS (SELECT doc_id, ${sqlH32("word")} AS h FROM w),
+       |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs from a rare-shingle inverted
+    * index (df <= dfMax prunes stop-shingles -> no quadratic hot buckets).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
+                   thresh: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        array_distinct(shingles(words(col("text")), n)).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rareShingles = ex.groupBy("s").count().filter(col("count") <= dfMax)
+    val rare = ex.join(rareShingles.select("s"), "s")
+    val a = rare.as("a")
+    val b = rare.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= thresh)
+      .select(col("id_a"), col("id_b"), micro(col("jac")).as("jac_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def jaccardPairsSql(table: String, n: Int = 4, dfMax: Int = 50,
+                      thresh: Double = 0.5): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("w", n)
+    s"""WITH docs AS (SELECT doc_id, $w AS w FROM $table),
+       |sh AS (SELECT doc_id, list_distinct($sh) AS shingles FROM docs),
+       |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+       |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s) WHERE df.df <= $dfMax),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |j AS (SELECT id_a, id_b,
+       |    CAST(i AS DOUBLE) / CAST(sa.nsh + sb.nsh - i AS DOUBLE) AS jac
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, ${sqlMicro("jac")} AS jac_micro FROM j
+       |WHERE jac >= $thresh ORDER BY id_a, id_b""".stripMargin
+  }
+}

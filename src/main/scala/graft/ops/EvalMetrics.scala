@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.PairMetrics
+import ColFns._
+
+/** The reference's evaluation semantics (SURVEY.md §2 E1/E3) exposed as a
+  * driver-checkable query: micro P/R/F1 of a prediction set against golden
+  * KV pairs and lines.
+  *
+  * The "prediction" is the golden set deterministically perturbed
+  * (md5-derived per-item verdict: ~80% kept, ~10% duplicated, ~10%
+  * dropped), so precision/recall are non-trivial AND the reference's
+  * duplicate-membership counting quirk (evaluation.py:31-33 — a duplicated
+  * correct prediction counts twice) is genuinely exercised end-to-end.
+  *
+  * The engine path runs the real kernel ([[PairMetrics.membershipCounts]])
+  * inside a typed map + hash aggregate; the DuckDB oracle recomputes the
+  * same counts relationally with list functions — two independent code
+  * paths over the same algebra.
+  */
+object EvalMetrics {
+
+  final case class EvalCounts(url: String,
+      kvPred: Long, kvGt: Long, kvCorrect: Long,
+      lnPred: Long, lnGt: Long, lnCorrect: Long)
+
+  /** verdict bucket 0..9 for one item: < 8 keep, == 8 duplicate, else drop */
+  private def perturb(items: Column): Column =
+    flatten(transform(items, x => {
+      val m = h32(concat(col("url"), lit("|"), x)) % 10
+      when(m < 8, array(x))
+        .when(m === 8, array(x, x))
+        .otherwise(array().cast("array<string>"))
+    }))
+
+  def perturbedEval(spark: SparkSession, goldenPath: String): DataFrame = {
+    import spark.implicits._
+    val g = spark.read.parquet(goldenPath)
+      .select(col("url"),
+        transform(col("kv"), x => concat(x.getField("key"), lit("\u0001"), x.getField("value"))).as("gkv"),
+        transform(col("lines"), l => l.getField("text")).as("gln"))
+      .select(col("url"), col("gkv"), col("gln"),
+        perturb(col("gkv")).as("pkv"), perturb(col("gln")).as("pln"))
+    val counts = g
+      .as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .map { case (url, gkv, gln, pkv, pln) =>
+        val kv = PairMetrics.membershipCounts(pkv, gkv)
+        val ln = PairMetrics.membershipCounts(pln, gln)
+        EvalCounts(url, kv.pred, kv.gt, kv.correct, ln.pred, ln.gt, ln.correct)
+      }
+    val agged = counts.dropDuplicates("url").agg(
+      count(lit(1)).as("nDocs"),
+      sum("kvPred").as("kvPred"), sum("kvGt").as("kvGt"), sum("kvCorrect").as("kvCorrect"),
+      sum("lnPred").as("lnPred"), sum("lnGt").as("lnGt"), sum("lnCorrect").as("lnCorrect"))
+    withPrf(withPrf(agged, "kv"), "ln")
+  }
+
+  private def withPrf(df: DataFrame, g: String): DataFrame = {
+    val p = col(s"${g}Correct").cast("double") / col(s"${g}Pred").cast("double")
+    val r = col(s"${g}Correct").cast("double") / col(s"${g}Gt").cast("double")
+    df.withColumn(s"${g}P", when(col(s"${g}Pred") > 0, p).otherwise(lit(0.0)))
+      .withColumn(s"${g}R", when(col(s"${g}Gt") > 0, r).otherwise(lit(0.0)))
+      .withColumn(s"${g}PMicro", micro(col(s"${g}P")))
+      .withColumn(s"${g}RMicro", micro(col(s"${g}R")))
+      .withColumn(s"${g}F1Micro",
+        micro(when(col(s"${g}P") + col(s"${g}R") > 0,
+          lit(2.0) * col(s"${g}P") * col(s"${g}R") / (col(s"${g}P") + col(s"${g}R")))
+          .otherwise(lit(0.0))))
+      .drop(s"${g}P", s"${g}R")
+  }
+
+  def perturbedEvalSql(goldenGlob: String): String = {
+    def perturbSql(items: String): String = {
+      val m = sqlH32("url || '|' || x") + " % 10"
+      s"flatten(list_transform($items, x -> CASE WHEN $m < 8 THEN [x] WHEN $m = 8 THEN [x,x] ELSE [] END))"
+    }
+    def prf(g: String): String = {
+      val p = s"CASE WHEN ${g}Pred > 0 THEN CAST(${g}Correct AS DOUBLE)/CAST(${g}Pred AS DOUBLE) ELSE 0.0 END"
+      val r = s"CASE WHEN ${g}Gt > 0 THEN CAST(${g}Correct AS DOUBLE)/CAST(${g}Gt AS DOUBLE) ELSE 0.0 END"
+      s"""${sqlMicro(p)} AS ${g}PMicro, ${sqlMicro(r)} AS ${g}RMicro,
+         |  ${sqlMicro(s"CASE WHEN ($p) + ($r) > 0 THEN 2.0*($p)*($r)/(($p) + ($r)) ELSE 0.0 END")} AS ${g}F1Micro""".stripMargin
+    }
+    s"""WITH g AS (SELECT url,
+       |    list_transform(kv, x -> x."key" || chr(1) || x."value") AS gkv,
+       |    list_transform(lines, l -> l.text) AS gln
+       |  FROM read_parquet('$goldenGlob')),
+       |p AS (SELECT url, gkv, gln, ${perturbSql("gkv")} AS pkv, ${perturbSql("gln")} AS pln FROM g),
+       |c AS (SELECT url,
+       |    CAST(len(pkv) AS BIGINT) AS kvPred, CAST(len(gkv) AS BIGINT) AS kvGt,
+       |    CAST(len(list_filter(pkv, x -> list_contains(gkv, x))) AS BIGINT) AS kvCorrect,
+       |    CAST(len(pln) AS BIGINT) AS lnPred, CAST(len(gln) AS BIGINT) AS lnGt,
+       |    CAST(len(list_filter(pln, x -> list_contains(gln, x))) AS BIGINT) AS lnCorrect
+       |  FROM p),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS nDocs,
+       |    CAST(sum(kvPred) AS BIGINT) AS kvPred, CAST(sum(kvGt) AS BIGINT) AS kvGt,
+       |    CAST(sum(kvCorrect) AS BIGINT) AS kvCorrect,
+       |    CAST(sum(lnPred) AS BIGINT) AS lnPred, CAST(sum(lnGt) AS BIGINT) AS lnGt,
+       |    CAST(sum(lnCorrect) AS BIGINT) AS lnCorrect
+       |  FROM c)
+       |SELECT nDocs, kvPred, kvGt, kvCorrect, lnPred, lnGt, lnCorrect,
+       |  ${prf("kv")},
+       |  ${prf("ln")}
+       |FROM a""".stripMargin
+  }
+}

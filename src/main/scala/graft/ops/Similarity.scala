@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import ColFns._
+
+/** Similarity search over an embedding table
+  * `embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)`.
+  *
+  * Three tiers, mirroring how an ANN stack scales:
+  *  - brute-force cosine top-k: the correctness baseline. The (small) query
+  *    set is broadcast, so the big side never shuffles — at 100 TB this is
+  *    one map-side pass per query batch.
+  *  - IVF-style cell-pruned top-k: candidates restricted to the query's
+  *    coarse cell (the `label` column plays the IVF centroid-assignment
+  *    role); an equi-join on the cell id replaces the cross product.
+  *  - random-hyperplane LSH buckets: 8 deterministic md5-derived planes;
+  *    sign-bit bucket ids computed as a narrow projection — bucket-join
+  *    gives the candidate set at scale.
+  *
+  * Near-duplicate detection (embedding-cosine) = within-cell pairs over a
+  * cosine threshold. All dot products are sequential double folds
+  * ([[ColFns.dot]]) so the DuckDB oracles are bit-exact; doubles are
+  * emitted floor-scaled to micro units.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 8
+
+  /** Deterministic LSH hyperplanes in [-1, 1): plane p, component i from
+    * md5("p,i") — reproducible in SQL, no RNG, no stored model artifact.
+    */
+  lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    (0 until NumPlanes).map(p =>
+      (1 to Dim).map(i => h32(s"$p,$i") / 2147483648.0 - 1.0))
+  }
+
+  /** Embedding near-dup: within-cell pairs with cosine >= thresh. */
+  def cosineNearDupPairs(emb: DataFrame, thresh: Double = 0.3): DataFrame = {
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val cos = cosine(col("a.embedding"), col("b.embedding"))
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
+      .filter(col("cos") >= thresh)
+      .select(col("id_a"), col("id_b"), micro(col("cos")).as("cos_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def cosineNearDupPairsSql(table: String, thresh: Double = 0.3): String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${sqlCosine("a.embedding", "b.embedding", Dim)} AS cos
+       |  FROM $table a JOIN $table b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ${sqlMicro("cos")} AS cos_micro FROM p
+       |WHERE cos >= $thresh ORDER BY id_a, id_b""".stripMargin
+
+  private def topK(joined: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), micro(col("cos")).as("cos_micro"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Brute-force cosine top-k for a small broadcast query set. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val joined = emb.crossJoin(q)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    topK(joined, k)
+  }
+
+  def bruteForceTopKSql(table: String, nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM $table WHERE vec_id < $nQueries),
+       |s AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "e.embedding", Dim)} AS cos
+       |  FROM $table e CROSS JOIN q),
+       |r AS (SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM s)
+       |SELECT q_id, n_id, CAST(rank AS INT) AS rank, ${sqlMicro("cos")} AS cos_micro
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-style top-k: search only the query's coarse cell (label). */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label").as("q_label")))
+    val joined = emb.join(q, col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    topK(joined, k)
+  }
+
+  def ivfTopKSql(table: String, nQueries: Int = 8, k: Int = 3): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |    FROM $table WHERE vec_id < $nQueries),
+       |s AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "e.embedding", Dim)} AS cos
+       |  FROM $table e JOIN q ON e.label = q.q_label),
+       |r AS (SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM s)
+       |SELECT q_id, n_id, CAST(rank AS INT) AS rank, ${sqlMicro("cos")} AS cos_micro
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Random-hyperplane LSH bucket assignment: 8 sign bits -> bucket id.
+    * Pure narrow projection (the scale path: bucket-join for candidates).
+    */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val bucket = (0 until NumPlanes).map { p =>
+      val d = dot(col("embedding"), typedlit(planes(p)))
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket")).orderBy("vec_id")
+  }
+
+  def lshBucketsSql(table: String): String = {
+    def lits(p: Int): String = planes(p).mkString("[", ",", "]")
+    val bits = (0 until NumPlanes).map { p =>
+      val d = s"list_reduce(list_transform(generate_series(1,$Dim), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * (${lits(p)})[i]), (x,y) -> x+y)"
+      s"(CASE WHEN ($d) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM $table ORDER BY vec_id"
+  }
+}

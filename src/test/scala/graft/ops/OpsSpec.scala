@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TextNorm
+import graft.functions.{F2HExpression, GraftFunctions}
+
+/** Specs for the training-data pipeline operators (dedup / similarity /
+  * text analysis / multimodal) and the native Catalyst f2h expression.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---------- text analysis ----------
+
+  test("langId: stopword argmax with fixed priority tie-break") {
+    val df = TextAnalysis.langId(docsDf(
+      0L -> "the cat and the dog",          // en
+      1L -> "der hund und die katze ist",   // de
+      2L -> "xyzzy plugh quux",             // no hits -> und
+      3L -> "the der"                       // 1-1 tie -> en (priority)
+    ))
+    val out = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out == Map(0L -> "en", 1L -> "de", 2L -> "und", 3L -> "en"))
+  }
+
+  test("quality: exact integer components and deterministic micro score") {
+    val row = TextAnalysis.quality(docsDf(0L -> "the quick brown fox")).collect()(0)
+    assert(row.getAs[Long]("n_words") == 4L)
+    assert(row.getAs[Long]("sum_wlen") == 16L)
+    assert(row.getAs[Long]("stop_hits") == 1L)
+    assert(row.getAs[Long]("alpha_words") == 4L)
+    // 0.4*(1/4) + 0.3*(4/4) + 0.3*min(1, 4/200) = .1+.3+.006
+    assert(row.getAs[Long]("score_micro") == math.floor(1e6 * (0.1 + 0.3 + 0.3 * (4.0 / 200.0))).toLong)
+  }
+
+  test("tokenCounts: BPE-ish regex segmentation vs whitespace") {
+    val row = TextAnalysis.tokenCounts(docsDf(0L -> "ab3 x, y9!")).collect()(0)
+    assert(row.getAs[Int]("n_ws") == 3)
+    // ab|3, x|comma, y|9|! -> 7
+    assert(row.getAs[Int]("n_bpe") == 7)
+  }
+
+  test("fingerprint: deterministic, order-sensitive rolling hash") {
+    val a = TextAnalysis.fingerprint(docsDf(0L -> "a b c d e")).collect()(0)
+    val b = TextAnalysis.fingerprint(docsDf(0L -> "a b c d e")).collect()(0)
+    val c = TextAnalysis.fingerprint(docsDf(0L -> "e d c b a")).collect()(0)
+    assert(a.getAs[Long]("fp") == b.getAs[Long]("fp"))
+    assert(a.getAs[Long]("fp") != c.getAs[Long]("fp"), "rolling hash must be order-sensitive")
+    assert(!a.isNullAt(a.fieldIndex("winnow_fp")), "winnow defined for len>=4")
+  }
+
+  // ---------- dedup ----------
+
+  private val dupDocs = docsDf(
+    0L -> "alpha beta gamma delta epsilon zeta eta theta",
+    1L -> "alpha beta gamma delta epsilon zeta eta theta", // exact dup of 0
+    2L -> "alpha beta gamma delta epsilon zeta eta iota",  // near dup of 0
+    3L -> "one two three four five six seven eight")
+
+  test("exact dedup: canonical is min doc_id of the md5 group") {
+    val out = Dedup.exact(dupDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical")).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("minhash LSH: exact and near duplicates land in a shared band bucket") {
+    val pairs = Dedup.lshCandidatePairs(dupDocs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)), "identical docs must collide in every band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val out = Dedup.simhash(dupDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out(0L) == out(1L))
+    assert(out(0L) != out(3L))
+  }
+
+  test("ngram jaccard: identical docs score exactly 1.0 (1e6 micro)") {
+    val rows = Dedup.jaccardPairs(dupDocs, thresh = 0.2).collect()
+    val m = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jac_micro")).toMap
+    assert(m((0L, 1L)) == 1000000L)
+    assert(m.contains((0L, 2L)) && m((0L, 2L)) < 1000000L)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup results invariant to input partitioning") {
+    val repartitioned = dupDocs.repartition(7)
+    assert(Dedup.lshCandidatePairs(dupDocs).collect().toSeq ==
+      Dedup.lshCandidatePairs(repartitioned).collect().toSeq)
+    assert(Dedup.simhash(dupDocs).collect().toSeq ==
+      Dedup.simhash(repartitioned).collect().toSeq)
+  }
+
+  // ---------- similarity ----------
+
+  private def embDf(rows: (Long, Seq[Float], Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private lazy val embFixture = embDf(
+    (0L, Seq.tabulate(64)(i => (i + 1).toFloat), 0),
+    (1L, Seq.tabulate(64)(i => (i + 1).toFloat * 2f), 0), // parallel to 0
+    (2L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f), 0),
+    (3L, Seq.tabulate(64)(i => (64 - i).toFloat), 1)
+  )
+
+  test("brute-force topk: self is rank 1 with cosine exactly 1.0") {
+    val rows = Similarity.bruteForceTopK(embFixture, nQueries = 2, k = 2).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    Seq(0L, 1L).foreach { q =>
+      val top = byQ(q).minBy(_.getAs[Int]("rank"))
+      // 0 and 1 are exactly parallel: both rank-1 by cosine, tie broken by id
+      assert(top.getAs[Long]("n_id") == 0L)
+      assert(top.getAs[Long]("cos_micro") >= 999999L)
+    }
+  }
+
+  test("ivf topk searches only the query's cell") {
+    val rows = Similarity.ivfTopK(embFixture, nQueries = 4, k = 4).collect()
+    val cells = rows.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.map(_.getAs[Long]("n_id")).toSet)
+    assert(cells(3L) == Set(3L), "label-1 query must only see label-1 candidates")
+    assert(cells(0L) == Set(0L, 1L, 2L))
+  }
+
+  test("lsh buckets: parallel vectors share a bucket; deterministic planes") {
+    val out = Similarity.lshBuckets(embFixture).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(out(0L) == out(1L), "positively-parallel vectors see identical signs")
+    assert(Similarity.planes.flatten.forall(w => w >= -1.0 && w < 1.0))
+    assert(Similarity.lshBuckets(embFixture).collect().toSeq ==
+      Similarity.lshBuckets(embFixture.repartition(5)).collect().toSeq)
+  }
+
+  // ---------- multimodal ----------
+
+  test("media kernel: stub decode reproduces the typed metadata") {
+    import spark.implicits._
+    val rows = (0L until 64L).map(Media.rowFor)
+    val ds = spark.createDataset(rows)
+    val parsed = Media.extractMeta(ds).collect().map(p => p.doc_id -> p).toMap
+    rows.foreach { r =>
+      val p = parsed(r.doc_id)
+      assert(p.kind == r.kind)
+      assert(p.width == r.meta.width && p.height == r.meta.height)
+      assert(p.sample_rate == r.meta.sampleRate)
+      assert(p.payload_len == r.meta.nBytes - 20, "payload = total - 20-byte header")
+    }
+  }
+
+  test("media histogram: feature counts sum to payload length") {
+    import spark.implicits._
+    val rows = (0L until 32L).map(Media.rowFor)
+    val df = Media.byteHistogram(spark.createDataset(rows).toDF())
+    df.collect().foreach { r =>
+      val total = r.getAs[String]("features").split(",").map(_.toInt).sum
+      val expected = rows.find(_.doc_id == r.getAs[Long]("doc_id")).get.meta.nBytes - 20
+      assert(total == expected)
+    }
+  }
+
+  // ---------- native Catalyst expression ----------
+
+  test("f2h expression matches the pure kernel incl. boundary code points") {
+    import spark.implicits._
+    val samples = Seq(
+      "！～　", // boundaries: fullwidth ! ~ and ideographic space
+      "０９ＡＺａｚmixed ascii",
+      "no fullwidth at all",
+      "＀｟ untouched neighbors ⿿")
+    val out = samples.toDF("s")
+      .select(GraftFunctions.f2hExpr("s").as("h")).collect().map(_.getString(0))
+    assert(out.toSeq == samples.map(TextNorm.stringF2H))
+  }
+
+  test("f2h expression stays codegen-compatible and null-safe") {
+    import spark.implicits._
+    val df = Seq(Some("ａ"), None).toDF("s")
+      .select(GraftFunctions.f2hExpr("s").as("h"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "a" && rows(1).isNullAt(0))
+    // interpreted path parity (codegen fallback)
+    val expr = F2HExpression(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("Ａ　x")))
+    assert(expr.eval(null).toString == "A x")
+  }
+
+  // ---------- eval metrics query ----------
+
+  test("perturbed eval: deterministic, bounded, duplicate-aware") {
+    import graft.app.Corpus
+    val sfDir = "/root/testdata/sf0.001"
+    Corpus.ensure(spark, sfDir)
+    val r1 = EvalMetrics.perturbedEval(spark, Corpus.goldenPath(sfDir)).collect()(0)
+    val r2 = EvalMetrics.perturbedEval(spark, Corpus.goldenPath(sfDir)).collect()(0)
+    assert(r1 == r2, "perturbation must be deterministic")
+    val (pred, gt, correct) = (r1.getAs[Long]("kvPred"), r1.getAs[Long]("kvGt"), r1.getAs[Long]("kvCorrect"))
+    assert(correct == pred,
+      "every perturbed prediction is a golden item -> all preds correct (incl. dup double-count)")
+    assert(pred != gt, "dropping/duplicating must actually change the pred set")
+    // pinned against the independent DuckDB oracle at sf0.001
+    assert((pred, gt, correct) == ((3252L, 3262L, 3252L)))
+    assert(r1.getAs[Long]("kvPMicro") == 1000000L)
+    assert(r1.getAs[Long]("kvRMicro") == 996934L)
+    assert(r1.getAs[Long]("lnF1Micro") == 995542L)
+  }
+}
