@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.app.Corpus
+import graft.streaming.Streams.EventRow
+
+class StreamsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("streams-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:${minute / 60}%02d:${minute % 60}%02d")
+      .ensuring(_ != null)
+
+  private def tsAt(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("streaming extraction over a file source matches batch output") {
+    val sfDir = "/root/testdata/sf0.001"
+    Corpus.ensure(spark, sfDir)
+    val q = Streams.extractStream(spark, Corpus.pagesPath(sfDir))
+      .toDF().select("url", "text")
+      .writeStream.format("memory").queryName("sx").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT url, text FROM sx").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val batch = graft.engine.Pipeline
+      .extract(spark.read.parquet(Corpus.pagesPath(sfDir)))
+      .toDF().select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("watermarked hourly window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streams.hourlyEventCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hw").outputMode("complete").start()
+    mem.addData(
+      EventRow(1, tsAt(10, 5), 1, "click", 1.5),
+      EventRow(2, tsAt(10, 50), 2, "click", 2.25),
+      EventRow(3, tsAt(11, 1), 1, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM hw ORDER BY hour, event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(0).getAs[Long]("sum_vmilli") == 1500L + 2250L)
+    assert(rows(1).getAs[String]("event_type") == "view")
+  }
+
+  test("flatMapGroupsWithState sessionization closes on gap and watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // session A: two events 5 min apart; then a 2-hour-later event both
+    // closes A by in-batch gap logic and advances the watermark past it
+    mem.addData(
+      EventRow(1, tsAt(10, 0), 7, "click", 1.0),
+      EventRow(2, tsAt(10, 5), 7, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(3, tsAt(12, 0), 7, "click", 4.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(4, tsAt(14, 0), 8, "view", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.sql("SELECT * FROM sess ORDER BY session_start").collect()
+    assert(sessions.nonEmpty, "first session must have been emitted")
+    val first = sessions(0)
+    assert(first.getAs[Long]("user_id") == 7L)
+    assert(first.getAs[Long]("n_events") == 2L)
+    assert(first.getAs[Double]("sum_value") == 3.0)
+    assert(first.getAs[Timestamp]("session_end") == tsAt(10, 5))
+  }
+}
