@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured on the 32-core/128 GiB box: a COMPACT heap wins for the
+  // allocation-heavy kernel (big heaps pay multi-second page-fault zeroing
+  // on growth; 8g stays cache-hot and steady). ParallelGC edges out G1 for
+  // pure-throughput batch. Knobs: SPARK_DRIVER_MEM, GRAFT_GC, GRAFT_XMN.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "Parallel")}GC",
+) ++ sys.env.get("GRAFT_XMN").map(x => Seq(s"-Xmn$x")).getOrElse(Seq.empty)

@@ -162,8 +162,19 @@ object Pipeline {
       salts: Int = 8,
       resume: Boolean = false,
       buckets: Int = DefaultBuckets
+  ): Long =
+    runFrom(spark, readPages(spark, inputPath), outDir, partitions, salts, resume, buckets)
+
+  /** Full run over an already-constructed pages frame. */
+  def runFrom(
+      spark: SparkSession,
+      pages0: DataFrame,
+      outDir: String,
+      partitions: Int,
+      salts: Int = 8,
+      resume: Boolean = false,
+      buckets: Int = DefaultBuckets
   ): Long = {
-    val pages0 = readPages(spark, inputPath)
     val pages1 = if (resume) resumeFilter(spark, pages0, outDir, buckets) else pages0
     val pages = saltedByHost(pages1, partitions, salts)
     val decoded = extract(pages, buckets).persist()

@@ -77,6 +77,16 @@ object HtmlParser {
     sb.toString
   }
 
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val max = s.length - target.length
+    while (i <= max) {
+      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Parse to a synthetic root element `#root`. */
   def parse(html: String): Elem = {
     // mutable frame: (tag, attrs, children under construction)
@@ -121,8 +131,9 @@ object HtmlParser {
           val name = html.substring(lt + 1, j).toLowerCase
           if (name.isEmpty) { flushText("<"); i = lt + 1 }
           else {
-            // attributes until '>'
-            val attrs = mutable.Map.empty[String, String]
+            // attributes until '>' — accumulated as a small immutable Map
+            // (Map1..Map4 for the common cases; no mutable map + toMap copy)
+            var attrs: Map[String, String] = Map.empty
             var selfClose = false
             var done = false
             while (!done && j < n) {
@@ -144,28 +155,29 @@ object HtmlParser {
                     val vs = j + 1
                     val ve = html.indexOf(q, vs)
                     val v = html.substring(vs, if (ve < 0) n else ve)
-                    if (key.nonEmpty) attrs.put(key, decodeEntities(v))
+                    if (key.nonEmpty) attrs = attrs.updated(key, decodeEntities(v))
                     j = if (ve < 0) n else ve + 1
                   } else {
                     val vs = j
                     while (j < n && html.charAt(j) != '>' && !html.charAt(j).isWhitespace) j += 1
-                    if (key.nonEmpty) attrs.put(key, decodeEntities(html.substring(vs, j)))
+                    if (key.nonEmpty) attrs = attrs.updated(key, decodeEntities(html.substring(vs, j)))
                   }
-                } else if (key.nonEmpty) attrs.put(key, "")
+                } else if (key.nonEmpty) attrs = attrs.updated(key, "")
               }
             }
             i = j
             if (RawTextTags.contains(name)) {
-              // skip raw content to the matching close tag
+              // skip raw content to the matching close tag (case-insensitive
+              // scan — NEVER lowercase the whole document here)
               val close = "</" + name
-              val end = html.toLowerCase.indexOf(close, i)
+              val end = indexOfIgnoreCase(html, close, i)
               val endGt = if (end < 0) n else html.indexOf('>', end)
-              stack.last.children += Elem(name, attrs.toMap, Vector.empty)
+              stack.last.children += Elem(name, attrs, Vector.empty)
               i = if (end < 0) n else (if (endGt < 0) n else endGt + 1)
             } else if (VoidTags.contains(name) || selfClose) {
-              stack.last.children += Elem(name, attrs.toMap, Vector.empty)
+              stack.last.children += Elem(name, attrs, Vector.empty)
             } else {
-              stack += new Frame(name, attrs.toMap)
+              stack += new Frame(name, attrs)
             }
           }
         }
@@ -198,5 +210,22 @@ object HtmlParser {
     }
     rec(node, inLink = false)
     total
+  }
+
+  /** textContent + linkTextLength in ONE traversal (the lineizer calls both
+    * for every block; the DOM walk is the hot path).
+    */
+  def textAndLinkLength(node: Node): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    var link = 0
+    def rec(nd: Node, inLink: Boolean): Unit = nd match {
+      case Text(v) =>
+        sb.append(v); if (inLink) link += v.length
+      case Elem(tag, _, kids) =>
+        val now = inLink || tag == "a"
+        kids.foreach(rec(_, now))
+    }
+    rec(node, inLink = false)
+    (sb.toString, link)
   }
 }

@@ -42,19 +42,51 @@ object Lineizer {
       linkDensity: Double
   )
 
-  private val styleRe =
-    "(left|top|width|height)\\s*:\\s*(-?\\d+)px".r
+  private val styleKeys = Array("left", "top", "width", "height")
 
+  /** Hand-rolled equivalent of `(left|top|width|height)\s*:\s*(-?\d+)px`
+    * findAllMatchIn (left-to-right, resume after each match, last match per
+    * key wins). The regex was the kernel's top allocation site — Match
+    * objects per block at 10^12-doc scale; this scan allocates nothing.
+    */
   private def parseStyleBox(style: String): Option[Vector[Int]] = {
     var l, t, w, h = Integer.MIN_VALUE
-    styleRe.findAllMatchIn(style).foreach { m =>
-      val v = m.group(2).toInt
-      m.group(1) match {
-        case "left"   => l = v
-        case "top"    => t = v
-        case "width"  => w = v
-        case "height" => h = v
+    val n = style.length
+    var i = 0
+    while (i < n) {
+      var matched = false
+      var ki = 0
+      while (!matched && ki < 4) {
+        val k = styleKeys(ki)
+        if (style.startsWith(k, i)) {
+          var j = i + k.length
+          while (j < n && Character.isWhitespace(style.charAt(j))) j += 1
+          if (j < n && style.charAt(j) == ':') {
+            j += 1
+            while (j < n && Character.isWhitespace(style.charAt(j))) j += 1
+            var neg = false
+            if (j < n && style.charAt(j) == '-') { neg = true; j += 1 }
+            val ds = j
+            while (j < n && style.charAt(j) >= '0' && style.charAt(j) <= '9') j += 1
+            if (j > ds && style.startsWith("px", j)) {
+              var v = 0
+              var p = ds
+              while (p < j) { v = v * 10 + (style.charAt(p) - '0'); p += 1 }
+              if (neg) v = -v
+              ki match {
+                case 0 => l = v
+                case 1 => t = v
+                case 2 => w = v
+                case _ => h = v
+              }
+              i = j + 2
+              matched = true
+            }
+          }
+        }
+        ki += 1
       }
+      if (!matched) i += 1
     }
     if (l != Integer.MIN_VALUE && t != Integer.MIN_VALUE &&
       w != Integer.MIN_VALUE && h != Integer.MIN_VALUE)
@@ -89,10 +121,10 @@ object Lineizer {
 
       val isBlock = e.attr("style").flatMap(parseStyleBox) match {
         case Some(box) =>
-          val text = HtmlParser.textContent(e)
+          val (text, linkLen) = HtmlParser.textAndLinkLength(e)
           val ld =
             if (text.isEmpty) 0.0
-            else HtmlParser.linkTextLength(e).toDouble / text.length
+            else linkLen.toDouble / text.length
           blocks += Block(
             docOrder = blocks.length,
             tag = e.tag,

@@ -38,17 +38,39 @@ object Dedup {
     s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
        |FROM $table ORDER BY doc_id""".stripMargin
 
+  /** One row per (doc, word-n-gram shingle), generated in a typed flatMap
+    * kernel rather than `explode(transform(...))`: Spark higher-order
+    * functions are CodegenFallback (interpreted per element), and the
+    * expression would be re-evaluated in every plan branch that consumes
+    * it — the kernel emits each shingle exactly once per branch at plain
+    * Scala speed. Strings are identical to the HOF form (and to the DuckDB
+    * oracle's list_transform).
+    */
+  private[ops] def shingleRows(docs: DataFrame, n: Int, distinct: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = t.split(' ').filter(_.nonEmpty)
+        val sh =
+          if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toVector
+          else Vector.empty[String]
+        (if (distinct) sh.distinct else sh).map(s => (id, s))
+      }
+      .toDF("doc_id", "s")
+  }
+
   /** MinHash signatures: K independent hash slots, each the min over
-    * word n-gram shingles of h32(slot || '|' || shingle).
+    * word n-gram shingles of h32(slot || '|' || shingle). Computed as K
+    * codegen'd `min` aggregates over the exploded shingle rows — map-side
+    * partial aggregation, no wide rows, no interpreted lambdas; docs
+    * shorter than n words naturally drop out (no shingle rows).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8, n: Int = 4): DataFrame = {
-    val sh = shingles(words(col("text")), n)
-    val sig = transform(sequence(lit(0), lit(k - 1)),
-      h => array_min(transform(col("sh"),
-        s => h32(concat(h.cast("string"), lit("|"), s)))))
-    docs.select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), sig.as("mh"))
+    val ex = shingleRows(docs, n, distinct = false)
+    val aggs = (0 until k).map(h =>
+      min(h32(concat(lit(h.toString), lit("|"), col("s")))).as(s"m$h"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature (rows=2), bucket-join on the
@@ -56,11 +78,11 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, n: Int = 4): DataFrame = {
     val sigs = minhashSignatures(docs, k, n)
-    val banded = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(k / 2 - 1)),
-          b => md5(concat(b.cast("string"), lit(":"),
-            element_at(col("mh"), b * 2 + 1).cast("string"), lit(","),
-            element_at(col("mh"), b * 2 + 2).cast("string"))))).as("bkey"))
+    val bandKeys = (0 until k / 2).map(b =>
+      md5(concat(lit(b.toString), lit(":"),
+        col(s"m${2 * b}").cast("string"), lit(","),
+        col(s"m${2 * b + 1}").cast("string"))))
+    val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey"))
     val a = banded.as("a")
     val bb = banded.as("b")
     a.join(bb, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -115,12 +137,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
                    thresh: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-        array_distinct(shingles(words(col("text")), n)).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rareShingles = ex.groupBy("s").count().filter(col("count") <= dfMax)
-    val rare = ex.join(rareShingles.select("s"), "s")
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleRows(docs, n, distinct = true)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    // df filter via a count window over the same shuffle the join needs
+    // (one pass; no separate groupBy + join-back branch)
+    val rare = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= dfMax)
+      .select(col("doc_id"), col("s"))
     val a = rare.as("a")
     val b = rare.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -42,11 +42,18 @@ object Similarity {
       (1 to Dim).map(i => h32(s"$p,$i") / 2147483648.0 - 1.0))
   }
 
+  /** Rows + precomputed L2 norm: sqrt(dot(v,v)) once per vector instead of
+    * per pair (the pair join evaluates only one dot; sqrt of the same fold
+    * gives bit-identical cosines, so the oracle SQL is unaffected).
+    */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+
   /** Embedding near-dup: within-cell pairs with cosine >= thresh. */
   def cosineNearDupPairs(emb: DataFrame, thresh: Double = 0.3): DataFrame = {
-    val a = emb.as("a")
-    val b = emb.as("b")
-    val cos = cosine(col("a.embedding"), col("b.embedding"))
+    val a = withNorm(emb).as("a")
+    val b = withNorm(emb).as("b")
+    val cos = dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
       .filter(col("cos") >= thresh)
@@ -74,11 +81,11 @@ object Similarity {
 
   /** Brute-force cosine top-k for a small broadcast query set. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val q = broadcast(emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val joined = emb.crossJoin(q)
+    val q = broadcast(withNorm(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val joined = withNorm(emb).crossJoin(q)
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
     topK(joined, k)
   }
 
@@ -95,11 +102,12 @@ object Similarity {
 
   /** IVF-style top-k: search only the query's coarse cell (label). */
   def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    val q = broadcast(emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label").as("q_label")))
-    val joined = emb.join(q, col("label") === col("q_label"))
+    val q = broadcast(withNorm(emb.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("nrm").as("q_nrm")))
+    val joined = withNorm(emb).join(q, col("label") === col("q_label"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
     topK(joined, k)
   }
 

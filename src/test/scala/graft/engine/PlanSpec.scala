@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+import graft.app.Corpus
+
+/** Physical-plan quality gates: the plans the engine is DESIGNED to produce
+  * (SURVEY.md §4.2), pinned so a regression (lost pushdown, a broadcast
+  * degrading to shuffle, a narrow op growing an exchange) fails the build
+  * rather than silently costing 10x at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    Corpus.ensure(spark, sfDir)
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown:\n$p")
+    assert(!p.contains("l_comment"), "unused wide column must not be read")
+  }
+
+  test("q2: dimension join is a broadcast hash join") {
+    val p = plan("q2_topk")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q3: resume-style anti join stays an anti join") {
+    assert(plan("q3_anti").contains("LeftAnti"))
+  }
+
+  test("s2: ANN query set is broadcast, not shuffled") {
+    val p = plan("s2_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("t-block text analysis ops are shuffle-free narrow projections") {
+    Seq("t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint").foreach { q =>
+      val p = plan(q)
+      // the only exchange allowed is the final presentation orderBy
+      val body = p.substring(0, math.max(0, p.indexOf("Sort")))
+      assert(!body.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle before the output sort:\n$p")
+    }
+  }
+
+  test("s4 LSH bucketing is a shuffle-free narrow projection") {
+    val p = plan("s4_lsh_buckets")
+    val body = p.substring(0, math.max(0, p.indexOf("Sort")))
+    assert(!body.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("f1: native f2h expression is code-generated (no interpreted UDF)") {
+    val p = plan("f1_f2h")
+    assert(p.contains("graft_f2h"), s"native expression missing:\n$p")
+    Corpus.ensure(spark, sfDir)
+    // AQE defers codegen until execution; disable it to inspect the code
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen =
+      try SparkEntry.queries("f1_f2h")(spark, sfDir).queryExecution
+        .explainString(ExplainMode.fromString("codegen"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(gen.contains("graft.functions.F2HExpression.f2h"),
+      s"generated code must call the static f2h directly:\n${gen.take(2000)}")
+  }
+
+  test("extraction kernel scan reads only (url, html, lang)") {
+    Corpus.ensure(spark, sfDir)
+    val p = Pipeline.extract(spark.read.parquet(Corpus.pagesPath(sfDir)))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("url") && p.contains("html"))
+    assert(!p.contains("warc_ts"), s"fat column not pruned from scan:\n$p")
+    assert(!p.contains("Exchange"), s"extract stage must be map-only:\n$p")
+  }
+
+  test("d3 simhash aggregates have a map-side partial phase") {
+    val p = plan("d3_simhash")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"expected partial aggregation before the exchange:\n$p")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.engine.Pipeline
+import graft.synth.CorpusGen
+
+/** Single-threaded kernel allocation/throughput profile (no Spark). */
+object DriveAlloc {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val pages = (0L until 200L).map(i => CorpusGen.pageFor(i)._2).toArray
+    // warmup
+    (0 until 4000).foreach { i =>
+      val p = pages(i % pages.length)
+      Pipeline.extractDoc(p.url, p.html, p.lang, 256)
+    }
+    def stage(name: String)(f: Int => Any): Unit = {
+      System.gc()
+      val a0 = bean.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { f(i); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val da = bean.getThreadAllocatedBytes(tid) - a0
+      println(f"[alloc] $name%-22s ${n / dt}%9.0f docs/s  ${da.toDouble / n / 1024}%8.1f KB/doc")
+    }
+    stage("full extractDoc") { i =>
+      val p = pages(i % pages.length)
+      Pipeline.extractDoc(p.url, p.html, p.lang, 256)
+    }
+    stage("parse only") { i =>
+      val p = pages(i % pages.length)
+      graft.html.HtmlParser.parse(new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    stage("parse+lineize") { i =>
+      val p = pages(i % pages.length)
+      graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url)
+    }
+    stage("parse+lineize+build") { i =>
+      val p = pages(i % pages.length)
+      graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
+    }
+  }
+}
