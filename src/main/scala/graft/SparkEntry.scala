@@ -38,6 +38,7 @@ object SparkEntry {
   private val G = "/root/repo/target/corpus/v1/sf0.01/golden.parquet/*.parquet"
   private val S = "/root/repo/target/corpus/v1/sf0.01/spots.parquet/*.parquet"
   private val M = "/root/repo/target/corpus/v1/sf0.01/media.parquet/*.parquet"
+  private val J = "/root/repo/target/corpus/v1/sf0.01/spots.json/*.json"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -155,6 +156,25 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       EvalMetrics.perturbedEval(s, Corpus.goldenPath(dir))
     }),
+    // --- sources: schema'd JSON fixture ingest + catalog table scan ---
+    "a1_json_scan" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      val schema = "doc_id LONG, ord INT, i INT, j INT, tag INT, score DOUBLE"
+      s.read.schema(schema).json(Corpus.spotsJsonPath(dir))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("i") + col("j")).as("sum_ij"),
+          floor(min(col("score")) * 1000000).cast("long").as("min_score_micro"))
+        .orderBy("tag")
+    }),
+    "a2_table_scan" -> ((s, dir) => {
+      // catalog path (spark.read.table / SQL over a registered table name):
+      // the Iceberg-style access pattern of Pipeline.readPages
+      s.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("docs_v")
+      s.sql("""SELECT lang, CAST(count(*) AS LONG) AS n_docs,
+              |  CAST(sum(n_chars) AS LONG) AS sum_chars
+              |FROM docs_v GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
     // --- native Catalyst expression (SURVEY.md §7.3 stretch) ---
     "f1_f2h" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -218,6 +238,15 @@ object SparkEntry {
     "m2_media_hist" -> Media.byteHistogramSql(M),
     "m3_frame_sample" -> Media.frameSampleSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
+    "a1_json_scan" ->
+      s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(i + j) AS BIGINT) AS sum_ij,
+         |  CAST(floor(min(score) * 1000000) AS BIGINT) AS min_score_micro
+         |FROM read_json('$J') GROUP BY tag ORDER BY tag""".stripMargin,
+    "a2_table_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "f1_f2h" -> {
       val from = FwFrom.replace("'", "''")
       s"""SELECT doc_id, translate('$FwPrefix' || substring(text, 1, 40) || '$FwSuffix',

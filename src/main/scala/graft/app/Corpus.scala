@@ -34,6 +34,7 @@ object Corpus {
   def goldenPath(sfDir: String): String = s"${corpusDir(sfDir)}/golden.parquet"
   def spotsPath(sfDir: String): String = s"${corpusDir(sfDir)}/spots.parquet"
   def mediaPath(sfDir: String): String = s"${corpusDir(sfDir)}/media.parquet"
+  def spotsJsonPath(sfDir: String): String = s"${corpusDir(sfDir)}/spots.json"
 
   /** Oracle-side golden: annotation -> token sample -> decode, NEVER
     * touching HTML (independent path from the engine's parse+lineize).
@@ -107,6 +108,13 @@ object Corpus {
       spark.range(0, math.min(n, 2000).toLong, 1, 8)
         .map(i => graft.ops.Media.rowFor(i))
         .write.mode("overwrite").parquet(mediaPath(sfDir))
+    }
+    if (!exists(spotsJsonPath(sfDir))) {
+      // JSON fixture dump (SURVEY.md §2 A1: annotation files are JSON in
+      // the reference; the engine must ingest schema'd JSON fixtures)
+      spark.range(0, math.min(n, 2000).toLong, 1, 8)
+        .flatMap(i => spotsFor(i))
+        .write.mode("overwrite").json(spotsJsonPath(sfDir))
     }
   }
 }

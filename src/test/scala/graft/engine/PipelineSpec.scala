@@ -79,6 +79,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.count() + half.count() == pages.count())
   }
 
+  test("salting spreads a hot host across partitions, small hosts stay co-located") {
+    ensured()
+    import spark.implicits._
+    // adversarial skew: one host owns 90% of the corpus
+    val hot = (0 until 9000).map(i => (s"https://hot.example/$i", i.toString))
+    val cold = (0 until 1000).map(i => (s"https://cold-$i.example/x", i.toString))
+    val pages = (hot ++ cold).toDF("url", "payload")
+    val salted = Pipeline.saltedByHost(pages, partitions = 16, salts = 8)
+    val perPartition = salted
+      .select(col("url"), org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("pid").count().collect().map(_.getLong(1))
+    val hotSpread = salted
+      .filter(col("url").startsWith("https://hot.example/"))
+      .select(org.apache.spark.sql.functions.spark_partition_id())
+      .distinct().count()
+    assert(hotSpread >= 6, s"hot host must spread over ~salts partitions, got $hotSpread")
+    // a partition may receive a few of the 8 salt buckets (hash collisions)
+    // but never the whole hot host
+    assert(perPartition.max <= 9000 * 0.4,
+      s"no partition may hold the bulk of the hot host: max=${perPartition.max}")
+  }
+
   test("windowed parse-spots backend matches the kernel (two-backend parity)") {
     ensured()
     import graft.core.{Spot, Spots}
