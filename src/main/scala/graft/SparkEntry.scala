@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.app.Corpus
 import graft.engine.{Pipeline, WindowedSpots}
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, EvalMetrics, Media, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EvalMetrics, Media, Prep, Similarity, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2), an
   * equivalent DuckDB oracle where the operator is SQL-expressible.
@@ -144,6 +144,7 @@ object SparkEntry {
     "s2_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "s3_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "s4_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
+    "s5_ann_recall" -> ((s, dir) => Similarity.ivfRecall(emb(s, dir))),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -156,6 +157,12 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       EvalMetrics.perturbedEval(s, Corpus.goldenPath(dir))
     }),
+    "e2_eval_links" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      EvalMetrics.perturbedLinkEval(s, Corpus.goldenPath(dir))
+    }),
+    // --- prep-funnel composition (lang gate -> quality gate -> dedup) ---
+    "p1_prep_funnel" -> ((s, dir) => Prep.funnel(docs(s, dir))),
     // --- sources: schema'd JSON fixture ingest + catalog table scan ---
     "a1_json_scan" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -234,6 +241,9 @@ object SparkEntry {
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),
     "s4_lsh_buckets" -> Similarity.lshBucketsSql("embeddings"),
+    "s5_ann_recall" -> Similarity.ivfRecallSql("embeddings"),
+    "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
+    "p1_prep_funnel" -> Prep.funnelSql("documents"),
     "m1_media_meta" -> Media.extractMetaSql(M),
     "m2_media_hist" -> Media.byteHistogramSql(M),
     "m3_frame_sample" -> Media.frameSampleSql(M),

@@ -71,6 +71,69 @@ object EvalMetrics {
       .drop(s"${g}P", s"${g}R")
   }
 
+  /** Linking-granularity eval (SURVEY.md §2 E6 multimap flatten + E1): the
+    * entHead multimap flattens to "head:tail" pair strings, groupHead pairs
+    * likewise; same perturbation and membership counting as the KV eval.
+    */
+  def perturbedLinkEval(spark: SparkSession, goldenPath: String): DataFrame = {
+    import spark.implicits._
+    val eh = flatten(transform(col("entHead"),
+      x => transform(x.getField("tails"),
+        t => concat(x.getField("head").cast("string"), lit(":"), t.cast("string")))))
+    val gh = transform(col("groupHead"),
+      p => concat(p.getField("head").cast("string"), lit(":"), p.getField("tail").cast("string")))
+    val g = spark.read.parquet(goldenPath)
+      .select(col("url"), eh.as("geh"), gh.as("ggh"))
+      .select(col("url"), col("geh"), col("ggh"),
+        perturb(col("geh")).as("peh"), perturb(col("ggh")).as("pgh"))
+    val counts = g
+      .as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .map { case (url, geh, ggh, peh, pgh) =>
+        val e = PairMetrics.membershipCounts(peh, geh)
+        val r = PairMetrics.membershipCounts(pgh, ggh)
+        EvalCounts(url, e.pred, e.gt, e.correct, r.pred, r.gt, r.correct)
+      }
+    val agged = counts.dropDuplicates("url").agg(
+      count(lit(1)).as("nDocs"),
+      sum("kvPred").as("ehPred"), sum("kvGt").as("ehGt"), sum("kvCorrect").as("ehCorrect"),
+      sum("lnPred").as("ghPred"), sum("lnGt").as("ghGt"), sum("lnCorrect").as("ghCorrect"))
+    withPrf(withPrf(agged, "eh"), "gh")
+  }
+
+  def perturbedLinkEvalSql(goldenGlob: String): String = {
+    def perturbSql(items: String): String = {
+      val m = sqlH32("url || '|' || x") + " % 10"
+      s"flatten(list_transform($items, x -> CASE WHEN $m < 8 THEN [x] WHEN $m = 8 THEN [x,x] ELSE [] END))"
+    }
+    def prf(g: String): String = {
+      val p = s"CASE WHEN ${g}Pred > 0 THEN CAST(${g}Correct AS DOUBLE)/CAST(${g}Pred AS DOUBLE) ELSE 0.0 END"
+      val r = s"CASE WHEN ${g}Gt > 0 THEN CAST(${g}Correct AS DOUBLE)/CAST(${g}Gt AS DOUBLE) ELSE 0.0 END"
+      s"""${sqlMicro(p)} AS ${g}PMicro, ${sqlMicro(r)} AS ${g}RMicro,
+         |  ${sqlMicro(s"CASE WHEN ($p) + ($r) > 0 THEN 2.0*($p)*($r)/(($p) + ($r)) ELSE 0.0 END")} AS ${g}F1Micro""".stripMargin
+    }
+    s"""WITH g AS (SELECT url,
+       |    flatten(list_transform(entHead, x -> list_transform(x.tails, t -> x.head || ':' || t))) AS geh,
+       |    list_transform(groupHead, p -> p.head || ':' || p.tail) AS ggh
+       |  FROM read_parquet('$goldenGlob')),
+       |p AS (SELECT url, geh, ggh, ${perturbSql("geh")} AS peh, ${perturbSql("ggh")} AS pgh FROM g),
+       |c AS (SELECT url,
+       |    CAST(len(peh) AS BIGINT) AS ehPred, CAST(len(geh) AS BIGINT) AS ehGt,
+       |    CAST(len(list_filter(peh, x -> list_contains(geh, x))) AS BIGINT) AS ehCorrect,
+       |    CAST(len(pgh) AS BIGINT) AS ghPred, CAST(len(ggh) AS BIGINT) AS ghGt,
+       |    CAST(len(list_filter(pgh, x -> list_contains(ggh, x))) AS BIGINT) AS ghCorrect
+       |  FROM p),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS nDocs,
+       |    CAST(sum(ehPred) AS BIGINT) AS ehPred, CAST(sum(ehGt) AS BIGINT) AS ehGt,
+       |    CAST(sum(ehCorrect) AS BIGINT) AS ehCorrect,
+       |    CAST(sum(ghPred) AS BIGINT) AS ghPred, CAST(sum(ghGt) AS BIGINT) AS ghGt,
+       |    CAST(sum(ghCorrect) AS BIGINT) AS ghCorrect
+       |  FROM c)
+       |SELECT nDocs, ehPred, ehGt, ehCorrect, ghPred, ghGt, ghCorrect,
+       |  ${prf("eh")},
+       |  ${prf("gh")}
+       |FROM a""".stripMargin
+  }
+
   def perturbedEvalSql(goldenGlob: String): String = {
     def perturbSql(items: String): String = {
       val m = sqlH32("url || '|' || x") + " % 10"

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import ColFns._
+
+/** End-to-end training-data prep composition: the realistic chain a corpus
+  * run applies per shard — language gate -> quality gate -> exact dedup ->
+  * survivors + audit counts. One narrow pass plus the dedup window; every
+  * stage reuses the oracle-checked operator columns, so the composition is
+  * itself oracle-checkable.
+  */
+object Prep {
+
+  /** Per-language audit of the prep funnel: total docs, language-gate pass,
+    * quality-gate pass, exact-dup drops among quality-passers, survivors,
+    * and surviving token mass.
+    */
+  def funnel(docs: DataFrame, lang: String = "en", minScoreMicro: Long = 250000L): DataFrame = {
+    val l = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("n_words"), col("score_micro"))
+    val d = Dedup.exact(docs).select(col("doc_id"), col("canonical"))
+    val joined = docs.select(col("doc_id"), col("lang"))
+      .join(l, "doc_id").join(q, "doc_id").join(d, "doc_id")
+      .withColumn("lang_ok", (col("lang_pred") === lang).cast("int"))
+      .withColumn("qual_ok", (col("lang_pred") === lang && col("score_micro") >= minScoreMicro).cast("int"))
+      .withColumn("survivor",
+        (col("lang_pred") === lang && col("score_micro") >= minScoreMicro &&
+          col("canonical") === col("doc_id")).cast("int"))
+    joined.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lang_ok")).cast("long").as("n_lang_ok"),
+        sum(col("qual_ok")).cast("long").as("n_qual_ok"),
+        sum(col("survivor")).cast("long").as("n_survivors"),
+        sum(col("survivor") * col("n_words")).cast("long").as("survivor_words"))
+      .orderBy("lang")
+  }
+
+  def funnelSql(table: String, lang: String = "en", minScoreMicro: Long = 250000L): String = {
+    val w = sqlWords("text")
+    val stop = TextAnalysis.StopwordProfiles.head._2.map(s => s"'$s'").mkString("[", ",", "]")
+    val langCase = {
+      val hitExpr = TextAnalysis.StopwordProfiles.map { case (l, sw) =>
+        val lst = sw.map(s => s"'$s'").mkString("[", ",", "]")
+        l -> s"len(list_filter($w, x -> list_contains($lst, x)))"
+      }
+      val langs = hitExpr.map(_._1)
+      hitExpr.zipWithIndex.map { case ((l, _), i) =>
+        val conds = (s"h_$l > 0" +: langs.drop(i + 1).map(l2 => s"h_$l >= h_$l2")).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+    }
+    val hitsDefs = TextAnalysis.StopwordProfiles.map { case (l, sw) =>
+      val lst = sw.map(s => s"'$s'").mkString("[", ",", "]")
+      s"len(list_filter($w, x -> list_contains($lst, x))) AS h_$l"
+    }.mkString(", ")
+    val score = "CASE WHEN n_words > 0 THEN " + sqlMicro(
+      "0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)") + " ELSE 0 END"
+    s"""WITH base AS (SELECT doc_id, lang, text,
+       |    CAST(len($w) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter($w, x -> list_contains($stop, x))) AS BIGINT) AS stop_hits,
+       |    CAST(len(list_filter($w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha_words,
+       |    $hitsDefs,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+       |  FROM $table),
+       |flags AS (SELECT lang, n_words,
+       |    ($langCase) = '$lang' AS lang_ok,
+       |    ($score) >= $minScoreMicro AS qual_ok,
+       |    canonical = doc_id AS uniq
+       |  FROM base)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_ok,
+       |  CAST(sum(CASE WHEN lang_ok AND qual_ok AND uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |  CAST(sum(CASE WHEN lang_ok AND qual_ok AND uniq THEN n_words ELSE 0 END) AS BIGINT) AS survivor_words
+       |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
+  }
+}

@@ -123,6 +123,45 @@ object Similarity {
        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, ${sqlMicro("cos")} AS cos_micro
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Recall@k of the IVF cell-pruned search against the brute-force ground
+    * truth — the measurement a pipeline needs before trusting an ANN index.
+    * One row per query: |ivf_topk intersect brute_topk| / k in micro units.
+    */
+  def ivfRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val brute = bruteForceTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
+    val ivf = ivfTopK(emb, nQueries, k).select(col("q_id").as("iq"), col("n_id").as("in_id"))
+    val hits = brute
+      .join(ivf, col("q_id") === col("iq") && col("n_id") === col("in_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        micro(coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall_micro"))
+      .orderBy("q_id")
+  }
+
+  def ivfRecallSql(table: String, nQueries: Int = 8, k: Int = 3): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |    FROM $table WHERE vec_id < $nQueries),
+       |bs AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "e.embedding", Dim)} AS cos
+       |  FROM $table e CROSS JOIN q),
+       |br AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM bs)
+       |  WHERE rank <= $k),
+       |is0 AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "e.embedding", Dim)} AS cos
+       |  FROM $table e JOIN q ON e.label = q.q_label),
+       |iv AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM is0)
+       |  WHERE rank <= $k),
+       |h AS (SELECT br.q_id, count(*) AS hits FROM br
+       |  WHERE EXISTS (SELECT 1 FROM iv WHERE iv.q_id = br.q_id AND iv.n_id = br.n_id)
+       |  GROUP BY br.q_id)
+       |SELECT qq.q_id AS q_id, ${sqlMicro(s"CAST(coalesce(h.hits, 0) AS DOUBLE) / $k.0")} AS recall_micro
+       |FROM (SELECT DISTINCT q_id FROM br) qq LEFT JOIN h ON qq.q_id = h.q_id
+       |ORDER BY qq.q_id""".stripMargin
+
   /** Random-hyperplane LSH bucket assignment: 8 sign bits -> bucket id.
     * Pure narrow projection (the scale path: bucket-join for candidates).
     */
