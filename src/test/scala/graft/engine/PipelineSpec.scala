@@ -79,6 +79,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.count() + half.count() == pages.count())
   }
 
+  test("golden corpus digest is frozen (catches silent engine+oracle co-drift)") {
+    ensured()
+    // md5 over (url  text  nKv) rows joined by  in url order,
+    // computed through the ENGINE (not the oracle). Pinned 2026-08-16 for
+    // corpus v1 @ sf0.001; a change here means extraction semantics moved
+    // even if engine and oracle still agree with each other.
+    import spark.implicits._
+    val digest = Pipeline.extract(spark.read.parquet(Corpus.pagesPath(sfDir)))
+      .toDF().select(col("url"), col("text"), col("nKv").cast("long"))
+      .orderBy("url")
+      .as[(String, String, Long)]
+      .collect()
+      .map { case (u, t, k) => s"$u\u0001$t\u0001$k" }
+      .mkString("\u0002")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(digest.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(md == "67c7d73b47cb609337f3a8552ded7f86")
+  }
+
   test("salting spreads a hot host across partitions, small hosts stay co-located") {
     ensured()
     import spark.implicits._
