@@ -17,11 +17,18 @@ object Prep {
     * and surviving token mass.
     */
   def funnel(docs: DataFrame, lang: String = "en", minScoreMicro: Long = 250000L): DataFrame = {
-    val l = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
-    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("n_words"), col("score_micro"))
-    val d = Dedup.exact(docs).select(col("doc_id"), col("canonical"))
-    val joined = docs.select(col("doc_id"), col("lang"))
-      .join(l, "doc_id").join(q, "doc_id").join(d, "doc_id")
+    import org.apache.spark.sql.expressions.Window
+    // Single pass: all gate expressions are computed in one projection and
+    // the dedup canonical rides one window over md5(text) — no self-joins.
+    // At 10^12 docs this is exactly one shuffle (the window) plus the final
+    // tiny partial+final aggregate, instead of four shuffles of joins.
+    val w = words(col("text"))
+    val joined = docs
+      .select(col("doc_id"), col("lang"),
+        size(w).cast("long").as("n_words"),
+        TextAnalysis.langPredExpr(w).as("lang_pred"),
+        TextAnalysis.qualityScoreMicroExpr(w).as("score_micro"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("canonical"))
       .withColumn("lang_ok", (col("lang_pred") === lang).cast("int"))
       .withColumn("qual_ok", (col("lang_pred") === lang && col("score_micro") >= minScoreMicro).cast("int"))
       .withColumn("survivor",

@@ -26,23 +26,28 @@ object TextAnalysis {
   private def hits(w: Column, stop: Seq[String]): Column =
     size(filter(w, x => x.isin(stop.map(s => s: Any): _*)))
 
-  /** Language-ID: stopword-hit counts per profile, argmax with fixed
-    * priority tie-break, "und" when no profile hits.
-    */
-  def langId(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+  /** Stopword-argmax language prediction as a reusable column expression. */
+  def langPredExpr(w: Column): Column = {
     val hitCols = StopwordProfiles.map { case (l, sw) => l -> hits(w, sw) }
-    val pred = hitCols.zipWithIndex.foldRight(lit("und")) {
+    hitCols.zipWithIndex.foldRight(lit("und")) {
       case (((l, h), i), els) =>
         val geRest = hitCols.drop(i + 1)
           .map { case (_, h2) => h >= h2 }
           .foldLeft(h > 0)(_ && _)
         when(geRest, lit(l)).otherwise(els)
     }
+  }
+
+  /** Language-ID: stopword-hit counts per profile, argmax with fixed
+    * priority tie-break, "und" when no profile hits.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val hitCols = StopwordProfiles.map { case (l, sw) => l -> hits(w, sw) }
     docs.select(
       (col("doc_id") +:
         hitCols.map { case (l, h) => h.as(s"hits_$l") } :+
-        pred.as("lang_pred")): _*)
+        langPredExpr(w).as("lang_pred")): _*)
       .orderBy("doc_id")
   }
 
@@ -63,6 +68,18 @@ object TextAnalysis {
        |  CASE $cases ELSE 'und' END AS lang_pred
        |FROM (SELECT doc_id, ${hitCols.mkString(", ")} FROM $table)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Composite quality score in exact micro units, reusable expression. */
+  def qualityScoreMicroExpr(w: Column): Column = {
+    val nWords = size(w).cast("long")
+    val stopHits = hits(w, StopwordProfiles.head._2).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("^[a-z]+$"))).cast("long")
+    val nw = nWords.cast("double")
+    val score = (lit(0.4) * (stopHits.cast("double") / nw)
+      + lit(0.3) * (alphaWords.cast("double") / nw)
+      + lit(0.3) * least(lit(1.0), nw / lit(200.0)))
+    when(nWords > 0, micro(score)).otherwise(lit(0L))
   }
 
   /** Quality scoring: word count, summed word length, stopword hits,
