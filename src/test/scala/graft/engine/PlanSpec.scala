@@ -95,6 +95,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"extract stage must be map-only:\n$p")
   }
 
+  test("p1 funnel plan has no joins: one window shuffle + aggregate") {
+    val p = plan("p1_prep_funnel")
+    assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
+    // count physical nodes via the formatted detail headers "(n) Exchange"
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"window + agg + output sort only, got $exchanges:\n$p")
+  }
+
+  test("driver entry smoke: flagship query returns rows") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
   test("d3 simhash aggregates have a map-side partial phase") {
     val p = plan("d3_simhash")
     assert(p.contains("HashAggregate"), p)
