@@ -139,6 +139,7 @@ object SparkEntry {
     "d2_minhash_lsh" -> ((s, dir) => Dedup.lshCandidatePairs(docs(s, dir))),
     "d3_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // --- embedding similarity / ANN ---
     "s1_cos_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(emb(s, dir))),
     "s2_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -237,6 +238,7 @@ object SparkEntry {
     "d2_minhash_lsh" -> Dedup.lshCandidatePairsSql("documents"),
     "d3_simhash" -> Dedup.simhashSql("documents"),
     "d4_jaccard" -> Dedup.jaccardPairsSql("documents"),
+    "d5_simhash_pairs" -> Dedup.simhashPairsSql("documents"),
     "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings"),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),

@@ -132,6 +132,46 @@ object Dedup {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit
+    * bands (pigeonhole: any pair within hamming distance 3 shares at least
+    * one exact band), bucket-join on the band, verify with
+    * bit_count(xor) <= maxHamming. The standard scalable simhash join —
+    * candidates are linear in near-dup mass, never all-pairs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          concat(lit(s"$b:"), shiftright(col("simhash"), 8 * b)
+            .bitwiseAND(lit(255L)).cast("string"))): _*)).as("bkey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhashPairsSql(table: String, maxHamming: Int = 2): String = {
+    val sums = (0 until 32)
+      .map(b => s"sum(((h >> $b) & 1)*2 - 1) AS s$b").mkString(", ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM $table),
+       |h AS (SELECT doc_id, ${sqlH32("word")} AS h FROM w),
+       |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s),
+       |bands AS (SELECT doc_id, simhash, b || ':' || ((simhash >> (8*b)) & 255) AS bkey
+       |  FROM sig, generate_series(0,3) AS t(b))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Exact n-gram Jaccard over candidate pairs from a rare-shingle inverted
     * index (df <= dfMax prunes stop-shingles -> no quadratic hot buckets).
     */

@@ -96,6 +96,13 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L) != out(3L))
   }
 
+  test("simhash pairs: identical docs pair at hamming 0; banding finds them") {
+    val rows = Dedup.simhashPairs(dupDocs).collect()
+    val m = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(m.get((0L, 1L)).contains(0), "exact duplicates must pair at hamming 0")
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
   test("ngram jaccard: identical docs score exactly 1.0 (1e6 micro)") {
     val rows = Dedup.jaccardPairs(dupDocs, thresh = 0.2).collect()
     val m = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jac_micro")).toMap
