@@ -77,6 +77,35 @@ object HtmlParser {
     sb.toString
   }
 
+  /** Common tag names interned by (length, first char): the hot path emits
+    * the shared constant instead of substring+toLowerCase per element.
+    */
+  private val CommonTags: Map[(Int, Char), Array[String]] = Array(
+    "a", "p", "b", "i", "u", "br", "dd", "dt", "dl", "em", "h1", "h2", "h3",
+    "h4", "h5", "h6", "hr", "li", "ol", "td", "th", "tr", "ul", "div", "img",
+    "nav", "pre", "body", "form", "head", "html", "main", "span", "aside",
+    "input", "label", "style", "table", "tbody", "thead", "title", "footer",
+    "header", "output", "script", "strong", "article", "section"
+  ).groupBy(t => (t.length, t.charAt(0)))
+
+  /** Lowercased tag name for html[start, end), interning common tags. */
+  private def tagNameOf(html: String, start: Int, end: Int): String = {
+    val len = end - start
+    if (len > 0) {
+      val c0 = Character.toLowerCase(html.charAt(start))
+      CommonTags.get((len, c0)) match {
+        case Some(cands) =>
+          var ci = 0
+          while (ci < cands.length) {
+            if (html.regionMatches(true, start, cands(ci), 0, len)) return cands(ci)
+            ci += 1
+          }
+        case None => ()
+      }
+    }
+    html.substring(start, end).toLowerCase
+  }
+
   private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
     var i = math.max(0, from)
     val max = s.length - target.length
@@ -128,7 +157,7 @@ object HtmlParser {
           // open tag
           var j = lt + 1
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
-          val name = html.substring(lt + 1, j).toLowerCase
+          val name = tagNameOf(html, lt + 1, j)
           if (name.isEmpty) { flushText("<"); i = lt + 1 }
           else {
             // attributes until '>' — accumulated as a small immutable Map
