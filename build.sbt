@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process output passes through RAW (no "[info] " prefix): the driver
+// parses Bench's single JSON stdout line, and sbt's log prefix broke that
+// in round 1 (BENCH_r01.json "parsed": null). Project-level so it applies to
+// `run` and `runMain` alike.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

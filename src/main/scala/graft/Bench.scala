@@ -80,18 +80,32 @@ object Bench {
       * 4N-executor cluster does not have (each executor brings its own
       * memory bus and disk) — so 8 -> 32 is reported as informational.
       */
-    def mapThroughput(p: Int, mult: Long, runs: Int): (Double, Double) = {
+    /** One timed extraction run in its OWN session (created+stopped outside
+      * the timed region). Isolating each measurement in a fresh session and
+      * alternating parallelism levels (1,4,1,4,…) removes the drift that made
+      * round 1's local[1] leg anomalously slow (2.9k docs/s vs the ~7-9k
+      * steady-state measured in isolation): all runs still share one JVM so
+      * JIT/page-cache stay hot, but no level inherits another's heap shape.
+      */
+    def oneRun(p: Int, mult: Long): Double = {
       val s = session(p, maxPartitionBytes = "1m")
-      def timedJob(): Double = time {
+      Pipeline.extract(s.read.parquet(pagesPath).limit(2000)).foreach(_ => ())
+      System.gc()
+      val sec = time {
         val input = (1L to mult).map(_ => s.read.parquet(pagesPath)).reduce(_ union _)
         Pipeline.extract(input).foreach(_ => ())
       }._2
-      // in-session warmup (JIT + page cache), then best-of-N with a clean
-      // heap before each timed run — all levels share one JVM, so residual
-      // tenured garbage from an earlier level must not bias a later one
-      Pipeline.extract(s.read.parquet(pagesPath).limit(2000)).foreach(_ => ())
-      val sec = (1 to runs).map { _ => System.gc(); timedJob() }.min
       s.stop()
+      sec
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    def mapThroughput(p: Int, mult: Long, runs: Int): (Double, Double) = {
+      val sec = median((1 to runs).map(_ => oneRun(p, mult)))
       (sec, baseDocs * mult / sec)
     }
 
@@ -109,11 +123,20 @@ object Bench {
       (sec, baseDocs * multEff / sec)
     }
 
-    val (sec1, thr1) = mapThroughput(1, multEff, runs = 3)
-    val (sec4, thr4) = mapThroughput(4, multEff, runs = 3)
+    // N -> 4N pair: ALTERNATE levels (1,4,1,4,...) and take the median of 5,
+    // so a monotonic drift (heap growth, thermal) biases both levels equally
+    // instead of penalizing whichever ran first (round 1's 1.75 artifact).
+    val effRuns = 5
+    val pairTimes = (1 to effRuns).flatMap { _ =>
+      Seq(1 -> oneRun(1, multEff), 4 -> oneRun(4, multEff))
+    }
+    val sec1 = median(pairTimes.collect { case (1, s) => s })
+    val sec4 = median(pairTimes.collect { case (4, s) => s })
+    val thr1 = baseDocs * multEff / sec1
+    val thr4 = baseDocs * multEff / sec4
     val efficiency = (thr4 / thr1) / 4.0
-    val (sec8, thr8) = mapThroughput(8, multPeak, runs = 2)
-    val (sec32, thr32) = mapThroughput(32, multPeak, runs = 2)
+    val (sec8, thr8) = mapThroughput(8, multPeak, runs = 3)
+    val (sec32, thr32) = mapThroughput(32, multPeak, runs = 3)
     val efficiency8to32 = (thr32 / thr8) / 4.0
     val (full8Sec, full8Thr) = fullThroughput(8)
     val (full32Sec, full32Thr) = fullThroughput(32)
@@ -121,14 +144,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // bench_schema 2 (ADVICE r1): the scaling pair is named explicitly in its
+    // key — scaling_efficiency_1_4 is the N->4N gate evidence (median-of-5,
+    // alternating levels), scaling_efficiency_8_32 stays informational
+    // (single-box DRAM-bus artifact). full_run keys carry their doc counts.
     val extraction =
-      s"""{"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":$sec1,"sec4":$sec4,"sec8":$sec8,"sec32":$sec32,""" +
+      s"""{"bench_schema":2,"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":$sec1,"sec4":$sec4,"sec8":$sec8,"sec32":$sec32,""" +
         s""""docs_per_sec_1":$thr1,"docs_per_sec_4":$thr4,"docs_per_sec_8":$thr8,"docs_per_sec_32":$thr32,""" +
-        s""""scaling_efficiency":$efficiency,"scaling_pair":"local[1]->local[4]",""" +
+        s""""scaling_efficiency_1_4":$efficiency,"scaling_pair":"local[1]->local[4]",""" +
+        s""""scaling_efficiency":$efficiency,""" +
         s""""scaling_efficiency_8_32":$efficiency8to32,""" +
+        s""""full_run_docs":${baseDocs * multEff},""" +
         s""""full_run_sec8":$full8Sec,"full_run_sec":$full32Sec,""" +
         s""""full_docs_per_sec_8":$full8Thr,"full_docs_per_sec":$full32Thr}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
+    // Primary channel: raw stdout (build.sbt sets run/outputStrategy :=
+    // StdoutOutput so sbt does not prefix this line). Recovery channel: a
+    // file in the repo root, in case a future harness change re-wraps stdout.
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
   }
 }

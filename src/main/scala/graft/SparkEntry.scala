@@ -35,10 +35,10 @@ object SparkEntry {
       .orderBy(col("url"))
 
   // oracle-side paths for the driver's correctness sf (0.01)
-  private val G = "/root/repo/target/corpus/v1/sf0.01/golden.parquet/*.parquet"
-  private val S = "/root/repo/target/corpus/v1/sf0.01/spots.parquet/*.parquet"
-  private val M = "/root/repo/target/corpus/v1/sf0.01/media.parquet/*.parquet"
-  private val J = "/root/repo/target/corpus/v1/sf0.01/spots.json/*.json"
+  private val G = s"${Corpus.goldenPath("sf0.01")}/*.parquet"
+  private val S = s"${Corpus.spotsPath("sf0.01")}/*.parquet"
+  private val M = s"${Corpus.mediaPath("sf0.01")}/*.parquet"
+  private val J = s"${Corpus.spotsJsonPath("sf0.01")}/*.json"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

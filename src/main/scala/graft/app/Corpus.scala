@@ -13,7 +13,10 @@ import graft.synth.{CorpusGen, PageRow}
   */
 object Corpus {
 
-  final val Version = "v1"
+  // v2: annotation lines may carry 8-value corner quads (derived outputs
+  // identical to v1; bumped so cached goldens regenerate through the
+  // boxTwoPointConvert quad path).
+  final val Version = "v2"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

@@ -95,9 +95,26 @@ object CorpusGen {
     var entityId = 0
     var lineId = 0
 
+    // ~10% of lines carry their box as an 8-value corner quad (the SIBR
+    // schema's alternate form, /root/reference/data/data_utils.py:7-28);
+    // DocBuilder's boxTwoPointConvert collapses it back to the identical
+    // 4-value box, so goldens are unchanged while the quad path is exercised
+    // end-to-end. Corner order is rotated per-line to cover all phases.
+    // Separate rng: quad decisions must not shift the main content stream.
+    val quadRng = new java.util.Random(mix(seed ^ 0x71AD5EEDL, docIdx))
+    def maybeQuad(b: Vector[Int]): Vector[Int] =
+      if (quadRng.nextDouble() >= 0.10) b
+      else {
+        val corners = Vector(
+          Vector(b(0), b(1)), Vector(b(2), b(1)),
+          Vector(b(2), b(3)), Vector(b(0), b(3)))
+        val rot = quadRng.nextInt(4)
+        (0 until 4).flatMap(k => corners((k + rot) % 4)).toVector
+      }
+
     def newLines(texts: Seq[String], boxes: Seq[Vector[Int]]): Vector[AnnLine] = {
       val lines = texts.zip(boxes).map { case (t, b) =>
-        val l = AnnLine(lineId, t, b); lineId += 1; l
+        val l = AnnLine(lineId, t, maybeQuad(b)); lineId += 1; l
       }.toVector
       lines.indices.drop(1).foreach { i =>
         grouping += AnnRelation(lines(i - 1).id, lines(i).id)
@@ -185,8 +202,10 @@ object CorpusGen {
 
   // ---- HTML rendering (annotation -> page) ----
 
-  private def styleOf(b: Vector[Int]): String =
+  private def styleOf(raw: Vector[Int]): String = {
+    val b = graft.core.Boxes.boxTwoPointConvert(raw) // 8-value quads -> ltrb
     s"position:absolute;left:${b(0)}px;top:${b(1)}px;width:${b(2) - b(0)}px;height:${b(3) - b(1)}px"
+  }
 
   private def blockHtml(tag: String, line: AnnLine, extra: String = ""): String =
     s"""<$tag$extra style="${styleOf(line.bbox)}">${escape(line.text)}</$tag>"""

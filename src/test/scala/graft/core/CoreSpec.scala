@@ -156,6 +156,22 @@ class DecodeSpec extends AnyFunSuite {
   }
 }
 
+class QuadCorpusSpec extends AnyFunSuite {
+  test("synth corpus emits 8-value quad boxes and build() collapses them to the 4-value result") {
+    var quads = 0
+    (0L until 40L).foreach { i =>
+      val ann = graft.synth.CorpusGen.annFor(i).ann
+      val annLines = ann.entities.flatMap(_.lines)
+      quads += annLines.count(_.bbox.length == 8)
+      // converting every box up front must give the identical DocSample
+      val converted = ann.copy(entities = ann.entities.map(e =>
+        e.copy(lines = e.lines.map(l => l.copy(bbox = Boxes.boxTwoPointConvert(l.bbox))))))
+      assert(DocBuilder.build(ann) == DocBuilder.build(converted), s"doc $i")
+    }
+    assert(quads > 20, s"corpus must exercise the 8-coord path (got $quads quad lines)")
+  }
+}
+
 class PairMetricsSpec extends AnyFunSuite {
   import PairMetrics._
 

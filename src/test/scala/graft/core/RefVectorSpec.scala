@@ -41,11 +41,62 @@ class RefVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("box_two_point_convert matches reference (4-value and 8-coord quad)") {
+    root.get("box_two_point_convert").elements.asScala.foreach { c =>
+      val box = intSeq(c.get("box"))
+      assert(Boxes.boxTwoPointConvert(box) == intSeq(c.get("out")), s"box=$box")
+    }
+  }
+
   test("merge_bbox matches reference") {
     root.get("merge_bbox").elements.asScala.foreach { c =>
       val boxes = c.get("boxes").elements.asScala.map(intSeq).toVector
       assert(Boxes.mergeBbox(boxes) == intSeq(c.get("out")))
     }
+  }
+
+  test("sample_decode_peneo full chain matches executed reference") {
+    def spots(n: JsonNode): Vector[Spot] =
+      n.elements.asScala.map { s =>
+        val v = s.elements.asScala.toVector
+        Spot(v(0).asInt, v(1).asInt, v(2).asInt, v(3).asDouble)
+      }.toVector
+    def pairs(n: JsonNode): Vector[(Int, Int)] =
+      n.elements.asScala.map(e => (e.get(0).asInt, e.get(1).asInt)).toVector
+    def multi(n: JsonNode): Vector[(Int, Vector[Int])] =
+      n.elements.asScala.map(e => (e.get(0).asInt, intSeq(e.get(1)))).toVector
+
+    var nKv = 0
+    root.get("sample_decode").elements.asScala.zipWithIndex.foreach { case (c, ci) =>
+      val text = c.get("text").elements.asScala.map(_.asText).toVector
+      val bbox = c.get("bbox").elements.asScala.map(intSeq).toVector
+      val got = Decode.decode(
+        text = text,
+        lineExtractionSpots = spots(c.get("le")),
+        entHeadSpots = spots(c.get("eh")),
+        entTailSpots = spots(c.get("et")),
+        groupHeadSpots = spots(c.get("gh")),
+        groupTailSpots = spots(c.get("gtl")),
+        bbox = bbox,
+        decodeGt = c.get("gt").asBoolean,
+        scoreThresh = c.get("thresh").asDouble
+      )
+      val expKv = c.get("kv").elements.asScala.map { e =>
+        KvPair(e.get(0).asText, e.get(1).asText, intSeq(e.get(2)), intSeq(e.get(3)))
+      }.toVector
+      val expLines = c.get("lines").elements.asScala.map { e =>
+        DecodedLine(e.get(0).asText, intSeq(e.get(1)))
+      }.toVector
+      assert(got.kvPairs == expKv, s"case $ci kv")
+      assert(got.lines == expLines, s"case $ci lines")
+      assert(got.lineExtraction == pairs(c.get("le_map")), s"case $ci le_map")
+      assert(got.entHead == multi(c.get("eh_map")), s"case $ci eh_map")
+      assert(got.entTail == multi(c.get("et_map")), s"case $ci et_map")
+      assert(got.groupHead == pairs(c.get("gh_map")), s"case $ci gh_map")
+      assert(got.groupTail == pairs(c.get("gt_map")), s"case $ci gt_map")
+      nKv += expKv.size
+    }
+    assert(nKv >= 20, s"vectors must exercise kv emission (got $nKv pairs)")
   }
 
   test("parse_matrix_spots matches reference dict-order and tie semantics") {

@@ -19,8 +19,12 @@ class RoundTripSpec extends AnyFunSuite {
       val synth = CorpusGen.annFor(idx)
       val html = CorpusGen.render(synth, "en")
       val got = Lineizer.lineize(HtmlParser.parse(html), synth.ann.uid)
+      // CSS styles carry only the 4-value ltrb form, so the lineized result
+      // is compared against the quad-converted canonical annotation
+      val canonEntities = synth.ann.entities.map(e =>
+        e.copy(lines = e.lines.map(l => l.copy(bbox = Boxes.boxTwoPointConvert(l.bbox)))))
       assert(got.width == synth.ann.width && got.height == synth.ann.height, s"doc $idx dims")
-      assert(got.entities == synth.ann.entities, s"doc $idx entities")
+      assert(got.entities == canonEntities, s"doc $idx entities")
       assert(got.lineGrouping == synth.ann.lineGrouping, s"doc $idx grouping")
       // kv order may differ by idiom scan order; compare as sets
       assert(got.kvEntity.toSet == synth.ann.kvEntity.toSet, s"doc $idx kv")

@@ -52,6 +52,19 @@ for _ in range(30):
                "out": normalize_bbox([x0, y0, x1, y1], (w, h))})
 out["normalize_bbox"] = nb
 
+# --- box_two_point_convert: 4-value passthrough + 8-value quad path ---
+btc = []
+for _ in range(12):
+    b4 = [rng.randint(-50, 900) for _ in range(4)]
+    btc.append({"box": b4, "out": box_two_point_convert(b4)})
+for _ in range(20):
+    # quads: rotated/skewed, duplicate coords, negatives
+    b8 = [rng.choice([rng.randint(-100, 1500), rng.randint(0, 10)]) for _ in range(8)]
+    if rng.random() < 0.3:
+        b8[2], b8[4] = b8[0], b8[6]  # duplicated x coords (set-dedup path)
+    btc.append({"box": b8, "out": box_two_point_convert(b8)})
+out["box_two_point_convert"] = btc
+
 # --- merge_bbox ---
 mb = []
 for _ in range(10):
@@ -81,6 +94,203 @@ for trial in range(60):
 pm.append(spots_case([[0,3,1,1.0],[0,5,1,1.0],[1,3,1,1.0],[2,5,2,1.0]], True, True))
 pm.append(spots_case([[0,3,1,1.0],[0,5,1,1.0],[1,3,1,1.0],[2,5,2,1.0]], False, True))
 out["parse_matrix_spots"] = pm
+
+# --- sample_decode_peneo: execute the FULL reference decode chain ---
+# (decode.py:72-378). Extract the function source and exec it with:
+#   * torch stripped (only referenced in annotations -> dummy namespace),
+#   * the real merge_bbox from data_utils,
+#   * a pass-through tagger whose get_spots_from_shaking_tag returns the
+#     given spot list verbatim (the shaking<->spots round trip is pinned
+#     separately by the parse_matrix_spots + canonicalize vectors; these
+#     vectors pin the chain walk / validation / strip / box-merge logic).
+import types
+m2 = re.search(r"def sample_decode_peneo.*", src, re.S)
+ns2 = {
+    "Dict": dict, "List": list, "Tuple": tuple,
+    "torch": types.SimpleNamespace(Tensor=object),
+    "HandshakingTaggingScheme": object,
+    "merge_bbox": merge_bbox,
+    "parse_matrix_spots": parse_matrix_spots,
+}
+exec(compile(m2.group(0), "sample_decode_peneo", "exec"), ns2)
+sample_decode_peneo = ns2["sample_decode_peneo"]
+
+class SpotTagger:
+    @staticmethod
+    def get_spots_from_shaking_tag(shaking_tag, shaking_ind2matrix_ind=None, seq_len=None):
+        return [tuple(s) for s in shaking_tag]
+
+class BoxList(list):
+    def tolist(self):
+        return [list(b) for b in self]
+
+def run_decode(case):
+    r = sample_decode_peneo(
+        handshaking_tagger=SpotTagger,
+        text=case["text"],
+        line_extraction_shaking=case["le"],
+        ent_linking_h2h_shaking=case["eh"],
+        ent_linking_t2t_shaking=case["et"],
+        line_grouping_h2h_shaking=case["gh"],
+        line_grouping_t2t_shaking=case["gtl"],
+        bbox=BoxList(case["bbox"]),
+        shaking_ind2matrix_ind=[],  # unused by the pass-through tagger
+        decode_gt=case["gt"],
+        score_thresh=case["thresh"],
+    )
+    kv, lines, le_map, eh_map, et_map, gh_map, gt_map = r
+    case["kv"] = [[k, v, list(kb), list(vb)] for (k, v, kb, vb) in kv]
+    case["lines"] = [[t, list(b)] for (t, b) in lines]
+    case["le_map"] = [[k, v] for k, v in le_map.items()]
+    case["eh_map"] = [[k, list(v)] for k, v in eh_map.items()]
+    case["et_map"] = [[k, list(v)] for k, v in et_map.items()]
+    case["gh_map"] = [[k, v] for k, v in gh_map.items()]
+    case["gt_map"] = [[k, v] for k, v in gt_map.items()]
+    return case
+
+def pick_score():
+    return rng.choice([1.0, 1.0, 0.9, 0.7, 0.7, 0.5])  # deliberate ties
+
+def tri(a, b):  # upper-tri spot with tag-2 flip encoding for triu channels
+    s = pick_score()
+    return [a, b, 1, s] if a <= b else [b, a, 2, s]
+
+TOK_WS = [" ", "\t", "　", "\xa0", "  ", " "]
+TOK_ODD = ["", "ｘ！", "a b", "—", "…", '"q"', "\\n"]
+TOK_PLAIN = ["ab", "c", "Name:", "42", "x", "KEY", "val_", "zz", "Total", "¥12"]
+
+def rand_tokens(L):
+    toks = []
+    for _ in range(L):
+        r = rng.random()
+        if r < 0.12: toks.append(rng.choice(TOK_WS))
+        elif r < 0.22: toks.append(rng.choice(TOK_ODD))
+        else: toks.append(rng.choice(TOK_PLAIN))
+    return toks
+
+def rand_bbox(L):
+    out = []
+    for _ in range(L):
+        l = rng.randint(0, 900); t = rng.randint(0, 1300)
+        out.append([l, t, l + rng.randint(1, 200), t + rng.randint(1, 40)])
+    return out
+
+sd_cases = []
+for trial in range(56):
+    L = rng.randint(4, 40)
+    gt_mode = trial % 3 == 2
+    thresh = rng.choice([0.0, 0.0, 0.0, 0.6])
+    # partition tokens into candidate lines (contiguous spans)
+    spans = []
+    i = 0
+    while i < L:
+        j = min(L - 1, i + rng.randint(0, 4))
+        if rng.random() < 0.85:
+            spans.append((i, j))
+        i = j + 1
+    le = [[h, t, rng.choice([1, 1, 1, 2]), pick_score()] for (h, t) in spans]
+    for _ in range(rng.randint(0, 3)):  # noise spots incl. tag 0
+        a = rng.randint(0, L - 1); b = rng.randint(a, L - 1)
+        le.append([a, b, rng.choice([0, 1, 2]), pick_score()])
+    # line grouping: link consecutive spans into chains; sometimes drop the
+    # t2t confirmation (chain-break path), sometimes self-loop
+    gh, gtl = [], []
+    for k in range(len(spans) - 1):
+        if rng.random() < 0.6:
+            (h1, t1), (h2, t2) = spans[k], spans[k + 1]
+            gh.append(tri(h1, h2))
+            if rng.random() < 0.8:
+                gtl.append(tri(t1, t2))
+    if spans and rng.random() < 0.3:
+        h = rng.choice(spans)[0]
+        gh.append([h, h, 1, 1.0])  # self-loop guard path
+    # entity links between span heads; register ent-tails for a mix of
+    # first-line tails (validates chains of length 1) and random tails
+    eh, et = [], []
+    heads = [h for h, _ in spans]
+    tails = [t for _, t in spans]
+    for _ in range(rng.randint(0, 5)):
+        if len(heads) >= 2:
+            kh, vh = rng.sample(heads, 2)
+            eh.append(tri(kh, vh))
+    for _ in range(rng.randint(0, 6)):
+        if len(tails) >= 2:
+            a, b = rng.sample(tails, 2)
+            et.append(tri(a, b))
+    if rng.random() < 0.2 and L >= 2:  # head outside any line: skip path
+        eh.append(tri(0, L - 1))
+    sd_cases.append(run_decode({
+        "text": rand_tokens(L), "bbox": rand_bbox(L), "gt": gt_mode,
+        "thresh": thresh, "le": le, "eh": eh, "et": et, "gh": gh, "gtl": gtl,
+    }))
+
+# "clean" deterministic chains: every link confirmed, ent-tail registered on
+# the true chain tails, so the kv-emission + strip + box-merge path is
+# guaranteed exercised (random cases above may or may not validate)
+for trial in range(8):
+    nl = rng.randint(2, 6)       # lines per chain
+    ll = rng.randint(1, 3)       # tokens per line
+    nch = rng.randint(2, 4)      # chains
+    spans, gh, gtl, le = [], [], [], []
+    pos = 0
+    chains = []
+    for c in range(nch):
+        ch = []
+        for k in range(nl):
+            spans.append((pos, pos + ll - 1))
+            ch.append((pos, pos + ll - 1))
+            pos += ll
+        chains.append(ch)
+    L = pos
+    for (h, t) in spans:
+        le.append([h, t, 1, 1.0])
+    for ch in chains:
+        for k in range(len(ch) - 1):
+            gh.append(tri(ch[k][0], ch[k + 1][0]))
+            gtl.append(tri(ch[k][1], ch[k + 1][1]))
+    eh, et = [], []
+    for c in range(nch - 1):
+        kh = chains[c][0][0]; vh = chains[c + 1][0][0]
+        eh.append(tri(kh, vh))
+        et.append(tri(chains[c][-1][1], chains[c + 1][-1][1]))
+    toks = rand_tokens(L)
+    # force whitespace-only and whitespace-edged kv text into the mix
+    if trial % 2 == 0:
+        for (h, t) in chains[0]:
+            for p in range(h, t + 1):
+                toks[p] = rng.choice(TOK_WS)
+    sd_cases.append(run_decode({
+        "text": toks, "bbox": rand_bbox(L), "gt": trial % 3 == 2,
+        "thresh": 0.0, "le": le, "eh": eh, "et": et, "gh": gh, "gtl": gtl,
+    }))
+
+# hand-built: 1000-step cap (decode.py:259-261). 1050 two-token lines in one
+# chain; key walk caps after appending 1000 follow-on lines.
+CAPN = 1050
+cap_le = [[2 * k, 2 * k + 1, 1, 1.0] for k in range(CAPN)]
+cap_gh = [[2 * k, 2 * (k + 1), 1, 1.0] for k in range(CAPN - 1)]
+cap_gtl = [[2 * k + 1, 2 * (k + 1) + 1, 1, 1.0] for k in range(CAPN - 1)]
+# key chain starts at line 0 and caps with curr tail = tail of line 1000;
+# value is the final line (single, its grouping link leads nowhere new)
+cap_eh = [[0, 2 * (CAPN - 1), 1, 1.0]]
+cap_et = [[2 * 1000 + 1, 2 * (CAPN - 1) + 1, 1, 1.0]]
+sd_cases.append(run_decode({
+    "text": ["a", "b"] * CAPN, "bbox": [[k, 0, k + 1, 1] for k in range(2 * CAPN)],
+    "gt": False, "thresh": 0.0,
+    "le": cap_le, "eh": cap_eh, "et": cap_et, "gh": cap_gh, "gtl": cap_gtl,
+}))
+# hand-built: empty channels
+sd_cases.append(run_decode({
+    "text": ["x"], "bbox": [[0, 0, 1, 1]], "gt": False, "thresh": 0.0,
+    "le": [], "eh": [], "et": [], "gh": [], "gtl": [],
+}))
+# hand-built: threshold filters everything
+sd_cases.append(run_decode({
+    "text": ["a", "b", "c"], "bbox": rand_bbox(3), "gt": False, "thresh": 0.6,
+    "le": [[0, 1, 1, 0.5], [2, 2, 1, 0.59]], "eh": [[0, 2, 1, 0.5]],
+    "et": [[1, 2, 1, 0.5]], "gh": [], "gtl": [],
+}))
+out["sample_decode"] = sd_cases
 
 os.makedirs("/root/repo/src/test/resources/refvec", exist_ok=True)
 with open("/root/repo/src/test/resources/refvec/vectors.json", "w") as f:
