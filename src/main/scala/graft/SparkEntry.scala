@@ -141,7 +141,9 @@ object SparkEntry {
     "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // --- embedding similarity / ANN ---
-    "s1_cos_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(emb(s, dir))),
+    // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
+    // LSH-sub-bucketed (hot-cell guard), the rest keep exact within-cell pairs
+    "s1_cos_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(emb(s, dir), cellCap = 50)),
     "s2_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "s3_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "s4_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
@@ -239,7 +241,7 @@ object SparkEntry {
     "d3_simhash" -> Dedup.simhashSql("documents"),
     "d4_jaccard" -> Dedup.jaccardPairsSql("documents"),
     "d5_simhash_pairs" -> Dedup.simhashPairsSql("documents"),
-    "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings"),
+    "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings", cellCap = 50),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),
     "s4_lsh_buckets" -> Similarity.lshBucketsSql("embeddings"),

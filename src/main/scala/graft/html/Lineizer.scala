@@ -44,6 +44,13 @@ object Lineizer {
 
   private val styleKeys = Array("left", "top", "width", "height")
 
+  /** ASCII whitespace only — Java regex `\s` = [ \t\n\x0B\f\r]. Using
+    * Character.isWhitespace here would accept Unicode whitespace (U+2028
+    * etc.) that the original regex rejected.
+    */
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Hand-rolled equivalent of `(left|top|width|height)\s*:\s*(-?\d+)px`
     * findAllMatchIn (left-to-right, resume after each match, last match per
     * key wins). The regex was the kernel's top allocation site — Match
@@ -60,15 +67,18 @@ object Lineizer {
         val k = styleKeys(ki)
         if (style.startsWith(k, i)) {
           var j = i + k.length
-          while (j < n && Character.isWhitespace(style.charAt(j))) j += 1
+          while (j < n && isAsciiSpace(style.charAt(j))) j += 1
           if (j < n && style.charAt(j) == ':') {
             j += 1
-            while (j < n && Character.isWhitespace(style.charAt(j))) j += 1
+            while (j < n && isAsciiSpace(style.charAt(j))) j += 1
             var neg = false
             if (j < n && style.charAt(j) == '-') { neg = true; j += 1 }
             val ds = j
             while (j < n && style.charAt(j) >= '0' && style.charAt(j) <= '9') j += 1
-            if (j > ds && style.startsWith("px", j)) {
+            // digit runs that cannot fit an Int are not a match (the regex
+            // form threw on toInt; silently wrapping would parse garbage
+            // boxes from pathological styles)
+            if (j > ds && j - ds <= 9 && style.startsWith("px", j)) {
               var v = 0
               var p = ds
               while (p < j) { v = v * 10 + (style.charAt(p) - '0'); p += 1 }

@@ -172,14 +172,38 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Exact n-gram Jaccard over candidate pairs from a rare-shingle inverted
-    * index (df <= dfMax prunes stop-shingles -> no quadratic hot buckets).
+  /** Per-doc DISTINCT shingle set as one array column, computed map-side in
+    * the typed kernel (no shuffle; used to rescore candidate pairs exactly).
+    */
+  private[ops] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val w = t.split(' ').filter(_.nonEmpty)
+        val sh =
+          if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toVector.distinct
+          else Vector.empty[String]
+        (id, sh)
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** n-gram Jaccard: candidate pairs from a rare-shingle inverted index
+    * (df <= dfMax prunes stop-shingles -> no quadratic hot buckets), then
+    * EXACT rescoring per candidate via full shingle-set intersection.
+    *
+    * Scores are exact Jaccard over the full distinct-shingle sets. Recall
+    * is bounded by the index: a pair is a candidate only if it shares at
+    * least one rare (df <= dfMax) shingle, so pairs sharing ONLY boilerplate
+    * shingles are not emitted — the documented trade that keeps hot buckets
+    * linear at scale. The rescore stage touches only candidate docs
+    * (semi-join), so its cost is O(candidates x doc length), never all-pairs.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
                    thresh: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = shingleRows(docs, n, distinct = true)
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     // df filter via a count window over the same shuffle the join needs
     // (one pass; no separate groupBy + join-back branch)
     val rare = ex
@@ -188,12 +212,18 @@ object Dedup {
       .select(col("doc_id"), col("s"))
     val a = rare.as("a")
     val b = rare.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nb"), "id_b")
+    val cand = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact rescore: shingle sets for candidate docs only
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val sets = shingleSets(docs, n).join(candIds, Seq("doc_id"), "left_semi")
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("i"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
       .filter(col("jac") >= thresh)
@@ -207,15 +237,16 @@ object Dedup {
     val sh = sqlShingles("w", n)
     s"""WITH docs AS (SELECT doc_id, $w AS w FROM $table),
        |sh AS (SELECT doc_id, list_distinct($sh) AS shingles FROM docs),
-       |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh FROM sh),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
        |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s) WHERE df.df <= $dfMax),
-       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
        |j AS (SELECT id_a, id_b,
-       |    CAST(i AS DOUBLE) / CAST(sa.nsh + sb.nsh - i AS DOUBLE) AS jac
-       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / CAST(len(sa.shingles) + len(sb.shingles)
+       |             - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jac
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, ${sqlMicro("jac")} AS jac_micro FROM j
        |WHERE jac >= $thresh ORDER BY id_a, id_b""".stripMargin
   }

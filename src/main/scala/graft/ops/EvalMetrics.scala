@@ -116,12 +116,14 @@ object EvalMetrics {
        |    list_transform(groupHead, p -> p.head || ':' || p.tail) AS ggh
        |  FROM read_parquet('$goldenGlob')),
        |p AS (SELECT url, geh, ggh, ${perturbSql("geh")} AS peh, ${perturbSql("ggh")} AS pgh FROM g),
-       |c AS (SELECT url,
+       |c0 AS (SELECT url,
        |    CAST(len(peh) AS BIGINT) AS ehPred, CAST(len(geh) AS BIGINT) AS ehGt,
        |    CAST(len(list_filter(peh, x -> list_contains(geh, x))) AS BIGINT) AS ehCorrect,
        |    CAST(len(pgh) AS BIGINT) AS ghPred, CAST(len(ggh) AS BIGINT) AS ghGt,
        |    CAST(len(list_filter(pgh, x -> list_contains(ggh, x))) AS BIGINT) AS ghCorrect
        |  FROM p),
+       |c AS (SELECT * FROM (SELECT c0.*, row_number() OVER (PARTITION BY url ORDER BY url) AS rn
+       |  FROM c0) WHERE rn = 1),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS nDocs,
        |    CAST(sum(ehPred) AS BIGINT) AS ehPred, CAST(sum(ehGt) AS BIGINT) AS ehGt,
        |    CAST(sum(ehCorrect) AS BIGINT) AS ehCorrect,
@@ -150,12 +152,14 @@ object EvalMetrics {
        |    list_transform(lines, l -> l.text) AS gln
        |  FROM read_parquet('$goldenGlob')),
        |p AS (SELECT url, gkv, gln, ${perturbSql("gkv")} AS pkv, ${perturbSql("gln")} AS pln FROM g),
-       |c AS (SELECT url,
+       |c0 AS (SELECT url,
        |    CAST(len(pkv) AS BIGINT) AS kvPred, CAST(len(gkv) AS BIGINT) AS kvGt,
        |    CAST(len(list_filter(pkv, x -> list_contains(gkv, x))) AS BIGINT) AS kvCorrect,
        |    CAST(len(pln) AS BIGINT) AS lnPred, CAST(len(gln) AS BIGINT) AS lnGt,
        |    CAST(len(list_filter(pln, x -> list_contains(gln, x))) AS BIGINT) AS lnCorrect
        |  FROM p),
+       |c AS (SELECT * FROM (SELECT c0.*, row_number() OVER (PARTITION BY url ORDER BY url) AS rn
+       |  FROM c0) WHERE rn = 1),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS nDocs,
        |    CAST(sum(kvPred) AS BIGINT) AS kvPred, CAST(sum(kvGt) AS BIGINT) AS kvGt,
        |    CAST(sum(kvCorrect) AS BIGINT) AS kvCorrect,

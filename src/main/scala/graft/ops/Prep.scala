@@ -22,18 +22,22 @@ object Prep {
     // the dedup canonical rides one window over md5(text) — no self-joins.
     // At 10^12 docs this is exactly one shuffle (the window) plus the final
     // tiny partial+final aggregate, instead of four shuffles of joins.
+    // The canonical is the min doc_id AMONG GATE-PASSERS of the same text
+    // (a failed-gate copy must not shadow its passing duplicates — if the
+    // min-id copy fails lang/quality, the next passing copy survives).
     val w = words(col("text"))
     val joined = docs
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_h"),
         size(w).cast("long").as("n_words"),
         TextAnalysis.langPredExpr(w).as("lang_pred"),
-        TextAnalysis.qualityScoreMicroExpr(w).as("score_micro"),
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("canonical"))
+        TextAnalysis.qualityScoreMicroExpr(w).as("score_micro"))
       .withColumn("lang_ok", (col("lang_pred") === lang).cast("int"))
       .withColumn("qual_ok", (col("lang_pred") === lang && col("score_micro") >= minScoreMicro).cast("int"))
+      .withColumn("canonical",
+        min(when(col("qual_ok") === 1, col("doc_id")))
+          .over(Window.partitionBy(col("text_h"))))
       .withColumn("survivor",
-        (col("lang_pred") === lang && col("score_micro") >= minScoreMicro &&
-          col("canonical") === col("doc_id")).cast("int"))
+        (col("qual_ok") === 1 && col("canonical") === col("doc_id")).cast("int"))
     joined.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("lang_ok")).cast("long").as("n_lang_ok"),
@@ -65,23 +69,24 @@ object Prep {
       "0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
         "+ 0.3 * (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
         "+ 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)") + " ELSE 0 END"
-    s"""WITH base AS (SELECT doc_id, lang, text,
+    s"""WITH base AS (SELECT doc_id, lang, md5(text) AS text_h,
        |    CAST(len($w) AS BIGINT) AS n_words,
        |    CAST(len(list_filter($w, x -> list_contains($stop, x))) AS BIGINT) AS stop_hits,
        |    CAST(len(list_filter($w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha_words,
-       |    $hitsDefs,
-       |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+       |    $hitsDefs
        |  FROM $table),
-       |flags AS (SELECT lang, n_words,
+       |flags AS (SELECT doc_id, lang, text_h, n_words,
        |    ($langCase) = '$lang' AS lang_ok,
-       |    ($score) >= $minScoreMicro AS qual_ok,
-       |    canonical = doc_id AS uniq
-       |  FROM base)
+       |    ($langCase) = '$lang' AND ($score) >= $minScoreMicro AS qual_ok
+       |  FROM base),
+       |canon AS (SELECT lang, n_words, lang_ok, qual_ok,
+       |    min(CASE WHEN qual_ok THEN doc_id END) OVER (PARTITION BY text_h) = doc_id AS uniq
+       |  FROM flags)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
-       |  CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_ok,
-       |  CAST(sum(CASE WHEN lang_ok AND qual_ok AND uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
-       |  CAST(sum(CASE WHEN lang_ok AND qual_ok AND uniq THEN n_words ELSE 0 END) AS BIGINT) AS survivor_words
-       |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
+       |  CAST(sum(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_ok,
+       |  CAST(sum(CASE WHEN qual_ok AND uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |  CAST(sum(CASE WHEN qual_ok AND uniq THEN n_words ELSE 0 END) AS BIGINT) AS survivor_words
+       |FROM canon GROUP BY lang ORDER BY lang""".stripMargin
   }
 }

@@ -49,26 +49,68 @@ object Similarity {
   private def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
 
-  /** Embedding near-dup: within-cell pairs with cosine >= thresh. */
-  def cosineNearDupPairs(emb: DataFrame, thresh: Double = 0.3): DataFrame = {
-    val a = withNorm(emb).as("a")
-    val b = withNorm(emb).as("b")
+  /** Sign-bit LSH bucket id of an embedding column (shared by lshBuckets and
+    * the hot-cell sub-bucketing of cosineNearDupPairs).
+    */
+  private def bucketCol(embedding: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val d = dot(embedding, typedlit(planes(p)))
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup: within-cell pairs with cosine >= thresh.
+    *
+    * Skew guard: a hot cell (label with > cellCap members) would make the
+    * within-cell pair join quadratic ON THE SKEW KEY. Cells above the cap
+    * are therefore sub-bucketed by the 8-plane LSH signature — candidates
+    * become (label, bucket) pairs, an expected ~256x reduction per hot cell
+    * — at the documented cost of missing near-dup pairs that straddle a
+    * hyperplane inside a hot cell. Cell sizes come from a map-side partial
+    * aggregate broadcast back, so the guard adds no extra full shuffle.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      thresh: Double = 0.3,
+      cellCap: Int = 10000
+  ): DataFrame = {
+    val sizes = broadcast(emb.groupBy(col("label")).agg(count(lit(1)).as("cell_n")))
+    val keyed = withNorm(emb)
+      .join(sizes, "label")
+      .withColumn("jk",
+        when(col("cell_n") > cellCap,
+          concat_ws(":", lit("H"), col("label"), bucketCol(col("embedding"))))
+          .otherwise(concat_ws(":", lit("L"), col("label"))))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
     val cos = dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.jk") === col("b.jk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
       .filter(col("cos") >= thresh)
       .select(col("id_a"), col("id_b"), micro(col("cos")).as("cos_micro"))
       .orderBy("id_a", "id_b")
   }
 
-  def cosineNearDupPairsSql(table: String, thresh: Double = 0.3): String =
-    s"""WITH p AS (
+  def cosineNearDupPairsSql(table: String, thresh: Double = 0.3, cellCap: Int = 10000): String = {
+    def lits(p: Int): String = planes(p).mkString("[", ",", "]")
+    val bits = (0 until NumPlanes).map { p =>
+      val d = s"list_reduce(list_transform(generate_series(1,$Dim), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * (${lits(p)})[i]), (x,y) -> x+y)"
+      s"(CASE WHEN ($d) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sz AS (SELECT label, count(*) AS cell_n FROM $table GROUP BY label),
+       |k AS (SELECT e.vec_id, e.embedding, e.label,
+       |    CASE WHEN sz.cell_n > $cellCap
+       |      THEN 'H:' || e.label || ':' || CAST($bits AS BIGINT)
+       |      ELSE 'L:' || e.label END AS jk
+       |  FROM $table e JOIN sz ON e.label = sz.label),
+       |p AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ${sqlCosine("a.embedding", "b.embedding", Dim)} AS cos
-       |  FROM $table a JOIN $table b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  FROM k a JOIN k b
+       |    ON a.jk = b.jk AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, ${sqlMicro("cos")} AS cos_micro FROM p
        |WHERE cos >= $thresh ORDER BY id_a, id_b""".stripMargin
+  }
 
   private def topK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -165,13 +207,8 @@ object Similarity {
   /** Random-hyperplane LSH bucket assignment: 8 sign bits -> bucket id.
     * Pure narrow projection (the scale path: bucket-join for candidates).
     */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val bucket = (0 until NumPlanes).map { p =>
-      val d = dot(col("embedding"), typedlit(planes(p)))
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket")).orderBy("vec_id")
-  }
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), bucketCol(col("embedding")).as("bucket")).orderBy("vec_id")
 
   def lshBucketsSql(table: String): String = {
     def lits(p: Int): String = planes(p).mkString("[", ",", "]")

@@ -57,6 +57,21 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("style box parse: unicode whitespace and overlong digit runs are not matches") {
+    def lineTexts(html: String): Vector[String] =
+      Lineizer.lineize(HtmlParser.parse(html), "u").entities.flatMap(_.lines.map(_.text))
+    // U+2028 between key and colon: regex \s never matched it; nor do we
+    val u2028 = "left\u2028:1px;top:2px;width:3px;height:4px"
+    // 12-digit run wraps Int; must be treated as no-match, not garbage
+    val overlong = "left:999999999999px;top:2px;width:3px;height:4px"
+    val good = "left:1px;top:2px;width:3px;height:4px"
+    val html =
+      s"""<html><body><div style="$u2028">BAD1</div>
+         |<div style="$overlong">BAD2</div>
+         |<div style="$good">GOOD</div></body></html>""".stripMargin
+    assert(lineTexts(html) == Vector("GOOD"))
+  }
+
   test("html parser handles entities, comments, void and raw-text tags") {
     val root = HtmlParser.parse(
       """<!DOCTYPE html><html><body><!-- c --><script>if(a<b){}</script>

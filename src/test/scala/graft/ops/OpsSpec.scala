@@ -151,6 +151,29 @@ class OpsSpec extends AnyFunSuite {
     assert(cells(0L) == Set(0L, 1L, 2L))
   }
 
+  test("cosine near-dup: hot cells are LSH-sub-bucketed, small cells exact") {
+    val rng = new java.util.Random(7)
+    // label 0 hot (40 vectors), label 1 small (6 vectors)
+    val rows = (0L until 40L).map { i =>
+      (i, Seq.tabulate(64)(_ => rng.nextFloat() * 2f - 1f), 0)
+    } ++ (40L until 46L).map { i =>
+      (i, Seq.tabulate(64)(_ => rng.nextFloat() * 2f - 1f), 1)
+    }
+    val df = embDf(rows: _*)
+    val uncapped = Similarity.cosineNearDupPairs(df, thresh = -1.0, cellCap = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.cosineNearDupPairs(df, thresh = -1.0, cellCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "sub-bucketing must only remove candidates")
+    // bound: hot-cell candidates collapse to within-(label,bucket) pairs
+    val buckets = Similarity.lshBuckets(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectHot = uncapped.filter { case (a, b) => a < 40L && buckets(a) == buckets(b) }
+    val expectSmall = uncapped.filter { case (a, _) => a >= 40L }
+    assert(capped == expectHot ++ expectSmall)
+    assert(capped.size < uncapped.size, "skewed cell must actually shrink")
+  }
+
   test("lsh buckets: parallel vectors share a bucket; deterministic planes") {
     val out = Similarity.lshBuckets(embFixture).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
