@@ -164,6 +164,14 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       EvalMetrics.perturbedLinkEval(s, Corpus.goldenPath(dir))
     }),
+    "e3_eval_tails" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      EvalMetrics.perturbedTailEval(s, Corpus.goldenPath(dir))
+    }),
+    "e4_eval_detail" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      EvalMetrics.perturbedDetail(s, Corpus.goldenPath(dir))
+    }),
     // --- prep-funnel composition (lang gate -> quality gate -> dedup) ---
     "p1_prep_funnel" -> ((s, dir) => Prep.funnel(docs(s, dir))),
     // --- sources: schema'd JSON fixture ingest + catalog table scan ---
@@ -247,6 +255,8 @@ object SparkEntry {
     "s4_lsh_buckets" -> Similarity.lshBucketsSql("embeddings"),
     "s5_ann_recall" -> Similarity.ivfRecallSql("embeddings"),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
+    "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
+    "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
     "p1_prep_funnel" -> Prep.funnelSql("documents"),
     "m1_media_meta" -> Media.extractMetaSql(M),
     "m2_media_hist" -> Media.byteHistogramSql(M),

@@ -16,7 +16,8 @@ object Corpus {
   // v2: annotation lines may carry 8-value corner quads (derived outputs
   // identical to v1; bumped so cached goldens regenerate through the
   // boxTwoPointConvert quad path).
-  final val Version = "v2"
+  // v3: pages lang-partitioned; DocOut gained kernelUs (golden schema).
+  final val Version = "v3"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName
@@ -54,6 +55,7 @@ object Corpus {
       nTokens = sample.tokens.length,
       nLines = d.lines.length,
       nKv = d.kvPairs.length,
+      kernelUs = 0L, // oracle path: no kernel timing
       text = d.extractedText,
       lines = d.lines.map(l => LineOut(l.text, l.box)),
       kv = d.kvPairs.map(p => KvOut(p.key, p.value, p.keyBox, p.valueBox)),
@@ -95,7 +97,11 @@ object Corpus {
       val pages: Dataset[PageRow] =
         spark.range(0, n.toLong, 1, spark.sparkContext.defaultParallelism)
           .map(i => CorpusGen.pageFor(i)._2)
-      pages.write.mode("overwrite").parquet(pagesPath(sfDir))
+      // Hive-style lang partitioning (SURVEY.md §2 A2, mirroring the
+      // reference's per-language dataset split, rfund.py:78-90): a lang
+      // predicate prunes whole directories at planning time — gated by
+      // PlanSpec's PartitionFilters test.
+      pages.write.mode("overwrite").partitionBy("lang").parquet(pagesPath(sfDir))
     }
     if (!exists(goldenPath(sfDir))) {
       spark.range(0, n.toLong, 1, spark.sparkContext.defaultParallelism)

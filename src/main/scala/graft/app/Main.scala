@@ -47,6 +47,9 @@ object Main {
       val golden = spark.read.parquet(goldenPath).as[DocOut]
       val metrics = Eval.metricRows(decoded, golden)
       metrics.write.mode("overwrite").parquet(s"$output/metrics")
+      // per-sample TP/FP/FN detail table (reference --save_eval_detail)
+      Eval.detailRows(decoded, golden)
+        .write.mode("overwrite").parquet(s"$output/detail")
       val report = Eval.aggregate(spark.read.parquet(s"$output/metrics").as[graft.engine.MetricRow])
       report.select(col("numSamples"), col("kvF1"), col("lineF1"),
         col("entHeadF1"), col("entTailF1"), col("groupHeadF1"), col("groupTailF1"))

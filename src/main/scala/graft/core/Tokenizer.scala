@@ -59,15 +59,4 @@ object Tokenizer {
       v.updated(v.length - 1, v(v.length - 1) + text.substring(tokenStart))
     } else out.result()
   }
-
-  /** Stable 64-bit id for a token (stands in for `convert_tokens_to_ids`,
-    * /root/reference/data/datasets/sibr.py:228-231); only used as an opaque
-    * id column, never for reconstruction.
-    */
-  def tokenId(token: String): Long = {
-    var h = 1125899906842597L // prime
-    var i = 0
-    while (i < token.length) { h = 31 * h + token.charAt(i); i += 1 }
-    h
-  }
 }

@@ -42,6 +42,30 @@ object Eval {
       .map { case (p, g) => metricRow(p.url, p, g) }
   }
 
+  /** Per-sample TP/FP/FN detail records at all six granularities — the
+    * reference's `--save_eval_detail` detail.json
+    * (run_rfund.py:294-300, evaluation.py:72-93) as a queryable table.
+    * Runs the real [[PairMetrics.detail]] kernel inside the join map.
+    */
+  def detailRows(pred: Dataset[DocOut], golden: Dataset[DocOut]): Dataset[DetailRow] = {
+    val spark = pred.sparkSession
+    import spark.implicits._
+    def flat(m: Seq[MultiOut]): Seq[String] =
+      m.flatMap(x => x.tails.map(t => s"${x.head}:$t"))
+    def pairs(s: Seq[PairOut]): Seq[String] = s.map(x => s"${x.head}:${x.tail}")
+    pred.joinWith(golden, pred("url") === golden("url"), "inner")
+      .flatMap { case (p, g) =>
+        def rows(gran: String, pd: Seq[String], gd: Seq[String]): Seq[DetailRow] =
+          PairMetrics.detail(pd, gd).map { case (v, item) => DetailRow(p.url, gran, v, item) }
+        rows("kv", p.kv.map(x => s"${x.key}\u0001${x.value}"), g.kv.map(x => s"${x.key}\u0001${x.value}")) ++
+          rows("line", p.lines.map(_.text), g.lines.map(_.text)) ++
+          rows("entHead", flat(p.entHead), flat(g.entHead)) ++
+          rows("entTail", flat(p.entTail), flat(g.entTail)) ++
+          rows("groupHead", pairs(p.groupHead), pairs(g.groupHead)) ++
+          rows("groupTail", pairs(p.groupTail), pairs(g.groupTail))
+      }
+  }
+
   /** Micro-aggregate to the six-granularity P/R/F1 report (one row). */
   def aggregate(metrics: Dataset[MetricRow]): DataFrame = {
     val deduped = metrics.dropDuplicates("url")

@@ -25,6 +25,7 @@ final case class DocOut(
     nTokens: Int,
     nLines: Int,
     nKv: Int,
+    kernelUs: Long, // wall micros spent in the extract kernel for this doc
     text: String,
     lines: Seq[LineOut],
     kv: Seq[KvOut],
@@ -38,6 +39,8 @@ final case class DocOut(
 /** Per-bucket lineage row enabling checkpoint-resume (SURVEY.md §2 A8):
   * buckets are deterministic functions of url, so a re-run overwrites the
   * same bucket idempotently and finished buckets are skipped by anti-join.
+  * `wallMs` is the summed kernel wall time of the bucket's docs (SURVEY
+  * §4.2 side-output), giving per-bucket cost attribution for free.
   */
 final case class LineageRow(
     bucket: Int,
@@ -46,6 +49,16 @@ final case class LineageRow(
     nKv: Long,
     wallMs: Long,
     status: String
+)
+
+/** One per-sample TP/FP/FN record (reference `--save_eval_detail` ->
+  * detail.json, run_rfund.py:294-300 / evaluation.py:72-93).
+  */
+final case class DetailRow(
+    url: String,
+    granularity: String,
+    verdict: String, // TP | FP | FN
+    item: String
 )
 
 /** Per-document six-granularity metric counts (evaluation.py:391-413). */

@@ -37,18 +37,13 @@ object Pipeline {
   }
 
   /** Deterministic bucket for resume/write idempotency. */
-  def bucketOf(url: String, buckets: Int): Int = {
-    var h = 1469598103934665603L // FNV-1a 64
-    var i = 0
-    while (i < url.length) { h ^= url.charAt(i); h *= 1099511628211L; i += 1 }
-    val m = (h % buckets).toInt
-    if (m < 0) m + buckets else m
-  }
+  def bucketOf(url: String, buckets: Int): Int = UrlBucket.of(url, buckets)
 
   /** The per-document classify+decode kernel (SURVEY.md §2 D9): html ->
     * lineize -> heuristic spots -> decode. Pure; shared with the oracle.
     */
   def extractDoc(url: String, html: Array[Byte], lang: String, buckets: Int): DocOut = {
+    val t0 = System.nanoTime()
     val page = new String(html, java.nio.charset.StandardCharsets.UTF_8)
     val ann = Lineizer.lineize(HtmlParser.parse(page), url)
     val sample = DocBuilder.build(ann)
@@ -61,6 +56,7 @@ object Pipeline {
       nTokens = sample.tokens.length,
       nLines = d.lines.length,
       nKv = d.kvPairs.length,
+      kernelUs = (System.nanoTime() - t0) / 1000L,
       text = d.extractedText,
       lines = d.lines.map(l => LineOut(l.text, l.box)),
       kv = d.kvPairs.map(p => KvOut(p.key, p.value, p.keyBox, p.valueBox)),
@@ -106,16 +102,25 @@ object Pipeline {
       }
   }
 
-  /** Per-bucket lineage aggregation (map-side partial agg -> tiny result). */
-  def lineage(decoded: Dataset[DocOut]): DataFrame =
+  /** Per-bucket lineage aggregation (map-side partial agg -> tiny result).
+    * `wallMs` sums the per-doc kernel micros measured inside extractDoc —
+    * the per-task cost side-output of SURVEY.md §4.2, and the signal a
+    * scheduler needs to spot pathological buckets.
+    */
+  def lineage(decoded: Dataset[DocOut]): Dataset[LineageRow] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
     decoded
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("nDocs"),
         sum(col("nTokens")).as("nTokens"),
-        sum(col("nKv")).as("nKv")
+        sum(col("nKv")).as("nKv"),
+        (sum(col("kernelUs")) / 1000L).cast("long").as("wallMs")
       )
       .withColumn("status", lit("done"))
+      .as[LineageRow]
+  }
 
   /** Range-partitioned, bucket-directory write (Iceberg-style layout;
     * dynamic overwrite per bucket is idempotent).
@@ -145,9 +150,11 @@ object Pipeline {
       val done = spark.read.parquet(lineagePath)
         .filter(col("status") === "done")
         .select(col("bucket"))
-      val bucketUdf = udf((url: String) => bucketOf(url, buckets))
+      // native codegen'd expression, NOT a Scala udf: resume re-scans the
+      // full input at 10^12-doc scale and must stay in whole-stage codegen
       pages
-        .withColumn("bucket", bucketUdf(col("url")))
+        .withColumn("bucket",
+          graft.functions.GraftFunctions.bucketExpr("url", buckets))
         .join(broadcast(done), Seq("bucket"), "left_anti")
         .drop("bucket")
     }

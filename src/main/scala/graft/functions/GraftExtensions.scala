@@ -20,12 +20,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[F2HExpression].getName, "graft_f2h"),
       (children: Seq[Expression]) => F2HExpression(children.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[FnvBucketExpression].getName, "graft_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_bucket(url, buckets) requires a literal bucket count")
+        FnvBucketExpression(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }
+    ))
   }
 }
 
 object GraftFunctions {
   /** Apply graft_f2h via the SQL surface (requires GraftExtensions). */
   def f2hExpr(sqlFragment: String): Column = expr(s"graft_f2h($sqlFragment)")
+
+  /** Bucket-of-url via the SQL surface (requires GraftExtensions — the
+    * library's sessions all register it; spark-submit users pass
+    * `--conf spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def bucketExpr(colName: String, buckets: Int): Column =
+    expr(s"graft_bucket($colName, $buckets)")
 
   def builderWithExtensions(b: SparkSession.Builder): SparkSession.Builder =
     b.withExtensions(new GraftExtensions)

@@ -100,6 +100,123 @@ object EvalMetrics {
     withPrf(withPrf(agged, "eh"), "gh")
   }
 
+  /** entTail/groupTail granularities (completes the reference's six,
+    * pipeline/evaluation.py:210-665): entTail is the tail->heads multimap
+    * flattened to "tail:head" strings, groupTail the t2t pair list; same
+    * perturbation and membership counting as the other eval queries.
+    */
+  def perturbedTailEval(spark: SparkSession, goldenPath: String): DataFrame = {
+    import spark.implicits._
+    val et = flatten(transform(col("entTail"),
+      x => transform(x.getField("tails"),
+        t => concat(x.getField("head").cast("string"), lit(":"), t.cast("string")))))
+    val gl = transform(col("groupTail"),
+      p => concat(p.getField("head").cast("string"), lit(":"), p.getField("tail").cast("string")))
+    val g = spark.read.parquet(goldenPath)
+      .select(col("url"), et.as("get"), gl.as("ggl"))
+      .select(col("url"), col("get"), col("ggl"),
+        perturb(col("get")).as("pet"), perturb(col("ggl")).as("pgl"))
+    val counts = g
+      .as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .map { case (url, get, ggl, pet, pgl) =>
+        val e = PairMetrics.membershipCounts(pet, get)
+        val r = PairMetrics.membershipCounts(pgl, ggl)
+        EvalCounts(url, e.pred, e.gt, e.correct, r.pred, r.gt, r.correct)
+      }
+    val agged = counts.dropDuplicates("url").agg(
+      count(lit(1)).as("nDocs"),
+      sum("kvPred").as("etPred"), sum("kvGt").as("etGt"), sum("kvCorrect").as("etCorrect"),
+      sum("lnPred").as("glPred"), sum("lnGt").as("glGt"), sum("lnCorrect").as("glCorrect"))
+    withPrf(withPrf(agged, "et"), "gl")
+  }
+
+  /** Per-sample TP/FP/FN detail rows over the perturbed prediction — the
+    * reference's `--save_eval_detail` record shape (evaluation.py:72-93)
+    * driven through the REAL [[PairMetrics.detail]] kernel, oracle-checked
+    * row-by-row (verdict multiplicity and FN semantics pinned exactly).
+    */
+  def perturbedDetail(spark: SparkSession, goldenPath: String): DataFrame = {
+    import spark.implicits._
+    val g = spark.read.parquet(goldenPath)
+      .select(col("url"),
+        transform(col("kv"), x => concat(x.getField("key"), lit("\u0001"), x.getField("value"))).as("gkv"),
+        transform(col("lines"), l => l.getField("text")).as("gln"))
+      .select(col("url"), col("gkv"), col("gln"),
+        perturb(col("gkv")).as("pkv"), perturb(col("gln")).as("pln"))
+    g.as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .flatMap { case (url, gkv, gln, pkv, pln) =>
+        PairMetrics.detail(pkv, gkv).map { case (v, i) => (url, "kv", v, i) } ++
+          PairMetrics.detail(pln, gln).map { case (v, i) => (url, "line", v, i) }
+      }
+      .toDF("url", "granularity", "verdict", "item")
+      .orderBy("url", "granularity", "verdict", "item")
+  }
+
+  def perturbedTailEvalSql(goldenGlob: String): String = {
+    def perturbSql(items: String): String = {
+      val m = sqlH32("url || '|' || x") + " % 10"
+      s"flatten(list_transform($items, x -> CASE WHEN $m < 8 THEN [x] WHEN $m = 8 THEN [x,x] ELSE [] END))"
+    }
+    def prf(g: String): String = {
+      val p = s"CASE WHEN ${g}Pred > 0 THEN CAST(${g}Correct AS DOUBLE)/CAST(${g}Pred AS DOUBLE) ELSE 0.0 END"
+      val r = s"CASE WHEN ${g}Gt > 0 THEN CAST(${g}Correct AS DOUBLE)/CAST(${g}Gt AS DOUBLE) ELSE 0.0 END"
+      s"""${sqlMicro(p)} AS ${g}PMicro, ${sqlMicro(r)} AS ${g}RMicro,
+         |  ${sqlMicro(s"CASE WHEN ($p) + ($r) > 0 THEN 2.0*($p)*($r)/(($p) + ($r)) ELSE 0.0 END")} AS ${g}F1Micro""".stripMargin
+    }
+    s"""WITH g AS (SELECT url,
+       |    flatten(list_transform(entTail, x -> list_transform(x.tails, t -> x.head || ':' || t))) AS get1,
+       |    list_transform(groupTail, p -> p.head || ':' || p.tail) AS ggl
+       |  FROM read_parquet('$goldenGlob')),
+       |p AS (SELECT url, get1, ggl, ${perturbSql("get1")} AS pet, ${perturbSql("ggl")} AS pgl FROM g),
+       |c0 AS (SELECT url,
+       |    CAST(len(pet) AS BIGINT) AS etPred, CAST(len(get1) AS BIGINT) AS etGt,
+       |    CAST(len(list_filter(pet, x -> list_contains(get1, x))) AS BIGINT) AS etCorrect,
+       |    CAST(len(pgl) AS BIGINT) AS glPred, CAST(len(ggl) AS BIGINT) AS glGt,
+       |    CAST(len(list_filter(pgl, x -> list_contains(ggl, x))) AS BIGINT) AS glCorrect
+       |  FROM p),
+       |c AS (SELECT * FROM (SELECT c0.*, row_number() OVER (PARTITION BY url ORDER BY url) AS rn
+       |  FROM c0) WHERE rn = 1),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS nDocs,
+       |    CAST(sum(etPred) AS BIGINT) AS etPred, CAST(sum(etGt) AS BIGINT) AS etGt,
+       |    CAST(sum(etCorrect) AS BIGINT) AS etCorrect,
+       |    CAST(sum(glPred) AS BIGINT) AS glPred, CAST(sum(glGt) AS BIGINT) AS glGt,
+       |    CAST(sum(glCorrect) AS BIGINT) AS glCorrect
+       |  FROM c)
+       |SELECT nDocs, etPred, etGt, etCorrect, glPred, glGt, glCorrect,
+       |  ${prf("et")},
+       |  ${prf("gl")}
+       |FROM a""".stripMargin
+  }
+
+  def perturbedDetailSql(goldenGlob: String): String = {
+    def perturbSql(items: String): String = {
+      val m = sqlH32("url || '|' || x") + " % 10"
+      s"flatten(list_transform($items, x -> CASE WHEN $m < 8 THEN [x] WHEN $m = 8 THEN [x,x] ELSE [] END))"
+    }
+    s"""WITH g AS (SELECT url,
+       |    list_transform(kv, x -> x."key" || chr(1) || x."value") AS gkv,
+       |    list_transform(lines, l -> l.text) AS gln
+       |  FROM read_parquet('$goldenGlob')),
+       |p AS (SELECT url, gkv, gln, ${perturbSql("gkv")} AS pkv, ${perturbSql("gln")} AS pln FROM g),
+       |tpfp AS (
+       |  SELECT url, 'kv' AS granularity,
+       |    CASE WHEN list_contains(gkv, x) THEN 'TP' ELSE 'FP' END AS verdict, x AS item
+       |  FROM p, unnest(pkv) AS t(x)
+       |  UNION ALL
+       |  SELECT url, 'line',
+       |    CASE WHEN list_contains(gln, x) THEN 'TP' ELSE 'FP' END, x
+       |  FROM p, unnest(pln) AS t(x)),
+       |fn AS (
+       |  SELECT url, 'kv' AS granularity, 'FN' AS verdict, x AS item
+       |  FROM p, unnest(gkv) AS t(x) WHERE NOT list_contains(pkv, x)
+       |  UNION ALL
+       |  SELECT url, 'line', 'FN', x
+       |  FROM p, unnest(gln) AS t(x) WHERE NOT list_contains(pln, x))
+       |SELECT url, granularity, verdict, item
+       |FROM (SELECT * FROM tpfp UNION ALL SELECT * FROM fn)
+       |ORDER BY url, granularity, verdict, item""".stripMargin
+  }
+
   def perturbedLinkEvalSql(goldenGlob: String): String = {
     def perturbSql(items: String): String = {
       val m = sqlH32("url || '|' || x") + " % 10"

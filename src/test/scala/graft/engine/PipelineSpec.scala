@@ -18,6 +18,7 @@ class PipelineSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"

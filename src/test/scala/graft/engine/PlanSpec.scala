@@ -86,6 +86,37 @@ class PlanSpec extends AnyFunSuite {
       s"generated code must call the static f2h directly:\n${gen.take(2000)}")
   }
 
+  test("pages are lang-partitioned and a lang predicate prunes partitions") {
+    Corpus.ensure(spark, sfDir)
+    // layout: Hive-style lang=xx directories
+    val dirs = new java.io.File(Corpus.pagesPath(sfDir))
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("lang=en") && dirs.size >= 8, s"expected lang=* dirs, got $dirs")
+    // plan: the predicate lands in PartitionFilters, not PushedFilters/Filter
+    val p = spark.read.parquet(Corpus.pagesPath(sfDir))
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("url")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"lang predicate must prune partitions:\n$p")
+  }
+
+  test("resume scan uses the native bucket expression, not a Scala UDF") {
+    Corpus.ensure(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("plan-resume").toString
+    val pages = spark.read.parquet(Corpus.pagesPath(sfDir))
+    val d = Pipeline.extract(pages.limit(50))
+    Pipeline.writeLineage(d, out)
+    val p = Pipeline.resumeFilter(spark, pages, out)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_bucket"), s"native expression missing:\n$p")
+    assert(!p.contains("UDF") && !p.contains("ScalaUDF"),
+      s"resume scan must not use an interpreted UDF:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"resume must stay a broadcast anti join:\n$p")
+  }
+
   test("extraction kernel scan reads only (url, html, lang)") {
     Corpus.ensure(spark, sfDir)
     val p = Pipeline.extract(spark.read.parquet(Corpus.pagesPath(sfDir)))
