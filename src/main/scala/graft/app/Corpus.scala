@@ -17,7 +17,8 @@ object Corpus {
   // identical to v1; bumped so cached goldens regenerate through the
   // boxTwoPointConvert quad path).
   // v3: pages lang-partitioned; DocOut gained kernelUs (golden schema).
-  final val Version = "v3"
+  // v4: media fixture uses real BMP/WAV containers + write-side truth cols.
+  final val Version = "v4"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

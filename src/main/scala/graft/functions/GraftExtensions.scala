@@ -21,6 +21,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => F2HExpression(children.head)
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpression].getName, "graft_text_stats"),
+      (children: Seq[Expression]) => TextStatsExpression(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpression].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => FingerprintExpression(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpression].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotExpression(children(0), children(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_bucket"),
       new ExpressionInfo(classOf[FnvBucketExpression].getName, "graft_bucket"),
       (children: Seq[Expression]) => {

@@ -37,14 +37,13 @@ object ColFns {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Sequential-fold double dot product of two float vectors; cast to
-    * double BEFORE multiply so Spark and DuckDB produce identical IEEE
-    * sequences (DuckDB mirror: list_reduce over per-index products).
+  /** Sequential-fold double dot product of two float/double vectors —
+    * the native codegen'd [[graft.functions.DotExpression]] (identical
+    * accumulation order and double-promotion to the DuckDB `list_reduce`
+    * mirror, so cosines stay bit-exact; requires GraftExtensions on the
+    * session, which every library entry point registers).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -1,45 +1,98 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio payloads as opaque `binary`
   * columns with typed metadata, plus the decode / feature-extract /
   * frame-sample operators a training-data pipeline needs.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB:
-  * [[MediaKernel.decodeStub]] parses a deterministic fake header instead of
-  * running a real JPEG/PCM decoder. Everything around it — the binary
-  * column schema, the typed batch shape, the mapPartitions kernel boundary,
-  * partitioning, and the feature projections — is real Spark plumbing and
-  * is tested. A real decoder drops into `decodeStub` without touching the
-  * plan.
+  * The containers are REAL public formats parsed with a pure-JVM decoder
+  * (no codec libraries needed):
+  *   - image: uncompressed 24-bpp BMP — 14-byte BITMAPFILEHEADER +
+  *     40-byte BITMAPINFOHEADER, honest biSizeImage with 4-byte row padding;
+  *   - audio: PCM WAV — RIFF container walked chunk-by-chunk ("fmt " for
+  *     sample rate, "data" for the sample payload), 8-bit mono.
   *
-  * Fake wire format (ASCII so the DuckDB oracle can `decode()` it):
-  *   image: "IMG;W=00128;H=00096;" ++ payload[a-p]+
-  *   audio: "AUD;R=16000;S=00192;" ++ payload[a-p]+
+  * Pixel/sample bytes are drawn from 'a'..'p' (valid pixel/PCM values) so
+  * the downstream feature ops stay cross-engine checkable as text. The
+  * fixture also stores the generator's intended `meta` struct and `payload`
+  * string: the DuckDB oracles read THOSE, so the engine's binary parse is
+  * verified against an independent write-side truth, not against a SQL
+  * re-parse sharing its assumptions. Engine operators never read the truth
+  * columns.
   */
 object Media {
 
   final case class MediaMeta(width: Int, height: Int, sampleRate: Int, nBytes: Int)
-  final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte], meta: MediaMeta)
+  final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte],
+      meta: MediaMeta, payload: String)
   final case class MediaParsed(doc_id: Long, kind: String, width: Int, height: Int,
       sample_rate: Int, payload_len: Int)
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Minimal valid 24-bpp BMP: 54-byte header + row-padded pixel array. */
+  def bmpBytes(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val imgSize = rowSize * h
+    require(pixels.length == imgSize, s"pixels ${pixels.length} != $imgSize")
+    val out = new java.io.ByteArrayOutputStream(54 + imgSize)
+    out.write('B'); out.write('M')
+    out.write(le32(54 + imgSize)) // bfSize
+    out.write(le32(0))            // reserved
+    out.write(le32(54))           // bfOffBits
+    out.write(le32(40))           // biSize
+    out.write(le32(w)); out.write(le32(h))
+    out.write(le16(1))            // planes
+    out.write(le16(24))           // bpp
+    out.write(le32(0))            // BI_RGB
+    out.write(le32(imgSize))      // biSizeImage
+    out.write(le32(2835)); out.write(le32(2835)) // 72 dpi
+    out.write(le32(0)); out.write(le32(0))       // palette
+    out.write(pixels)
+    out.toByteArray
+  }
+
+  /** Canonical 44-byte PCM WAV header + 8-bit mono samples. */
+  def wavBytes(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + samples.length)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(36 + samples.length))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16))
+    out.write(le16(1))            // PCM
+    out.write(le16(1))            // mono
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate))   // byteRate (8-bit mono)
+    out.write(le16(1))            // blockAlign
+    out.write(le16(8))            // bitsPerSample
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(samples.length))
+    out.write(samples)
+    out.toByteArray
+  }
 
   /** Deterministic synthetic media row (no wall-clock, no global RNG). */
   def rowFor(i: Long): MediaRow = {
     val rng = new java.util.Random(i * 0x9E3779B97F4A7C15L + 13L)
-    val payloadLen = 64 + rng.nextInt(193)
-    val payload = Array.fill(payloadLen)(('a' + rng.nextInt(16)).toChar).mkString
     if (i % 2 == 0) {
-      val w = 16 + rng.nextInt(2033)
-      val h = 16 + rng.nextInt(2033)
-      val bytes = (f"IMG;W=$w%05d;H=$h%05d;" + payload).getBytes("UTF-8")
-      MediaRow(i, "image", bytes, MediaMeta(w, h, 0, bytes.length))
+      val w = 4 + rng.nextInt(37)
+      val h = 2 + rng.nextInt(9)
+      val imgSize = ((3 * w + 3) / 4) * 4 * h
+      val pixels = Array.fill(imgSize)(('a' + rng.nextInt(16)).toByte)
+      MediaRow(i, "image", bmpBytes(w, h, pixels),
+        MediaMeta(w, h, 0, imgSize), new String(pixels, "US-ASCII"))
     } else {
       val sr = Vector(8000, 16000, 22050, 44100)(rng.nextInt(4))
-      val bytes = (f"AUD;R=$sr%05d;S=$payloadLen%05d;" + payload).getBytes("UTF-8")
-      MediaRow(i, "audio", bytes, MediaMeta(0, 0, sr, bytes.length))
+      val n = 64 + rng.nextInt(193)
+      val samples = Array.fill(n)(('a' + rng.nextInt(16)).toByte)
+      MediaRow(i, "audio", wavBytes(sr, samples),
+        MediaMeta(0, 0, sr, n), new String(samples, "US-ASCII"))
     }
   }
 
@@ -48,47 +101,81 @@ object Media {
     * batches, never one-row calls).
     */
   object MediaKernel {
-    /** STUB: a real system would decode the image/audio container here.
-      * Deterministic fake = parse the ASCII header.
-      */
-    def decodeStub(kind: String, media: Array[Byte]): MediaParsed = {
-      val s = new String(media, "UTF-8")
-      val headerLen = s.indexOf(';', s.indexOf(';', 4) + 1) + 1
-      val payloadLen = s.length - headerLen
-      kind match {
-        case "image" =>
-          MediaParsed(-1L, kind, s.substring(6, 11).toInt, s.substring(14, 19).toInt, 0, payloadLen)
-        case _ =>
-          MediaParsed(-1L, kind, 0, 0, s.substring(6, 11).toInt, payloadLen)
-      }
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+    /** Parse an uncompressed BMP header: magic, dimensions, biSizeImage. */
+    def decodeBmp(b: Array[Byte]): MediaParsed = {
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+      require(rdLe16(b, 28) == 24 && rdLe32(b, 30) == 0, "unsupported BMP variant")
+      val w = rdLe32(b, 18)
+      val h = rdLe32(b, 22)
+      val imgSize = rdLe32(b, 34)
+      MediaParsed(-1L, "image", w, h, 0, imgSize)
     }
+
+    /** Walk RIFF chunks: "fmt " yields the sample rate, "data" the payload
+      * size — a real parser, tolerant of extra chunks and chunk order.
+      */
+    def decodeWav(b: Array[Byte]): MediaParsed = {
+      require(b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a WAV")
+      var off = 12
+      var sampleRate = 0
+      var dataLen = -1
+      while (off + 8 <= b.length && (sampleRate == 0 || dataLen < 0)) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = rdLe32(b, off + 4)
+        id match {
+          case "fmt " => sampleRate = rdLe32(b, off + 12)
+          case "data" => dataLen = size
+          case _      => ()
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(sampleRate > 0 && dataLen >= 0, "missing fmt/data chunk")
+      MediaParsed(-1L, "audio", 0, 0, sampleRate, dataLen)
+    }
+
+    def decode(kind: String, media: Array[Byte]): MediaParsed =
+      if (kind == "image") decodeBmp(media) else decodeWav(media)
   }
 
   /** Metadata extraction through the typed kernel (binary -> parsed). */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaParsed] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      MediaKernel.decodeStub(r.kind, r.media).copy(doc_id = r.doc_id)
+      MediaKernel.decode(r.kind, r.media).copy(doc_id = r.doc_id)
     })
   }
 
+  /** Oracle = the generator's intended metadata (write-side truth), fully
+    * independent of the engine's binary parser.
+    */
   def extractMetaSql(parquetGlob: String): String =
-    s"""SELECT doc_id, kind,
-       |  CASE WHEN kind = 'image' THEN CAST(substring(decode(media), 7, 5) AS INT) ELSE 0 END AS width,
-       |  CASE WHEN kind = 'image' THEN CAST(substring(decode(media), 15, 5) AS INT) ELSE 0 END AS height,
-       |  CASE WHEN kind = 'audio' THEN CAST(substring(decode(media), 7, 5) AS INT) ELSE 0 END AS sample_rate,
-       |  CAST(length(decode(media)) - 20 AS INT) AS payload_len
+    s"""SELECT doc_id, kind, meta.width AS width, meta.height AS height,
+       |  meta.sampleRate AS sample_rate, meta.nBytes AS payload_len
        |FROM read_parquet('$parquetGlob') ORDER BY doc_id""".stripMargin
 
   val Alphabet: Seq[Char] = 'a' to 'p'
 
+  /** Payload (pixel array / PCM data) sliced out of the BINARY column as a
+    * codegen projection: both containers place it after a fixed-size header
+    * (54-byte BMP, 44-byte canonical WAV).
+    */
+  private def payloadCol: org.apache.spark.sql.Column =
+    expr("CAST(substring(media, CASE WHEN kind = 'image' THEN 55 ELSE 45 END, 2147483647) AS STRING)")
+
   /** Feature extraction: 16-bin byte histogram over the payload — the
     * deterministic stand-in for an embedding/feature extractor; a pure
-    * column projection (codegen, no shuffle).
+    * column projection (codegen, no shuffle) over the binary column.
     */
   def byteHistogram(media: DataFrame): DataFrame = {
-    val s = col("media").cast("string")
-    val payload = regexp_extract(s, ";([a-p]+)$", 1)
+    val payload = payloadCol
     val features = concat_ws(",", Alphabet.map(c =>
       (length(payload) - length(regexp_replace(payload, c.toString, ""))).cast("int").cast("string")): _*)
     media.select(col("doc_id"), col("kind"), features.as("features"))
@@ -100,15 +187,13 @@ object Media {
       s"CAST(length(payload) - length(replace(payload, '$c', '')) AS INT)")
       .mkString("array_to_string([", ", ", "], ',')")
     s"""SELECT doc_id, kind, $feats AS features
-       |FROM (SELECT doc_id, kind, regexp_extract(decode(media), ';([a-p]+)$$', 1) AS payload
-       |      FROM read_parquet('$parquetGlob'))
+       |FROM read_parquet('$parquetGlob')
        |ORDER BY doc_id""".stripMargin
   }
 
   /** Frame sampling: every k-th payload byte (video-frame-sample analogue). */
   def frameSample(media: DataFrame, k: Int = 8): DataFrame = {
-    val s = col("media").cast("string")
-    val payload = regexp_extract(s, ";([a-p]+)$", 1)
+    val payload = payloadCol
     val sampled = when(length(payload) >= k,
         concat_ws("", transform(
           sequence(lit(1), floor(length(payload) / lit(k)).cast("int")),
@@ -123,7 +208,6 @@ object Media {
        |    list_transform(generate_series(1, CAST(floor(length(payload) / $k) AS INT)),
        |      i -> substring(payload, (i-1)*$k + 1, 1)), '')
        |  ELSE '' END AS frames
-       |FROM (SELECT doc_id, regexp_extract(decode(media), ';([a-p]+)$$', 1) AS payload
-       |      FROM read_parquet('$parquetGlob'))
+       |FROM read_parquet('$parquetGlob')
        |ORDER BY doc_id""".stripMargin
 }

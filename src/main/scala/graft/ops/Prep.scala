@@ -25,12 +25,13 @@ object Prep {
     // The canonical is the min doc_id AMONG GATE-PASSERS of the same text
     // (a failed-gate copy must not shadow its passing duplicates — if the
     // min-id copy fails lang/quality, the next passing copy survives).
-    val w = words(col("text"))
     val joined = docs
       .select(col("doc_id"), col("lang"), md5(col("text")).as("text_h"),
-        size(w).cast("long").as("n_words"),
-        TextAnalysis.langPredExpr(w).as("lang_pred"),
-        TextAnalysis.qualityScoreMicroExpr(w).as("score_micro"))
+        TextAnalysis.statsCol(col("text")).as("st"))
+      .select(col("doc_id"), col("lang"), col("text_h"),
+        col("st").getField("n_words").as("n_words"),
+        TextAnalysis.langPredFromStats(col("st")).as("lang_pred"),
+        TextAnalysis.qualityScoreMicroFromStats(col("st")).as("score_micro"))
       .withColumn("lang_ok", (col("lang_pred") === lang).cast("int"))
       .withColumn("qual_ok", (col("lang_pred") === lang && col("score_micro") >= minScoreMicro).cast("int"))
       .withColumn("canonical",

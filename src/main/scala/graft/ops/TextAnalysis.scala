@@ -9,26 +9,33 @@ import ColFns._
   *
   * All four are pure narrow projections (no shuffle, whole-stage codegen,
   * column-pruned scans): at 100 TB they run map-only at input parallelism.
-  * Each has a bit-exact DuckDB oracle (see the sql* builders).
+  * The per-row kernels are native Catalyst expressions
+  * ([[graft.functions.TextStatsExpression]] /
+  * [[graft.functions.FingerprintExpression]]) — ONE compiled byte-level
+  * pass per document instead of the round-1 higher-order-function chains
+  * (CodegenFallback, interpreted per element, re-evaluated per consuming
+  * branch). Each op keeps a bit-exact DuckDB oracle (see the sql*
+  * builders — the SQL text is unchanged from the HOF form, which is the
+  * point: same semantics, faster plan).
   */
 object TextAnalysis {
 
-  /** Small per-language stopword profiles for the n-gram/stopword-hit
-    * language-ID heuristic. Tie-break priority = declaration order.
+  /** Stopword profiles (priority order) — sourced from the native
+    * expression so the kernel and the SQL builders cannot drift.
     */
-  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
-    "es" -> Seq("el", "los", "y", "una", "es", "por", "que", "se", "con", "para"),
-    "fr" -> Seq("le", "les", "et", "des", "une", "du", "est", "pour", "dans", "au")
-  )
+  val StopwordProfiles: Seq[(String, Seq[String])] =
+    graft.functions.TextStatsExpression.StopwordProfiles
 
-  private def hits(w: Column, stop: Seq[String]): Column =
-    size(filter(w, x => x.isin(stop.map(s => s: Any): _*)))
+  private val Langs = StopwordProfiles.map(_._1)
 
-  /** Stopword-argmax language prediction as a reusable column expression. */
-  def langPredExpr(w: Column): Column = {
-    val hitCols = StopwordProfiles.map { case (l, sw) => l -> hits(w, sw) }
+  /** struct(n_words, sum_wlen, alpha_words, hits_en, hits_de, hits_es,
+    * hits_fr) in one native pass.
+    */
+  def statsCol(text: Column): Column = call_function("graft_text_stats", text)
+
+  /** Stopword-argmax language prediction over a stats struct. */
+  def langPredFromStats(st: Column): Column = {
+    val hitCols = Langs.map(l => l -> st.getField(s"hits_$l"))
     hitCols.zipWithIndex.foldRight(lit("und")) {
       case (((l, h), i), els) =>
         val geRest = hitCols.drop(i + 1)
@@ -38,18 +45,28 @@ object TextAnalysis {
     }
   }
 
+  /** Composite quality score in exact micro units over a stats struct. */
+  def qualityScoreMicroFromStats(st: Column): Column = {
+    val nWords = st.getField("n_words")
+    val stopHits = st.getField("hits_en") // head profile
+    val alphaWords = st.getField("alpha_words")
+    val nw = nWords.cast("double")
+    val score = (lit(0.4) * (stopHits.cast("double") / nw)
+      + lit(0.3) * (alphaWords.cast("double") / nw)
+      + lit(0.3) * least(lit(1.0), nw / lit(200.0)))
+    when(nWords > 0, micro(score)).otherwise(lit(0L))
+  }
+
   /** Language-ID: stopword-hit counts per profile, argmax with fixed
     * priority tie-break, "und" when no profile hits.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val hitCols = StopwordProfiles.map { case (l, sw) => l -> hits(w, sw) }
-    docs.select(
-      (col("doc_id") +:
-        hitCols.map { case (l, h) => h.as(s"hits_$l") } :+
-        langPredExpr(w).as("lang_pred")): _*)
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), statsCol(col("text")).as("st"))
+      .select(
+        (col("doc_id") +:
+          Langs.map(l => col("st").getField(s"hits_$l").cast("int").as(s"hits_$l")) :+
+          langPredFromStats(col("st")).as("lang_pred")): _*)
       .orderBy("doc_id")
-  }
 
   def langIdSql(table: String): String = {
     val w = sqlWords("text")
@@ -70,36 +87,18 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Composite quality score in exact micro units, reusable expression. */
-  def qualityScoreMicroExpr(w: Column): Column = {
-    val nWords = size(w).cast("long")
-    val stopHits = hits(w, StopwordProfiles.head._2).cast("long")
-    val alphaWords = size(filter(w, x => x.rlike("^[a-z]+$"))).cast("long")
-    val nw = nWords.cast("double")
-    val score = (lit(0.4) * (stopHits.cast("double") / nw)
-      + lit(0.3) * (alphaWords.cast("double") / nw)
-      + lit(0.3) * least(lit(1.0), nw / lit(200.0)))
-    when(nWords > 0, micro(score)).otherwise(lit(0L))
-  }
-
   /** Quality scoring: word count, summed word length, stopword hits,
     * alphabetic-word count, and a composite score in exact micro units.
     */
-  def quality(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val nWords = size(w).cast("long")
-    val sumWlen = aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
-    val stopHits = hits(w, StopwordProfiles.head._2).cast("long")
-    val alphaWords = size(filter(w, x => x.rlike("^[a-z]+$"))).cast("long")
-    val nw = nWords.cast("double")
-    val score = (lit(0.4) * (stopHits.cast("double") / nw)
-      + lit(0.3) * (alphaWords.cast("double") / nw)
-      + lit(0.3) * least(lit(1.0), nw / lit(200.0)))
-    docs.select(col("doc_id"), nWords.as("n_words"), sumWlen.as("sum_wlen"),
-        stopHits.as("stop_hits"), alphaWords.as("alpha_words"),
-        when(nWords > 0, micro(score)).otherwise(lit(0L)).as("score_micro"))
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), statsCol(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st").getField("n_words").as("n_words"),
+        col("st").getField("sum_wlen").as("sum_wlen"),
+        col("st").getField("hits_en").as("stop_hits"),
+        col("st").getField("alpha_words").as("alpha_words"),
+        qualityScoreMicroFromStats(col("st")).as("score_micro"))
       .orderBy("doc_id")
-  }
 
   def qualitySql(table: String): String = {
     val w = sqlWords("text")
@@ -125,7 +124,7 @@ object TextAnalysis {
 
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        size(words(col("text"))).as("n_ws"),
+        statsCol(col("text")).getField("n_words").cast("int").as("n_ws"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe"),
         length(col("text")).cast("long").as("n_chars_t"))
       .orderBy("doc_id")
@@ -140,18 +139,14 @@ object TextAnalysis {
     * (mod 1e9+7 — keeps every intermediate < 2^35, ANSI-overflow-safe), plus
     * a winnowing-style min-hash over 4-gram window hashes.
     */
-  val FpMod = 1000000007L
+  val FpMod: Long = graft.functions.FingerprintExpression.FpMod
 
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val wh = transform(w, x => h32(x) % lit(FpMod))
-    val fp = aggregate(wh, lit(0L), (acc, h) => (acc * lit(31L) + h) % lit(FpMod))
-    val sh = shingles(w, 4)
-    val winnow = when(size(sh) > 0, array_min(transform(sh, s => h32(s))))
-      .otherwise(lit(null).cast("long"))
-    docs.select(col("doc_id"), fp.as("fp"), winnow.as("winnow_fp"))
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), call_function("graft_fingerprint", col("text")).as("f"))
+      .select(col("doc_id"),
+        col("f").getField("fp").as("fp"),
+        col("f").getField("winnow_fp").as("winnow_fp"))
       .orderBy("doc_id")
-  }
 
   def fingerprintSql(table: String): String = {
     val w = sqlWords("text")

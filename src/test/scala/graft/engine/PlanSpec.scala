@@ -66,6 +66,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t-block runs native expressions, no interpreted lambda in the plan") {
+    Seq("t1_langid" -> "graft_text_stats",
+        "t2_quality" -> "graft_text_stats",
+        "t3_token_counts" -> "graft_text_stats",
+        "t4_fingerprint" -> "graft_fingerprint").foreach { case (q, fn) =>
+      val p = plan(q)
+      assert(p.contains(fn), s"$q must use the native $fn expression:\n$p")
+      assert(!p.contains("lambdafunction"),
+        s"$q must not evaluate interpreted higher-order lambdas:\n$p")
+    }
+  }
+
+  test("ANN dot products are the native graft_dot expression") {
+    Seq("s1_cos_neardup", "s2_ann_brute", "s3_ann_ivf", "s4_lsh_buckets").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft_dot"), s"$q must use graft_dot:\n$p")
+      assert(!p.contains("lambdafunction"),
+        s"$q must not evaluate interpreted higher-order lambdas:\n$p")
+    }
+  }
+
   test("s4 LSH bucketing is a shuffle-free narrow projection") {
     val p = plan("s4_lsh_buckets")
     val body = p.substring(0, math.max(0, p.indexOf("Sort")))

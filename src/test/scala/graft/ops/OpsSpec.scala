@@ -185,7 +185,7 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- multimodal ----------
 
-  test("media kernel: stub decode reproduces the typed metadata") {
+  test("media kernel: real BMP/WAV header parse recovers the encoded metadata") {
     import spark.implicits._
     val rows = (0L until 64L).map(Media.rowFor)
     val ds = spark.createDataset(rows)
@@ -195,8 +195,27 @@ class OpsSpec extends AnyFunSuite {
       assert(p.kind == r.kind)
       assert(p.width == r.meta.width && p.height == r.meta.height)
       assert(p.sample_rate == r.meta.sampleRate)
-      assert(p.payload_len == r.meta.nBytes - 20, "payload = total - 20-byte header")
+      assert(p.payload_len == r.meta.nBytes, s"payload_len doc ${r.doc_id}")
     }
+  }
+
+  test("wav chunk walker tolerates extra chunks before fmt/data") {
+    // RIFF with a LIST chunk (odd size -> word-aligned) before fmt and data
+    val samples = "abcd".getBytes("US-ASCII")
+    val canonical = Media.wavBytes(22050, samples)
+    val fmtAndData = canonical.drop(12)
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write("RIFF".getBytes("US-ASCII"))
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 'x') // 5 bytes, odd
+    extra.write(Array[Byte](
+      ((4 + 8 + listBody.length + 1 + fmtAndData.length) & 0xFF).toByte, 0, 0, 0))
+    extra.write("WAVE".getBytes("US-ASCII"))
+    extra.write("LIST".getBytes("US-ASCII"))
+    extra.write(Array[Byte](listBody.length.toByte, 0, 0, 0))
+    extra.write(listBody); extra.write(0) // pad byte
+    extra.write(fmtAndData)               // fmt + data chunks
+    val parsed = Media.MediaKernel.decodeWav(extra.toByteArray)
+    assert(parsed.sample_rate == 22050 && parsed.payload_len == 4)
   }
 
   test("media histogram: feature counts sum to payload length") {
@@ -205,7 +224,7 @@ class OpsSpec extends AnyFunSuite {
     val df = Media.byteHistogram(spark.createDataset(rows).toDF())
     df.collect().foreach { r =>
       val total = r.getAs[String]("features").split(",").map(_.toInt).sum
-      val expected = rows.find(_.doc_id == r.getAs[Long]("doc_id")).get.meta.nBytes - 20
+      val expected = rows.find(_.doc_id == r.getAs[Long]("doc_id")).get.meta.nBytes
       assert(total == expected)
     }
   }
