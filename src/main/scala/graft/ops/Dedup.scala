@@ -107,10 +107,15 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** 32-bit SimHash over word hashes, explode + hash-aggregate form. */
+  /** 32-bit SimHash over word hashes, explode + hash-aggregate form.
+    * Words come from native split/explode + a relational non-empty filter
+    * (same semantics as the `words()` higher-order form, but fully codegen:
+    * no interpreted lambda per row on this hot path).
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val ex = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
       .select(col("doc_id"), h32(col("w")).as("h"))
     val sums = (0 until 32).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b"))

@@ -80,6 +80,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.count() + half.count() == pages.count())
   }
 
+  test("golden corpus urls are unique (eval fname-dedupe parity precondition)") {
+    // The eval oracles mirror the engine's per-url dedupe with an arbitrary
+    // row_number pick; that is only deterministic while urls are unique.
+    ensured()
+    val g = spark.read.parquet(Corpus.goldenPath(sfDir))
+    assert(g.count() == g.select("url").distinct().count())
+  }
+
   test("golden corpus digest is frozen (catches silent engine+oracle co-drift)") {
     ensured()
     // md5 over (url  text  nKv) rows joined by  in url order,
