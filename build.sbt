@@ -16,6 +16,12 @@ run / fork := true
 // in round 1 (BENCH_r01.json "parsed": null). Project-level so it applies to
 // `run` and `runMain` alike.
 outputStrategy := Some(StdoutOutput)
+// Bench's local-cluster scaling phase launches REAL executor JVMs through
+// the Spark launcher, which needs these two (the distribution lives at
+// /opt/spark; the launcher can't infer the Scala version outside a build
+// tree). Harmless for plain local[*] runs: SparkSession never reads
+// spark-defaults.conf unless started via spark-submit.
+envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

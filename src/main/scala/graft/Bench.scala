@@ -147,6 +147,43 @@ object Bench {
     val (full8Sec, full8Thr) = fullThroughput(8)
     val (full32Sec, full32Thr) = fullThroughput(32)
 
+    /** Separate-JVM scaling: `local-cluster[n,1,1536]` launches REAL
+      * executor processes (own heap, own GC, own allocator) — the
+      * cluster-faithful N vs 4N evidence the thread-based pairs can't give
+      * (threads share one DRAM bus and heap). Executors load the engine via
+      * extraClassPath (same machine). Returns docs/sec, or -1 if the
+      * environment can't launch executors (missing SPARK_HOME).
+      */
+    def clusterThroughput(nExec: Int, mult: Long): Double =
+      try {
+        val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+        val s = SparkSession.builder()
+          .master(s"local-cluster[$nExec,1,1536]")
+          .appName(s"graft-bench-cluster-$nExec")
+          .config("spark.executor.extraClassPath", classesDir)
+          .config("spark.sql.shuffle.partitions", nExec.toString)
+          .config("spark.sql.files.maxPartitionBytes", "1m")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        try {
+          def job(): Long = {
+            val input = (1L to mult).map(_ => s.read.parquet(pagesPath)).reduce(_ union _)
+            Pipeline.extract(input).count()
+          }
+          Pipeline.extract(s.read.parquet(pagesPath).limit(2000)).count() // exec JIT warmup
+          job()                                                           // full warm pass
+          val t0 = System.nanoTime()
+          val docs = job()
+          docs / ((System.nanoTime() - t0) / 1e9)
+        } finally s.stop()
+      } catch { case _: Throwable => -1.0 }
+
+    val multC = math.max(1L, math.min(24L, 40000L / math.max(1L, baseDocs)))
+    val thrC1 = clusterThroughput(1, multC)
+    val thrC4 = clusterThroughput(4, multC * 4)
+    val effC = if (thrC1 > 0 && thrC4 > 0) (thrC4 / thrC1) / 4.0 else -1.0
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -162,6 +199,8 @@ object Bench {
         s""""scaling_efficiency_1_4":$efficiency,"scaling_pair":"local[1]->local[4]",""" +
         s""""scaling_efficiency":$efficiency,""" +
         s""""scaling_efficiency_8_32":$efficiency8to32,""" +
+        s""""cluster_docs_per_sec_1":$thrC1,"cluster_docs_per_sec_4":$thrC4,""" +
+        s""""cluster_scaling_efficiency_1_4":$effC,"cluster_mode":"local-cluster[n,1,1536] separate executor JVMs",""" +
         s""""full_run_docs":${baseDocs * multEff},""" +
         s""""full_run_sec8":$full8Sec,"full_run_sec":$full32Sec,""" +
         s""""full_docs_per_sec_8":$full8Thr,"full_docs_per_sec":$full32Thr}"""

@@ -28,6 +28,13 @@ class RefVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("special_text_replace matches the executed reference (inference variant)") {
+    root.get("special_text_replace").elements.asScala.foreach { c =>
+      assert(TextNorm.specialReplace(c.get("in").asText) == c.get("out").asText,
+        s"in=${c.get("in").asText}")
+    }
+  }
+
   test("string_f2h matches reference") {
     root.get("string_f2h").elements.asScala.foreach { c =>
       assert(TextNorm.stringF2H(c.get("in").asText) == c.get("out").asText)

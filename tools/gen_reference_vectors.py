@@ -38,6 +38,22 @@ for n in [1, 2, 3, 5, 8, 13, 30]:
         sb_cases.append({"boxes": ok, "perm": sort_boxes(ok)})
 out["sort_boxes"] = sb_cases
 
+# --- special_text_replace (deploy/inference.py:182-203 variant, the
+# superset the engine ports): extract the method source and exec with
+# string_f2h bound; call with a dummy self ---
+isrc = open("/root/reference/deploy/inference.py").read()
+mi = re.search(r"    def _special_text_replace.*?\n        return string_f2h\(line_text\)\n", isrc, re.S)
+ns_sr = {"string_f2h": string_f2h}
+exec(compile("class _D:\n" + mi.group(0), "str_repl", "exec"), ns_sr)
+_special = ns_sr["_D"]()._special_text_replace
+sr_texts = [
+    "", "plain", "☐ tick ☑ box", "\uf702x\uf703", "Tοpic: Tοpic",
+    "café – menú", "‘quoted’ “open", "em—dash ™ §5 ¢99",
+    "ü over ú", "ＦＵＬＬ　ｗｉｄｔｈ！ plus – mixed ™",
+    "áéíóúü–‘’“—™§¢ all at once", "Tοpics stay (only exact Tοpic)",
+]
+out["special_text_replace"] = [{"in": t, "out": _special(t)} for t in sr_texts]
+
 # --- string_f2h vectors ---
 texts = ["", "abc", "ＡＢＣ！ １２３", "　x　", "mixed＋fulｌwidth～", "！～｟", "no change 123"]
 out["string_f2h"] = [{"in": t, "out": string_f2h(t)} for t in texts]
