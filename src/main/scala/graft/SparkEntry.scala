@@ -140,6 +140,7 @@ object SparkEntry {
     "d3_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "d6_dedup_components" -> ((s, dir) => Dedup.dedupComponents(docs(s, dir))),
     // --- embedding similarity / ANN ---
     // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
     // LSH-sub-bucketed (hot-cell guard), the rest keep exact within-cell pairs
@@ -249,6 +250,7 @@ object SparkEntry {
     "d3_simhash" -> Dedup.simhashSql("documents"),
     "d4_jaccard" -> Dedup.jaccardPairsSql("documents"),
     "d5_simhash_pairs" -> Dedup.simhashPairsSql("documents"),
+    "d6_dedup_components" -> Dedup.dedupComponentsSql("documents"),
     "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings", cellCap = 50),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),

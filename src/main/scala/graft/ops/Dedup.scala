@@ -177,6 +177,81 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Connected components over the MinHash-LSH candidate-pair graph: the
+    * step that turns near-dup PAIRS into dedup CLUSTERS (one canonical doc
+    * per component). Min-label propagation: every doc starts as its own
+    * component; each round takes the min component id over itself and its
+    * neighbors; fixpoint when the global sum of labels stops decreasing
+    * (labels only ever decrease, so equal sum == converged — an O(1)
+    * convergence test, no row-level diff join).
+    *
+    * Scale posture: each round is one equi-join + hash agg on doc_id;
+    * rounds needed = component diameter, which for near-dup clusters
+    * (copies of the same content) is tiny and independent of corpus size.
+    * Labels persist per round and unpersist the previous round, so lineage
+    * stays bounded. maxIters is a loud-failure guard, not a silent cap.
+    */
+  def dedupComponents(docs: DataFrame, k: Int = 8, n: Int = 4, maxIters: Int = 20): DataFrame =
+    componentsFrom(docs.select(col("doc_id")), lshCandidatePairs(docs, k, n), maxIters)
+
+  /** Propagation core: nodes(doc_id) + undirected pairs(id_a, id_b) ->
+    * (doc_id, component). Exposed for direct graph-shape tests.
+    */
+  private[ops] def componentsFrom(nodes: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).persist()
+    var prevSum = labels.agg(sum(col("component"))).collect()(0).getLong(0)
+    var converged = false
+    var iters = 0
+    while (!converged) {
+      iters += 1
+      require(iters <= maxIters, s"componentsFrom did not converge in $maxIters rounds")
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component"))
+        .union(nbr)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
+        .persist()
+      val s = next.agg(sum(col("component"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
+
+  def dedupComponentsSql(table: String, k: Int = 8, n: Int = 4): String = {
+    // candidate pairs exactly as lshCandidatePairsSql, then undirected
+    // min-reachable-id per node via a recursive CTE (UNION dedups -> the
+    // recursion terminates at the transitive closure)
+    val w = sqlWords("text")
+    val sh = sqlShingles("w", n)
+    val slotHash = sqlH32("h || '|' || s")
+    s"""WITH RECURSIVE docs0 AS (SELECT doc_id, $w AS w FROM $table),
+       |sh AS (SELECT doc_id, $sh AS shingles FROM docs0),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0,${k - 1}),
+       |    h -> list_min(list_transform(shingles, s -> $slotHash))) AS mh
+       |  FROM sh WHERE len(shingles) > 0),
+       |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
+       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM $table
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(lbl) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-doc DISTINCT shingle set as one array column, computed map-side in
     * the typed kernel (no shuffle; used to rescore candidate pairs exactly).
     */

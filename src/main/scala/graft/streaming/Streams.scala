@@ -54,6 +54,20 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_vmilli"))
 
+  /** Streaming exact dedup over a document stream: first-seen wins within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` bounds the
+    * dedup state by the watermark (an unbounded-horizon streaming dedup is
+    * impossible at 10^12 docs; cross-horizon dedup belongs to the batch
+    * `Dedup.exact`/`dedupComponents` pass).
+    */
+  def dedupStream(docs: DataFrame, eventTimeCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_h", md5(col("text")))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("text_h")
+      .drop("text_h")
+
   /** Event-time sessionization with an inactivity gap: emits one row per
     * closed session. State per user is O(1); sessions close via event-time
     * timeout as the watermark passes lastTs + gap.

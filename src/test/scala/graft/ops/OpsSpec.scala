@@ -111,6 +111,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components: multi-round path graph and singletons") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("doc_id")
+    // path 1-2-3-4 (diameter 3 -> several propagation rounds), pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.componentsFrom(nodes, pairs, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupComponents clusters exact-duplicate groups; others stay singletons") {
+    val text1 = "alpha beta gamma delta epsilon zeta"
+    val text2 = "one two three four five six seven"
+    val df = docsDf(
+      1L -> text1, 2L -> text1, 3L -> text1,
+      4L -> text2, 5L -> text2,
+      6L -> "completely different words here now ok")
+    val got = Dedup.dedupComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("dedup results invariant to input partitioning") {
     val repartitioned = dupDocs.repartition(7)
     assert(Dedup.lshCandidatePairs(dupDocs).collect().toSeq ==

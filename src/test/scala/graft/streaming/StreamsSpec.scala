@@ -65,6 +65,25 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("streaming dedup drops duplicate texts within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.dedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    mem.addData(
+      (1L, tsAt(10, 0), "same text"),
+      (2L, tsAt(10, 1), "same text"),   // dup within watermark -> dropped
+      (3L, tsAt(10, 2), "other text"))
+    q.processAllAvailable()
+    mem.addData((4L, tsAt(10, 3), "same text")) // still within horizon -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM dd ORDER BY doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap and watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
