@@ -77,7 +77,7 @@ object Decode {
       sb.toString
     }
     @inline def sliceBox(s: Int, eIncl: Int): Vector[Int] =
-      Boxes.mergeBbox(bbox.slice(s, eIncl + 1))
+      Boxes.mergeBboxRange(bbox, s, eIncl)
 
     // --- line assembly (decode.py:205-212) ---
     val lines = Vector.newBuilder[DecodedLine]

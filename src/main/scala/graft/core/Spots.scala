@@ -24,6 +24,38 @@ object Spots {
     */
   def canonicalize(spots: Seq[(Int, Int, Int)]): Vector[Spot] = {
     if (spots.isEmpty) return Vector.empty
+    val m = spots.length
+    // hot path: pack (i:20 | j:20 | seq:18 | tag:2) into one long per spot —
+    // a primitive sort replaces the boxed HashMap; within an (i, j) cell the
+    // max seq is the LAST write (last-wins), and the sort order is (i, j)
+    // ascending, exactly the map+sort semantics. Falls back to the boxed
+    // form for out-of-range inputs (token indices are < 512 in practice).
+    if (m < (1 << 18) && spots.forall { case (i, j, tag) =>
+        i >= 0 && j < (1 << 20) && tag >= 0 && tag <= 3 }) {
+      val arr = new Array[Long](m)
+      var k = 0
+      spots.foreach { case (i, j, tag) =>
+        require(i <= j, s"spot ($i,$j) not upper-triangular")
+        arr(k) = (i.toLong << 40) | (j.toLong << 20) | (k.toLong << 2) | tag.toLong
+        k += 1
+      }
+      java.util.Arrays.sort(arr)
+      val out = Vector.newBuilder[Spot]
+      var idx = 0
+      while (idx < m) {
+        val cellKey = arr(idx) >>> 20
+        var last = arr(idx)
+        idx += 1
+        while (idx < m && (arr(idx) >>> 20) == cellKey) { last = arr(idx); idx += 1 }
+        val tag = (last & 3L).toInt
+        if (tag != 0)
+          out += Spot((last >>> 40).toInt, ((last >>> 20) & 0xFFFFFL).toInt, tag, 1.0)
+      }
+      out.result()
+    } else canonicalizeBoxed(spots)
+  }
+
+  private def canonicalizeBoxed(spots: Seq[(Int, Int, Int)]): Vector[Spot] = {
     val cell = mutable.HashMap.empty[Long, Int]
     spots.foreach { case (i, j, tag) =>
       require(i <= j, s"spot ($i,$j) not upper-triangular")

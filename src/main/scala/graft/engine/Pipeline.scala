@@ -45,7 +45,7 @@ object Pipeline {
   def extractDoc(url: String, html: Array[Byte], lang: String, buckets: Int): DocOut = {
     val t0 = System.nanoTime()
     val page = new String(html, java.nio.charset.StandardCharsets.UTF_8)
-    val ann = Lineizer.lineize(HtmlParser.parse(page), url)
+    val ann = Lineizer.lineizeStream(page, url)
     val sample = DocBuilder.build(ann)
     val d = DocBuilder.decodeSample(sample)
     DocOut(

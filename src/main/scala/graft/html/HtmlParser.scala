@@ -18,7 +18,7 @@ object HtmlParser {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr"
   )
-  private val RawTextTags: Set[String] = Set("script", "style")
+  private[html] val RawTextTags: Set[String] = Set("script", "style")
 
   sealed trait Node
   final case class Text(value: String) extends Node
@@ -89,7 +89,7 @@ object HtmlParser {
   ).groupBy(t => (t.length, t.charAt(0)))
 
   /** Lowercased tag name for html[start, end), interning common tags. */
-  private def tagNameOf(html: String, start: Int, end: Int): String = {
+  private[html] def tagNameOf(html: String, start: Int, end: Int): String = {
     val len = end - start
     if (len > 0) {
       val c0 = Character.toLowerCase(html.charAt(start))
@@ -106,7 +106,7 @@ object HtmlParser {
     html.substring(start, end).toLowerCase
   }
 
-  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+  private[html] def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
     var i = math.max(0, from)
     val max = s.length - target.length
     while (i <= max) {

@@ -174,7 +174,20 @@ object Lineizer {
         .collectFirst { case Some(d) => d }
     }
     val (width, height) = findDims(root).getOrElse((1000, 1414))
+    assemble(blocks, width, height, uid)
+  }
 
+  /** Blocks -> AnnDoc: classification, union-find grouping, entity/relation
+    * assembly. Shared verbatim by the tree path ([[lineize]]) and the
+    * streaming path ([[lineizeStream]]), so the two parsers can only differ
+    * in block extraction — which the parity spec pins.
+    */
+  private def assemble(
+      blocks: scala.collection.IndexedSeq[Block],
+      width: Int,
+      height: Int,
+      uid: String
+  ): AnnDoc = {
     // ids referenced by any label[for]: their blocks are answers
     val referencedIds: Set[String] =
       blocks.iterator.flatMap(_.forAttr).toSet
@@ -290,13 +303,247 @@ object Lineizer {
     )
   }
 
+  /** One open-element frame of the streaming scanner. Mirrors the tree
+    * parser's frame stack exactly (incl. mismatched-close cascades); the
+    * lineizer context (refs/flags) rides the frame instead of a recursive
+    * walk, and positioned blocks capture their subtree text inline — no DOM
+    * is ever materialized.
+    */
+  private final class SFrame(
+      val tag: String,
+      val myRef: Int,          // 0 for frames inside an open block (walk never visits them)
+      val isA: Boolean,
+      val isBlockRoot: Boolean,
+      // context for CHILDREN of this element
+      val nav: Boolean,
+      val hdr: Boolean,
+      val cell: String,
+      val dl: Int,
+      val tr: Int
+  )
+
+  /** Streaming equivalent of `lineize(HtmlParser.parse(html), uid)`: a
+    * single scan over the markup producing blocks directly — no DOM, no
+    * per-element attr/children collections, text substrings only inside
+    * positioned blocks. The tree path stays as the reference implementation
+    * and the parity spec asserts equality over the corpus and adversarial
+    * snippets.
+    */
+  def lineizeStream(html: String, uid: String): AnnDoc = {
+    import HtmlParser._
+    val blocks = mutable.ArrayBuffer.empty[Block]
+
+    val frames = mutable.ArrayBuffer.empty[SFrame]
+    frames += new SFrame("#root", 1, isA = false, isBlockRoot = false,
+      nav = false, hdr = false, cell = "", dl = 0, tr = 0)
+
+    var elemCounter = 1 // #root consumed ref 1, matching the tree walk
+
+    // open-block capture state (at most one block open at a time: the walk
+    // never descends into a block, so nested positioned elements inside it
+    // are just text contributors)
+    var blockOpen = false
+    var bTag: String = null
+    var bParentRef, bDlRef, bTrRef = 0
+    var bId: Option[String] = None
+    var bFor: Option[String] = None
+    var bNav, bHdr = false
+    var bCell = ""
+    var bBox: Vector[Int] = null
+    val bSb = new java.lang.StringBuilder
+    var bLink = 0
+    var aDepth = 0
+
+    var dimW, dimH = -1
+
+    def emitBlock(): Unit = {
+      val text = bSb.toString
+      val ld = if (text.isEmpty) 0.0 else bLink.toDouble / text.length
+      blocks += Block(
+        docOrder = blocks.length, tag = bTag, parentRef = bParentRef,
+        dlRef = bDlRef, trRef = bTrRef, idAttr = bId, forAttr = bFor,
+        navLike = bNav, headerLike = bHdr, cellTag = bCell,
+        text = text, bbox = bBox, linkDensity = ld)
+      blockOpen = false
+    }
+
+    def closeFrame(): Unit = {
+      val f = frames.remove(frames.length - 1)
+      if (blockOpen && f.isA) aDepth -= 1
+      if (f.isBlockRoot) emitBlock()
+    }
+
+    /** Text run [from, until): appended only while a block is open; the
+      * substring+entity-decode is skipped entirely when no '&' occurs.
+      */
+    def flushText(from: Int, until: Int): Unit =
+      if (blockOpen && until > from) {
+        val before = bSb.length
+        val amp = html.indexOf('&', from)
+        if (amp < 0 || amp >= until) bSb.append(html, from, until)
+        else bSb.append(decodeEntities(html.substring(from, until)))
+        if (aDepth > 0) bLink += bSb.length - before
+      }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { flushText(i, n); i = n }
+      else {
+        if (lt > i) flushText(i, lt)
+        if (lt + 1 >= n) { i = n }
+        else if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (html.charAt(lt + 1) == '/') {
+          val end = html.indexOf('>', lt + 1)
+          // trimmed [ns, ne) name bounds; tagNameOf interns common tags
+          var ns = lt + 2
+          var ne = if (end < 0) n else end
+          while (ns < ne && html.charAt(ns) <= ' ') ns += 1
+          while (ne > ns && html.charAt(ne - 1) <= ' ') ne -= 1
+          val name = tagNameOf(html, ns, ne)
+          val idx = frames.lastIndexWhere(_.tag == name)
+          if (idx > 0) while (frames.length > idx) closeFrame()
+          i = if (end < 0) n else end + 1
+        } else {
+          var j = lt + 1
+          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+          val name = tagNameOf(html, lt + 1, j)
+          if (name.isEmpty) { flushText(lt, lt + 1); i = lt + 1 }
+          else {
+            // attribute scan retaining only the five the lineizer reads;
+            // values are extracted/decoded ONLY for retained keys
+            var styleV: String = null
+            var idV: String = null
+            var forV: String = null
+            var dwV: String = null
+            var dhV: String = null
+            var selfClose = false
+            var done = false
+            def keyKind(ks: Int, ke: Int): Int = {
+              val kl = ke - ks
+              if (kl == 5 && html.regionMatches(true, ks, "style", 0, 5)) 1
+              else if (kl == 2 && html.regionMatches(true, ks, "id", 0, 2)) 2
+              else if (kl == 3 && html.regionMatches(true, ks, "for", 0, 3)) 3
+              else if (kl == 6 && html.regionMatches(true, ks, "data-w", 0, 6)) 4
+              else if (kl == 6 && html.regionMatches(true, ks, "data-h", 0, 6)) 5
+              else 0
+            }
+            def retain(kind: Int, vs: Int, ve: Int): Unit =
+              if (kind != 0) {
+                val v = decodeEntities(html.substring(vs, ve))
+                kind match {
+                  case 1 => styleV = v
+                  case 2 => idV = v
+                  case 3 => forV = v
+                  case 4 => dwV = v
+                  case _ => dhV = v
+                }
+              }
+            while (!done && j < n) {
+              while (j < n && html.charAt(j).isWhitespace) j += 1
+              if (j < n && html.charAt(j) == '>') { done = true; j += 1 }
+              else if (j + 1 < n && html.charAt(j) == '/' && html.charAt(j + 1) == '>') {
+                selfClose = true; done = true; j += 2
+              } else if (j < n) {
+                val ks = j
+                while (j < n && html.charAt(j) != '=' && html.charAt(j) != '>' &&
+                  html.charAt(j) != '/' && !html.charAt(j).isWhitespace) j += 1
+                val kind = if (j > ks) keyKind(ks, j) else 0
+                while (j < n && html.charAt(j).isWhitespace) j += 1
+                if (j < n && html.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && html.charAt(j).isWhitespace) j += 1
+                  if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                    val q = html.charAt(j)
+                    val vs = j + 1
+                    val ve = html.indexOf(q, vs)
+                    retain(kind, vs, if (ve < 0) n else ve)
+                    j = if (ve < 0) n else ve + 1
+                  } else {
+                    val vs = j
+                    while (j < n && html.charAt(j) != '>' && !html.charAt(j).isWhitespace) j += 1
+                    retain(kind, vs, j)
+                  }
+                } else retain(kind, 0, 0) // key with no value -> ""
+              }
+            }
+            i = j
+            val isRaw = RawTextTags.contains(name)
+            val isVoidLike = VoidTags.contains(name) || selfClose || isRaw
+            if (isRaw) {
+              val close = "</" + name
+              val end = indexOfIgnoreCase(html, close, i)
+              val endGt = if (end < 0) n else html.indexOf('>', end)
+              i = if (end < 0) n else (if (endGt < 0) n else endGt + 1)
+            }
+            if (dimW < 0 && dwV != null && dhV != null) {
+              (dwV.toIntOption, dhV.toIntOption) match {
+                case (Some(w), Some(h)) => dimW = w; dimH = h
+                case _                  => ()
+              }
+            }
+            if (blockOpen) {
+              // inside a block: frames still mirror the parser, text flows,
+              // but no refs and no nested blocks (the walk never descends)
+              if (!isVoidLike) {
+                val top = frames(frames.length - 1)
+                frames += new SFrame(name, 0, isA = name == "a", isBlockRoot = false,
+                  nav = top.nav, hdr = top.hdr, cell = top.cell, dl = top.dl, tr = top.tr)
+                if (name == "a") aDepth += 1
+              }
+            } else {
+              elemCounter += 1
+              val myRef = elemCounter
+              val top = frames(frames.length - 1)
+              val nav2 = top.nav || navTags.contains(name)
+              val hdr2 = top.hdr || headerTags.contains(name)
+              val cell2 = if (cellTags.contains(name)) name else top.cell
+              val dl2 = if (name == "dl") myRef else top.dl
+              val tr2 = if (name == "tr") myRef else top.tr
+              val box = if (styleV == null) None else parseStyleBox(styleV)
+              box match {
+                case Some(b) =>
+                  bTag = name; bParentRef = top.myRef
+                  bDlRef = dl2; bTrRef = tr2
+                  bId = Option(idV).filter(_.nonEmpty)
+                  bFor = Option(forV).filter(_.nonEmpty)
+                  bNav = nav2; bHdr = hdr2; bCell = cell2; bBox = b
+                  bSb.setLength(0); bLink = 0
+                  if (isVoidLike) { blockOpen = true; emitBlock() } // childless
+                  else {
+                    blockOpen = true
+                    aDepth = if (name == "a") 1 else 0
+                    frames += new SFrame(name, myRef, isA = name == "a", isBlockRoot = true,
+                      nav = nav2, hdr = hdr2, cell = cell2, dl = dl2, tr = tr2)
+                  }
+                case None =>
+                  if (!isVoidLike)
+                    frames += new SFrame(name, myRef, isA = name == "a", isBlockRoot = false,
+                      nav = nav2, hdr = hdr2, cell = cell2, dl = dl2, tr = tr2)
+              }
+            }
+          }
+        }
+      }
+    }
+    while (frames.length > 1) closeFrame()
+    val (width, height) = if (dimW >= 0) (dimW, dimH) else (1000, 1414)
+    assemble(blocks, width, height, uid)
+  }
+
   /** Full kernel body: html bytes -> annotation -> token sample -> decoded
     * document. The single per-document function the Spark engine maps over
     * partitions (pred path: mutual-best assignment).
     */
   def extract(uid: String, htmlBytes: Array[Byte]): DecodedDoc = {
     val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
-    val ann = lineize(HtmlParser.parse(html), uid)
+    val ann = lineizeStream(html, uid)
     DocBuilder.decodeSample(DocBuilder.build(ann))
   }
 }

@@ -57,6 +57,41 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming lineizer == tree lineizer over the corpus and adversarial markup") {
+    // corpus pages (full real rendering surface)
+    (0L until nDocs.toLong).foreach { idx =>
+      val synth = CorpusGen.annFor(idx)
+      val html = CorpusGen.render(synth, "en")
+      val tree = Lineizer.lineize(HtmlParser.parse(html), synth.ann.uid)
+      val stream = Lineizer.lineizeStream(html, synth.ann.uid)
+      assert(stream == tree, s"doc $idx")
+    }
+    // adversarial snippets: mis-nesting across a block boundary, block
+    // closed by a mismatched ancestor tag, a-link text, nested positioned
+    // element inside a block, void styled element, raw-text inside block,
+    // entities in text and attrs, self-closing block
+    val bx = "left:1px;top:2px;width:30px;height:4px"
+    val by = "left:1px;top:40px;width:30px;height:4px"
+    val snippets = Seq(
+      s"""<table><tr><td style="$bx">c1</td><td style="$by">c2</table>""",
+      s"""<b><div style="$bx">bold A</b> tail</div><p style="$by">B</p>""",
+      s"""<div style="$bx">x<a href="/u">link</a>y<span style="$by">inner</span></div>""",
+      s"""<nav><div style="$bx"><a href="/">all link</a></div></nav><img style="$by">""",
+      s"""<div style="$bx">keep<script>ignore<me></script>after</div>""",
+      s"""<dl><dt style="$bx">A&amp;B</dt><dd style="$by" id="i&quot;1">v</dd></dl>""",
+      s"""<div style="$bx"/><label style="$by" for="f1">L</label>""",
+      s"""<main data-w="800" data-h="600"><div style="$bx">t</div></main>""",
+      s"""<a style="$bx">self link text</a>""",
+      s"""<div style="$bx">open never closed<p style="$by">second"""
+    )
+    snippets.zipWithIndex.foreach { case (h, i) =>
+      val html = s"<html><body>$h</body></html>"
+      val tree = Lineizer.lineize(HtmlParser.parse(html), "u")
+      val stream = Lineizer.lineizeStream(html, "u")
+      assert(stream == tree, s"snippet $i:\n$h")
+    }
+  }
+
   test("style box parse: unicode whitespace and overlong digit runs are not matches") {
     def lineTexts(html: String): Vector[String] =
       Lineizer.lineize(HtmlParser.parse(html), "u").entities.flatMap(_.lines.map(_.text))

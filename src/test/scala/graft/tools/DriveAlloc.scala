@@ -44,5 +44,20 @@ object DriveAlloc {
       graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
         new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
     }
+    val samples = pages.map { p =>
+      graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
+    }
+    stage("canonicalize x5") { i =>
+      val s = samples(i % samples.length)
+      graft.core.Spots.canonicalize(s.lineExtractionSpots)
+      graft.core.Spots.canonicalize(s.entHeadSpots)
+      graft.core.Spots.canonicalize(s.entTailSpots)
+      graft.core.Spots.canonicalize(s.groupHeadSpots)
+      graft.core.Spots.canonicalize(s.groupTailSpots)
+    }
+    stage("decodeSample") { i =>
+      graft.core.DocBuilder.decodeSample(samples(i % samples.length))
+    }
   }
 }

@@ -14,7 +14,7 @@ object DriveScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val path = "/root/repo/target/corpus/v1/sf0.1/pages.parquet"
+    val path = graft.app.Corpus.pagesPath("/root/testdata/sf0.1")
     val schema = spark.read.parquet(path).schema
     def t(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); f
