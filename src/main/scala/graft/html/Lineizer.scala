@@ -56,10 +56,17 @@ object Lineizer {
     * key wins). The regex was the kernel's top allocation site — Match
     * objects per block at 10^12-doc scale; this scan allocates nothing.
     */
-  private def parseStyleBox(style: String): Option[Vector[Int]] = {
+  private def parseStyleBox(style: String): Option[Vector[Int]] =
+    parseStyleBox(style, 0, style.length)
+
+  /** Region form: parses html[from, until) in place — the streaming scanner
+    * never materializes the style attribute value. Delimiter characters at
+    * `until` can never start a key or "px", so bounded scans are safe.
+    */
+  private def parseStyleBox(style: String, from: Int, until: Int): Option[Vector[Int]] = {
     var l, t, w, h = Integer.MIN_VALUE
-    val n = style.length
-    var i = 0
+    val n = until
+    var i = from
     while (i < n) {
       var matched = false
       var ki = 0
@@ -356,6 +363,52 @@ object Lineizer {
 
     var dimW, dimH = -1
 
+    // per-element attr bounds, DOC-scoped: nested defs capture these as
+    // heap refs, and function-local vars would re-allocate the ref cells
+    // for every element (measured ~2 KB/doc of IntRef churn)
+    var styleVs, styleVe, idVs, idVe, forVs, forVe = -1
+    var dwVs, dwVe, dhVs, dhVe = -1
+    var selfClose = false
+
+    def retainAttr(kind: Int, vs: Int, ve: Int): Unit =
+      kind match {
+        case 1 => styleVs = vs; styleVe = ve
+        case 2 => idVs = vs; idVe = ve
+        case 3 => forVs = vs; forVe = ve
+        case 4 => dwVs = vs; dwVe = ve
+        case 5 => dhVs = vs; dhVe = ve
+        case _ => ()
+      }
+
+    def keyKind(ks: Int, ke: Int): Int = {
+      val kl = ke - ks
+      if (kl == 5 && html.regionMatches(true, ks, "style", 0, 5)) 1
+      else if (kl == 2 && html.regionMatches(true, ks, "id", 0, 2)) 2
+      else if (kl == 3 && html.regionMatches(true, ks, "for", 0, 3)) 3
+      else if (kl == 6 && html.regionMatches(true, ks, "data-w", 0, 6)) 4
+      else if (kl == 6 && html.regionMatches(true, ks, "data-h", 0, 6)) 5
+      else 0
+    }
+
+    /** '&' occurs in html[from, until)? Bounded scan — indexOf would run
+      * to the end of the document on entity-free pages (O(n^2) overall).
+      */
+    def hasAmp(from: Int, until: Int): Boolean = {
+      var k = from
+      while (k < until && html.charAt(k) != '&') k += 1
+      k < until
+    }
+
+    /** Materialize a recorded attr value (entity-decoded, like the tree
+      * parser's attr map) only when actually consumed.
+      */
+    def matVal(vs: Int, ve: Int): String =
+      if (vs < 0) null
+      else {
+        val raw = html.substring(vs, ve)
+        if (hasAmp(vs, ve)) decodeEntities(raw) else raw
+      }
+
     def emitBlock(): Unit = {
       val text = bSb.toString
       val ld = if (text.isEmpty) 0.0 else bLink.toDouble / text.length
@@ -379,8 +432,7 @@ object Lineizer {
     def flushText(from: Int, until: Int): Unit =
       if (blockOpen && until > from) {
         val before = bSb.length
-        val amp = html.indexOf('&', from)
-        if (amp < 0 || amp >= until) bSb.append(html, from, until)
+        if (!hasAmp(from, until)) bSb.append(html, from, until)
         else bSb.append(decodeEntities(html.substring(from, until)))
         if (aDepth > 0) bLink += bSb.length - before
       }
@@ -416,35 +468,10 @@ object Lineizer {
           val name = tagNameOf(html, lt + 1, j)
           if (name.isEmpty) { flushText(lt, lt + 1); i = lt + 1 }
           else {
-            // attribute scan retaining only the five the lineizer reads;
-            // values are extracted/decoded ONLY for retained keys
-            var styleV: String = null
-            var idV: String = null
-            var forV: String = null
-            var dwV: String = null
-            var dhV: String = null
-            var selfClose = false
+            // reset doc-scoped attr bounds for this element
+            styleVs = -1; idVs = -1; forVs = -1; dwVs = -1; dhVs = -1
+            selfClose = false
             var done = false
-            def keyKind(ks: Int, ke: Int): Int = {
-              val kl = ke - ks
-              if (kl == 5 && html.regionMatches(true, ks, "style", 0, 5)) 1
-              else if (kl == 2 && html.regionMatches(true, ks, "id", 0, 2)) 2
-              else if (kl == 3 && html.regionMatches(true, ks, "for", 0, 3)) 3
-              else if (kl == 6 && html.regionMatches(true, ks, "data-w", 0, 6)) 4
-              else if (kl == 6 && html.regionMatches(true, ks, "data-h", 0, 6)) 5
-              else 0
-            }
-            def retain(kind: Int, vs: Int, ve: Int): Unit =
-              if (kind != 0) {
-                val v = decodeEntities(html.substring(vs, ve))
-                kind match {
-                  case 1 => styleV = v
-                  case 2 => idV = v
-                  case 3 => forV = v
-                  case 4 => dwV = v
-                  case _ => dhV = v
-                }
-              }
             while (!done && j < n) {
               while (j < n && html.charAt(j).isWhitespace) j += 1
               if (j < n && html.charAt(j) == '>') { done = true; j += 1 }
@@ -463,14 +490,14 @@ object Lineizer {
                     val q = html.charAt(j)
                     val vs = j + 1
                     val ve = html.indexOf(q, vs)
-                    retain(kind, vs, if (ve < 0) n else ve)
+                    retainAttr(kind, vs, if (ve < 0) n else ve)
                     j = if (ve < 0) n else ve + 1
                   } else {
                     val vs = j
                     while (j < n && html.charAt(j) != '>' && !html.charAt(j).isWhitespace) j += 1
-                    retain(kind, vs, j)
+                    retainAttr(kind, vs, j)
                   }
-                } else retain(kind, 0, 0) // key with no value -> ""
+                } else retainAttr(kind, ks, ks) // key with no value -> empty
               }
             }
             i = j
@@ -482,8 +509,8 @@ object Lineizer {
               val endGt = if (end < 0) n else html.indexOf('>', end)
               i = if (end < 0) n else (if (endGt < 0) n else endGt + 1)
             }
-            if (dimW < 0 && dwV != null && dhV != null) {
-              (dwV.toIntOption, dhV.toIntOption) match {
+            if (dimW < 0 && dwVs >= 0 && dhVs >= 0) {
+              (matVal(dwVs, dwVe).toIntOption, matVal(dhVs, dhVe).toIntOption) match {
                 case (Some(w), Some(h)) => dimW = w; dimH = h
                 case _                  => ()
               }
@@ -506,13 +533,19 @@ object Lineizer {
               val cell2 = if (cellTags.contains(name)) name else top.cell
               val dl2 = if (name == "dl") myRef else top.dl
               val tr2 = if (name == "tr") myRef else top.tr
-              val box = if (styleV == null) None else parseStyleBox(styleV)
+              // style parsed in place over the raw region; entity-bearing
+              // styles (never in practice) fall back to the decoded string
+              val box =
+                if (styleVs < 0) None
+                else if (hasAmp(styleVs, styleVe))
+                  parseStyleBox(decodeEntities(html.substring(styleVs, styleVe)))
+                else parseStyleBox(html, styleVs, styleVe)
               box match {
                 case Some(b) =>
                   bTag = name; bParentRef = top.myRef
                   bDlRef = dl2; bTrRef = tr2
-                  bId = Option(idV).filter(_.nonEmpty)
-                  bFor = Option(forV).filter(_.nonEmpty)
+                  bId = Option(matVal(idVs, idVe)).filter(_.nonEmpty)
+                  bFor = Option(matVal(forVs, forVe)).filter(_.nonEmpty)
                   bNav = nav2; bHdr = hdr2; bCell = cell2; bBox = b
                   bSb.setLength(0); bLink = 0
                   if (isVoidLike) { blockOpen = true; emitBlock() } // childless

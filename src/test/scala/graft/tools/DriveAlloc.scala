@@ -44,6 +44,18 @@ object DriveAlloc {
       graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
         new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
     }
+    stage("lineizeStream") { i =>
+      val p = pages(i % pages.length)
+      graft.html.Lineizer.lineizeStream(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8), p.url)
+    }
+    val anns = pages.map { p =>
+      graft.html.Lineizer.lineizeStream(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8), p.url)
+    }
+    stage("build only") { i =>
+      graft.core.DocBuilder.build(anns(i % anns.length))
+    }
     val samples = pages.map { p =>
       graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
         new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
