@@ -1,7 +1,5 @@
 package graft.core
 
-import scala.collection.mutable
-
 /** One decoded key-value pair (/root/reference/pipeline/decode.py:360-368). */
 final case class KvPair(
     key: String,
@@ -60,13 +58,13 @@ object Decode {
   ): DecodedDoc = {
 
     // --- parse the three per-line channels (decode.py:170-200) ---
-    val lineExtraction: mutable.LinkedHashMap[Int, Int] =
+    val lineExtraction: IntIntOrdered =
       if (decodeGt) Spots.collapseFirst(Spots.parseMulti(lineExtractionSpots, triuMode = false, scoreThresh))
       else Spots.parseTop(lineExtractionSpots, triuMode = false, scoreThresh)
-    val groupTail: mutable.LinkedHashMap[Int, Int] =
+    val groupTail: IntIntOrdered =
       if (decodeGt) Spots.collapseFirst(Spots.parseMulti(groupTailSpots, triuMode = true, scoreThresh))
       else Spots.parseTop(groupTailSpots, triuMode = true, scoreThresh)
-    val groupHead: mutable.LinkedHashMap[Int, Int] =
+    val groupHead: IntIntOrdered =
       if (decodeGt) Spots.collapseFirst(Spots.parseMulti(groupHeadSpots, triuMode = true, scoreThresh))
       else Spots.parseTop(groupHeadSpots, triuMode = true, scoreThresh)
 
@@ -81,7 +79,7 @@ object Decode {
 
     // --- line assembly (decode.py:205-212) ---
     val lines = Vector.newBuilder[DecodedLine]
-    lineExtraction.foreach { case (s, e) =>
+    lineExtraction.foreachPair { (s, e) =>
       lines += DecodedLine(sliceText(s, e), sliceBox(s, e))
     }
 
@@ -91,33 +89,31 @@ object Decode {
     // one chain walk (identical for key and value, decode.py:248-350):
     // follow grouping_head; accept a step only if line-extraction's tail for
     // the next head equals grouping_tail's tail for the current tail.
+    // Absent keys are the -1 sentinel (token indices are >= 0).
     final case class Walk(texts: Vector[String], boxes: Vector[Vector[Int]], currHead: Int, currTail: Int)
     def walkChain(headIdx: Int, firstTailIdx: Int): Walk = {
       var texts = Vector(sliceText(headIdx, firstTailIdx))
       var boxes = Vector(sliceBox(headIdx, firstTailIdx))
       var currHead = headIdx
       var currTail = firstTailIdx
-      var nextHead: Option[Int] = groupHead.get(currHead)
+      var nextHead = groupHead.getOrMinus1(currHead)
       var numOp = 0
       var continue = true
-      while (continue && nextHead.isDefined) {
+      while (continue && nextHead != -1) {
         numOp += 1
         if (numOp > 1000) continue = false // loop guard (decode.py:259-261)
-        else if (nextHead.get == currHead) continue = false // self-loop (decode.py:263-264)
+        else if (nextHead == currHead) continue = false // self-loop (decode.py:263-264)
         else {
-          val nh = nextHead.get
-          lineExtraction.get(nh) match {
-            case None => continue = false // next head not an extracted line
-            case Some(leTail) =>
-              if (!groupTail.get(currTail).contains(leTail)) {
-                continue = false // sub-task cross-validation failed (decode.py:274-276)
-              } else {
-                texts :+= sliceText(nh, leTail)
-                boxes :+= sliceBox(nh, leTail)
-                currHead = nh
-                currTail = leTail
-                nextHead = groupHead.get(currHead)
-              }
+          val leTail = lineExtraction.getOrMinus1(nextHead)
+          if (leTail == -1) continue = false // next head not an extracted line
+          else if (groupTail.getOrMinus1(currTail) != leTail) {
+            continue = false // sub-task cross-validation failed (decode.py:274-276)
+          } else {
+            texts :+= sliceText(nextHead, leTail)
+            boxes :+= sliceBox(nextHead, leTail)
+            currHead = nextHead
+            currTail = leTail
+            nextHead = groupHead.getOrMinus1(currHead)
           }
         }
       }
@@ -125,31 +121,30 @@ object Decode {
     }
 
     // --- entity-linking heads drive KV emission (decode.py:223-368) ---
-    val entHead = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
+    val entHead = new IntMultiOrdered
     val kvPairs = Vector.newBuilder[KvPair]
     entHeadSpots.foreach { sp =>
       if (sp.tag != 0 && sp.score >= scoreThresh) {
         val (keyHead, valueHead) =
           if (sp.tag == 2) (sp.j, sp.i) else (sp.i, sp.j)
-        entHead.getOrElseUpdate(keyHead, mutable.ArrayBuffer.empty[Int]) += valueHead
+        entHead.append(keyHead, valueHead)
 
-        (lineExtraction.get(keyHead), lineExtraction.get(valueHead)) match {
-          case (Some(keyFirstTail), Some(valueFirstTail)) =>
-            val kw = walkChain(keyHead, keyFirstTail)
-            val vw = walkChain(valueHead, valueFirstTail)
-            // validation: value chain tail must be a registered ent-tail of
-            // the key chain tail (decode.py:352-359)
-            val valid = entTail.get(kw.currTail).exists(_.contains(vw.currTail))
-            if (valid) {
-              kvPairs += KvPair(
-                key = TextNorm.pyStrip(kw.texts.mkString),
-                value = TextNorm.pyStrip(vw.texts.mkString),
-                keyBox = Boxes.mergeBbox(kw.boxes),
-                valueBox = Boxes.mergeBbox(vw.boxes)
-              )
-            }
-          case _ => () // head not in line-extraction map: skip (decode.py:236-243)
-        }
+        val keyFirstTail = lineExtraction.getOrMinus1(keyHead)
+        val valueFirstTail = lineExtraction.getOrMinus1(valueHead)
+        if (keyFirstTail != -1 && valueFirstTail != -1) {
+          val kw = walkChain(keyHead, keyFirstTail)
+          val vw = walkChain(valueHead, valueFirstTail)
+          // validation: value chain tail must be a registered ent-tail of
+          // the key chain tail (decode.py:352-359)
+          if (entTail.containsValue(kw.currTail, vw.currTail)) {
+            kvPairs += KvPair(
+              key = TextNorm.pyStrip(kw.texts.mkString),
+              value = TextNorm.pyStrip(vw.texts.mkString),
+              keyBox = Boxes.mergeBbox(kw.boxes),
+              valueBox = Boxes.mergeBbox(vw.boxes)
+            )
+          }
+        } // else: head not in line-extraction map: skip (decode.py:236-243)
       }
     }
 
@@ -157,8 +152,8 @@ object Decode {
       kvPairs = kvPairs.result(),
       lines = lines.result(),
       lineExtraction = lineExtraction.toVector,
-      entHead = entHead.iterator.map { case (k, v) => (k, v.toVector) }.toVector,
-      entTail = entTail.iterator.map { case (k, v) => (k, v.toVector) }.toVector,
+      entHead = entHead.toVectorMulti,
+      entTail = entTail.toVectorMulti,
       groupHead = groupHead.toVector,
       groupTail = groupTail.toVector
     )

@@ -74,20 +74,20 @@ object Spots {
   /** `parse_matrix_spots(top_score_only=False)`:
     * insertion-ordered multimap head -> [tails]
     * (/root/reference/pipeline/decode.py:37-49). Python dict preserves
-    * insertion order, which is semantically load-bearing downstream, hence
-    * LinkedHashMap.
+    * insertion order, which is semantically load-bearing downstream —
+    * [[IntMultiOrdered]] keeps it without per-entry boxing.
     */
   def parseMulti(
       spots: Seq[Spot],
       triuMode: Boolean,
       scoreThresh: Double = 0.0
-  ): mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Int]] = {
-    val m = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
+  ): IntMultiOrdered = {
+    val m = new IntMultiOrdered
     spots.foreach { sp =>
       if (sp.tag != 0 && sp.score >= scoreThresh) {
         val (h, t) =
           if (triuMode && sp.tag == 2) (sp.j, sp.i) else (sp.i, sp.j)
-        m.getOrElseUpdate(h, mutable.ArrayBuffer.empty[Int]) += t
+        m.append(h, t)
       }
     }
     m
@@ -97,47 +97,36 @@ object Spots {
     * then per-tail argmax over those — a mutual-best bipartite assignment
     * ("each element has only one input and only one output"). Ties resolve
     * first-encountered (strict `>` comparisons) in spot order; final map
-    * iterates in reverse-map insertion order
+    * iterates in reverse-map insertion order, and a later duplicate head
+    * updates the value in its ORIGINAL position (python dict semantics)
     * (/root/reference/pipeline/decode.py:50-67).
     */
   def parseTop(
       spots: Seq[Spot],
       triuMode: Boolean,
       scoreThresh: Double = 0.0
-  ): mutable.LinkedHashMap[Int, Int] = {
-    val perHead = mutable.LinkedHashMap.empty[Int, (Int, Double)]
+  ): IntIntOrdered = {
+    val perHead = new IntBestOrdered
     spots.foreach { sp =>
       if (sp.tag != 0 && sp.score >= scoreThresh) {
         val (h, t) =
           if (triuMode && sp.tag == 2) (sp.j, sp.i) else (sp.i, sp.j)
-        perHead.get(h) match {
-          case None                           => perHead.put(h, (t, sp.score))
-          case Some((_, s0)) if sp.score > s0 => perHead.put(h, (t, sp.score))
-          case _                              => ()
-        }
+        perHead.putIfBetter(h, t, sp.score)
       }
     }
-    val perTail = mutable.LinkedHashMap.empty[Int, (Int, Double)]
-    perHead.foreach { case (h, (t, s)) =>
-      perTail.get(t) match {
-        case None                     => perTail.put(t, (h, s))
-        case Some((_, s0)) if s > s0  => perTail.put(t, (h, s))
-        case _                        => ()
-      }
-    }
-    val out = mutable.LinkedHashMap.empty[Int, Int]
-    perTail.foreach { case (t, (h, _)) => out.put(h, t) }
+    val perTail = new IntBestOrdered
+    perHead.foreachEntry((h, t, s) => perTail.putIfBetter(t, h, s))
+    val out = new IntIntOrdered
+    perTail.foreachEntry((t, h, _) => out.put(h, t))
     out
   }
 
   /** Ground-truth collapse: multi-map -> first tail per head, preserving
     * insertion order (/root/reference/pipeline/decode.py:191-200).
     */
-  def collapseFirst(
-      m: mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Int]]
-  ): mutable.LinkedHashMap[Int, Int] = {
-    val out = mutable.LinkedHashMap.empty[Int, Int]
-    m.foreach { case (k, vs) => out.put(k, vs.head) }
+  def collapseFirst(m: IntMultiOrdered): IntIntOrdered = {
+    val out = new IntIntOrdered
+    m.foreachKey(k => out.put(k, m.firstOrMinus1(k)))
     out
   }
 }

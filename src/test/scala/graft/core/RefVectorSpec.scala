@@ -126,8 +126,7 @@ class RefVectorSpec extends AnyFunSuite {
         assert(got == expected.map { case (k, Left(v)) => (k, v); case x => fail(s"$x") },
           s"spots=$spots top=$top triu=$triu")
       } else {
-        val got = Spots.parseMulti(spots, triu, thresh).iterator
-          .map { case (k, v) => (k, v.toVector) }.toVector
+        val got = Spots.parseMulti(spots, triu, thresh).toVectorMulti
         assert(got == expected.map { case (k, Right(v)) => (k, v); case x => fail(s"$x") },
           s"spots=$spots top=$top triu=$triu")
       }

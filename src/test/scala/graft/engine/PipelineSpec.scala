@@ -140,7 +140,7 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy(_._1)
       .flatMap { case (doc, rows) =>
         val ordered = rows.sortBy(_._2).map(r => Spot(r._3, r._4, r._5, r._6)).toSeq
-        Spots.parseTop(ordered, triuMode = true).map { case (h, t) => (doc, h, t) }
+        Spots.parseTop(ordered, triuMode = true).toVector.map { case (h, t) => (doc, h, t) }
       }.toSet
     assert(windowed == kernel)
   }
