@@ -45,9 +45,6 @@ object ColFns {
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
   /** floor(x * 1e6) as BIGINT — the hash-stable way to emit a double:
     * floor is exact given identical IEEE inputs, unlike round (HALF_UP in
     * Spark, bankers-ish in some engines).

@@ -135,6 +135,27 @@ object TextAnalysis {
        |  CAST(length(text) AS BIGINT) AS n_chars_t
        |FROM $table ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: top-k tokens by frequency (count desc, token asc —
+    * fully deterministic). The shape a vocab/stopword build needs at 100 TB:
+    * explode + hash aggregate (map-side partial combine collapses each
+    * partition to its distinct tokens before the shuffle), then a global
+    * top-k that Spark plans as TakeOrderedAndProject — only k rows ever
+    * reach the driver-side collect of a consumer.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  def vocabTopKSql(table: String, k: Int = 100): String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT unnest(${sqlWords("text")}) AS token FROM $table)
+       |GROUP BY token ORDER BY n DESC, token ASC LIMIT $k""".stripMargin
+
   /** Document fingerprinting: a rolling polynomial hash over word hashes
     * (mod 1e9+7 — keeps every intermediate < 2^35, ANSI-overflow-safe), plus
     * a winnowing-style min-hash over 4-gram window hashes.

@@ -80,6 +80,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.count() + half.count() == pages.count())
   }
 
+  test("detail sink: decoded-vs-golden detail is all-TP with exact record counts") {
+    ensured()
+    import spark.implicits._
+    val decoded = Pipeline.extract(spark.read.parquet(Corpus.pagesPath(sfDir)))
+    val golden = spark.read.parquet(Corpus.goldenPath(sfDir)).as[DocOut]
+    val details = Eval.detailRows(decoded, golden)
+    val byVerdict = details.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byVerdict.keySet == Set("TP"), s"identical pred/gt must be all TP: $byVerdict")
+    // one record per item per granularity: kv + lines + flattened maps
+    val expected = golden.collect().map { g =>
+      g.kv.size + g.lines.size + g.entHead.map(_.tails.size).sum +
+        g.entTail.map(_.tails.size).sum + g.groupHead.size + g.groupTail.size
+    }.sum.toLong
+    assert(byVerdict("TP") == expected)
+  }
+
   test("golden corpus urls are unique (eval fname-dedupe parity precondition)") {
     // The eval oracles mirror the engine's per-url dedupe with an arbitrary
     // row_number pick; that is only deterministic while urls are unique.

@@ -160,6 +160,13 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("t5 vocab top-k plans as partial agg + TakeOrdered (no full sort)") {
+    val p = plan("t5_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k must not full-sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
   test("d3 simhash aggregates have a map-side partial phase") {
     val p = plan("d3_simhash")
     assert(p.contains("HashAggregate"), p)

@@ -68,6 +68,15 @@ class OpsSpec extends AnyFunSuite {
     assert(!a.isNullAt(a.fieldIndex("winnow_fp")), "winnow defined for len>=4")
   }
 
+  test("vocab top-k: deterministic count-desc token-asc order with ties") {
+    val rows = TextAnalysis.vocabTopK(docsDf(
+      0L -> "b a a c b a",
+      1L -> "c d  d"), k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3, b:2, c:2, d:2 -> top3 = a, then b/c tie by token asc
+    assert(rows == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
   // ---------- dedup ----------
 
   private val dupDocs = docsDf(
