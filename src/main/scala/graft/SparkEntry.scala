@@ -187,6 +187,20 @@ object SparkEntry {
           floor(min(col("score")) * 1000000).cast("long").as("min_score_micro"))
         .orderBy("tag")
     }),
+    "a3_lang_prune" -> ((s, dir) => {
+      // partition-pruned read over the Hive lang-partitioned pages table
+      // (SURVEY A2): the lang predicate prunes directories at planning time
+      // (PlanSpec gates PartitionFilters); values oracle-checked against a
+      // DuckDB hive_partitioning read of the same layout
+      Corpus.ensure(s, dir)
+      s.read.parquet(Corpus.pagesPath(dir))
+        .filter(col("lang").isin("en", "ja"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(length(col("html"))).cast("long").as("sum_html_bytes"))
+        .orderBy("lang")
+    }),
     "a2_table_scan" -> ((s, dir) => {
       // catalog path (spark.read.table / SQL over a registered table name):
       // the Iceberg-style access pattern of Pipeline.readPages
@@ -271,6 +285,14 @@ object SparkEntry {
          |  CAST(sum(i + j) AS BIGINT) AS sum_ij,
          |  CAST(floor(min(score) * 1000000) AS BIGINT) AS min_score_micro
          |FROM read_json('$J') GROUP BY tag ORDER BY tag""".stripMargin,
+    "a3_lang_prune" -> {
+      val P = s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(octet_length(html)) AS BIGINT) AS sum_html_bytes
+         |FROM read_parquet('$P', hive_partitioning=1)
+         |WHERE lang IN ('en','ja') GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "a2_table_scan" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
