@@ -477,6 +477,8 @@ object Lineizer {
               if (j < n && html.charAt(j) == '>') { done = true; j += 1 }
               else if (j + 1 < n && html.charAt(j) == '/' && html.charAt(j + 1) == '>') {
                 selfClose = true; done = true; j += 2
+              } else if (html.charAt(j) == '/') {
+                j += 1 // stray '/' not followed by '>' is tag-soup noise
               } else if (j < n) {
                 val ks = j
                 while (j < n && html.charAt(j) != '=' && html.charAt(j) != '>' &&

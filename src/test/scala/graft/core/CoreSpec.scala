@@ -156,6 +156,71 @@ class DecodeSpec extends AnyFunSuite {
   }
 }
 
+class IntMapsSpec extends AnyFunSuite {
+  // model-based checks vs LinkedHashMap: random key/value streams across
+  // several sizes force collision probes and the grow path
+  test("IntIntOrdered matches LinkedHashMap semantics incl. update-in-place order") {
+    val rng = new java.util.Random(11)
+    (0 until 50).foreach { trial =>
+      val nOps = 1 + rng.nextInt(300)
+      val keyRange = 1 + rng.nextInt(80) // duplicates guaranteed
+      val m = new IntIntOrdered
+      val model = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      (0 until nOps).foreach { _ =>
+        val k = rng.nextInt(keyRange)
+        val v = rng.nextInt(1000)
+        m.put(k, v); model.put(k, v)
+      }
+      assert(m.toVector == model.toVector, s"trial $trial")
+      assert(m.size == model.size)
+      model.foreach { case (k, v) => assert(m.getOrMinus1(k) == v) }
+      assert(m.getOrMinus1(keyRange + 5) == -1)
+    }
+  }
+
+  test("IntBestOrdered keeps first position, strict-greater update") {
+    val rng = new java.util.Random(12)
+    (0 until 50).foreach { trial =>
+      val m = new IntBestOrdered
+      val model = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Double)]
+      (0 until 1 + rng.nextInt(200)).foreach { _ =>
+        val k = rng.nextInt(60)
+        val v = rng.nextInt(1000)
+        val s = rng.nextInt(5) * 0.25
+        m.putIfBetter(k, v, s)
+        model.get(k) match {
+          case None                     => model.put(k, (v, s))
+          case Some((_, s0)) if s > s0  => model.put(k, (v, s))
+          case _                        => ()
+        }
+      }
+      val got = Vector.newBuilder[(Int, Int, Double)]
+      m.foreachEntry((k, v, s) => got += ((k, v, s)))
+      assert(got.result() == model.toVector.map { case (k, (v, s)) => (k, v, s) }, s"trial $trial")
+    }
+  }
+
+  test("IntMultiOrdered append order, membership, first") {
+    val rng = new java.util.Random(13)
+    (0 until 50).foreach { trial =>
+      val m = new IntMultiOrdered
+      val model = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+      (0 until 1 + rng.nextInt(250)).foreach { _ =>
+        val k = rng.nextInt(50)
+        val v = rng.nextInt(40)
+        m.append(k, v)
+        model.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += v
+      }
+      assert(m.toVectorMulti == model.toVector.map { case (k, vs) => (k, vs.toVector) }, s"trial $trial")
+      model.foreach { case (k, vs) =>
+        assert(m.firstOrMinus1(k) == vs.head)
+        (0 until 40).foreach(v => assert(m.containsValue(k, v) == vs.contains(v)))
+      }
+      assert(m.firstOrMinus1(99) == -1 && !m.containsValue(99, 0))
+    }
+  }
+}
+
 class QuadCorpusSpec extends AnyFunSuite {
   test("synth corpus emits 8-value quad boxes and build() collapses them to the 4-value result") {
     var quads = 0

@@ -92,6 +92,47 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: streaming lineizer == tree lineizer on 500 random tag soups") {
+    val rng = new java.util.Random(20260816L)
+    val tags = Array("div", "p", "span", "dl", "dt", "dd", "table", "tr", "th",
+      "td", "a", "nav", "h2", "label", "output", "b", "script", "img", "br", "zz")
+    val words = Array("x", "A&amp;B", "t&lt;u", "&#65;", "key:", "v", " ", "–", "ｘ")
+    def soup(): String = {
+      val sb = new StringBuilder("<html><body>")
+      var depth = 0
+      (0 until 5 + rng.nextInt(60)).foreach { _ =>
+        rng.nextInt(7) match {
+          case 0 | 1 =>
+            val t = tags(rng.nextInt(tags.length))
+            sb ++= s"<$t"
+            if (rng.nextInt(3) == 0)
+              sb ++= s""" style="left:${rng.nextInt(900)}px;top:${rng.nextInt(900)}px;width:${1 + rng.nextInt(200)}px;height:${1 + rng.nextInt(40)}px""""
+            if (rng.nextInt(4) == 0) sb ++= s""" id="i${rng.nextInt(9)}""""
+            if (rng.nextInt(5) == 0) sb ++= s""" for="i${rng.nextInt(9)}""""
+            if (rng.nextInt(6) == 0) sb ++= " /"
+            sb ++= ">"
+            depth += 1
+          case 2 =>
+            // close a RANDOM tag (often mismatched)
+            sb ++= s"</${tags(rng.nextInt(tags.length))}>"
+            depth -= 1
+          case 3 => sb ++= words(rng.nextInt(words.length))
+          case 4 => sb ++= s"<!-- c ${rng.nextInt(9)} -->"
+          case 5 => sb ++= words(rng.nextInt(words.length)) + words(rng.nextInt(words.length))
+          case _ => sb ++= s"<${words(rng.nextInt(3))}" // garbage after '<'
+        }
+      }
+      sb ++= "</body></html>"
+      sb.toString
+    }
+    (0 until 500).foreach { t =>
+      val html = soup()
+      val tree = Lineizer.lineize(HtmlParser.parse(html), "u")
+      val stream = Lineizer.lineizeStream(html, "u")
+      assert(stream == tree, s"soup $t diverged:\n$html")
+    }
+  }
+
   test("style box parse: unicode whitespace and overlong digit runs are not matches") {
     def lineTexts(html: String): Vector[String] =
       Lineizer.lineize(HtmlParser.parse(html), "u").entities.flatMap(_.lines.map(_.text))
@@ -105,6 +146,20 @@ class RoundTripSpec extends AnyFunSuite {
          |<div style="$overlong">BAD2</div>
          |<div style="$good">GOOD</div></body></html>""".stripMargin
     assert(lineTexts(html) == Vector("GOOD"))
+  }
+
+  test("stray slash inside a tag terminates (round-1 parser hung on <x</b>)") {
+    // '/' at attribute-key position NOT followed by '>' must be skipped as
+    // tag-soup noise, not loop forever
+    Seq("<div><x</div>ok",
+        "<br/ >after",
+        """<a /href="u">t</a>""",
+        "<p / / />x").foreach { h =>
+      val html = s"<html><body>$h</body></html>"
+      val tree = Lineizer.lineize(HtmlParser.parse(html), "u")
+      val stream = Lineizer.lineizeStream(html, "u")
+      assert(stream == tree, h)
+    }
   }
 
   test("html parser handles entities, comments, void and raw-text tags") {

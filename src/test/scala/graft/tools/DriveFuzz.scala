@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.html.{HtmlParser, Lineizer}
+
+/** Repro driver for the tag-soup fuzz: prints the soup index before each
+  * parse so a hang pinpoints the generating seed/step.
+  */
+object DriveFuzz {
+  def main(args: Array[String]): Unit = {
+    val rng = new java.util.Random(20260816L)
+    val tags = Array("div", "p", "span", "dl", "dt", "dd", "table", "tr", "th",
+      "td", "a", "nav", "h2", "label", "output", "b", "script", "img", "br", "zz")
+    val words = Array("x", "A&amp;B", "t&lt;u", "&#65;", "key:", "v", " ", "–", "ｘ")
+    def soup(): String = {
+      val sb = new StringBuilder("<html><body>")
+      (0 until 5 + rng.nextInt(60)).foreach { _ =>
+        rng.nextInt(7) match {
+          case 0 | 1 =>
+            val t = tags(rng.nextInt(tags.length))
+            sb ++= s"<$t"
+            if (rng.nextInt(3) == 0)
+              sb ++= s""" style="left:${rng.nextInt(900)}px;top:${rng.nextInt(900)}px;width:${1 + rng.nextInt(200)}px;height:${1 + rng.nextInt(40)}px""""
+            if (rng.nextInt(4) == 0) sb ++= s""" id="i${rng.nextInt(9)}""""
+            if (rng.nextInt(5) == 0) sb ++= s""" for="i${rng.nextInt(9)}""""
+            if (rng.nextInt(6) == 0) sb ++= " /"
+            sb ++= ">"
+          case 2 => sb ++= s"</${tags(rng.nextInt(tags.length))}>"
+          case 3 => sb ++= words(rng.nextInt(words.length))
+          case 4 => sb ++= s"<!-- c ${rng.nextInt(9)} -->"
+          case 5 => sb ++= words(rng.nextInt(words.length)) + words(rng.nextInt(words.length))
+          case _ => sb ++= s"<${words(rng.nextInt(3))}"
+        }
+      }
+      sb ++= "</body></html>"
+      sb.toString
+    }
+    (0 until 500).foreach { t =>
+      val html = soup()
+      println(s"[$t] len=${html.length}")
+      Console.flush()
+      val tree = Lineizer.lineize(HtmlParser.parse(html), "u")
+      val stream = Lineizer.lineizeStream(html, "u")
+      if (stream != tree) println(s"DIVERGED at $t:\n$html")
+    }
+    println("done")
+  }
+}
