@@ -55,7 +55,7 @@ object Spots {
     } else canonicalizeBoxed(spots)
   }
 
-  private def canonicalizeBoxed(spots: Seq[(Int, Int, Int)]): Vector[Spot] = {
+  private[core] def canonicalizeBoxed(spots: Seq[(Int, Int, Int)]): Vector[Spot] = {
     val cell = mutable.HashMap.empty[Long, Int]
     spots.foreach { case (i, j, tag) =>
       require(i <= j, s"spot ($i,$j) not upper-triangular")

@@ -156,6 +156,24 @@ class DecodeSpec extends AnyFunSuite {
   }
 }
 
+class CanonicalizeSpec extends AnyFunSuite {
+  test("packed-long fast path == boxed fallback on random spot streams") {
+    val rng = new java.util.Random(17)
+    (0 until 200).foreach { trial =>
+      val l = 1 + rng.nextInt(40)
+      val spots = (0 until rng.nextInt(60)).map { _ =>
+        val i = rng.nextInt(l)
+        val j = i + rng.nextInt(l - i)
+        (i, j, rng.nextInt(4)) // incl. tag 0 (dropped) and duplicate cells
+      }
+      assert(Spots.canonicalize(spots) == Spots.canonicalizeBoxed(spots), s"trial $trial")
+    }
+    // out-of-range indices route to the boxed fallback and still work
+    val big = Seq((0, 1 << 21, 1), (5, 7, 2))
+    assert(Spots.canonicalize(big) == Spots.canonicalizeBoxed(big))
+  }
+}
+
 class IntMapsSpec extends AnyFunSuite {
   // model-based checks vs LinkedHashMap: random key/value streams across
   // several sizes force collision probes and the grow path

@@ -34,14 +34,32 @@ object DriveFuzz {
       sb ++= "</body></html>"
       sb.toString
     }
-    (0 until 500).foreach { t =>
-      val html = soup()
-      println(s"[$t] len=${html.length}")
-      Console.flush()
+    val nasty = Array(
+      "<", "</", "</>", "<>", "< div>", "<div", "\"", "'", "<script>never closed",
+      "<style>p{}</STYLE>", "<DIV STYLE=\"left:1px;top:2px;width:3px;height:4px\">",
+      "<div style='left:5px;top:6px;width:7px;height:8px'>", "<div style=left:1pxtop:2px>",
+      "<a href=http://ex/a/b>u</a>", "<img src=x / >", "<p / / />", "&#xZZ;", "&bogus;",
+      "<div style=\"unclosed", "<t id=\"spans<div>tags\">", "\u0000", "<div style=\"left:-3px;top:-4px;width:1px;height:1px\">",
+      "<!doctype html>", "<?pi x?>", "<!-- unterminated", "<b id=>", "<b id>", "<b =x>"
+    )
+    val n = args.headOption.map(_.toInt).getOrElse(500)
+    var diverged = 0
+    (0 until n).foreach { t =>
+      val base = soup()
+      // splice 0-3 nasty fragments at random positions
+      val sb = new StringBuilder(base)
+      (0 until rng.nextInt(4)).foreach { _ =>
+        sb.insert(rng.nextInt(sb.length), nasty(rng.nextInt(nasty.length)))
+      }
+      val html = sb.toString
+      if (t % 1000 == 0) { println(s"[$t]"); Console.flush() }
       val tree = Lineizer.lineize(HtmlParser.parse(html), "u")
       val stream = Lineizer.lineizeStream(html, "u")
-      if (stream != tree) println(s"DIVERGED at $t:\n$html")
+      if (stream != tree) {
+        diverged += 1
+        println(s"DIVERGED at $t:\n$html")
+      }
     }
-    println("done")
+    println(s"done diverged=$diverged")
   }
 }
