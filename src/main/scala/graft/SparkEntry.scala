@@ -150,6 +150,8 @@ object SparkEntry {
     "s3_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "s4_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
     "s5_ann_recall" -> ((s, dir) => Similarity.ivfRecall(emb(s, dir))),
+    "s6_embed_components" -> ((s, dir) =>
+      Similarity.embedComponents(emb(s, dir), cellCap = 50)),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -272,6 +274,7 @@ object SparkEntry {
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),
     "s4_lsh_buckets" -> Similarity.lshBucketsSql("embeddings"),
     "s5_ann_recall" -> Similarity.ivfRecallSql("embeddings"),
+    "s6_embed_components" -> Similarity.embedComponentsSql("embeddings", cellCap = 50),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),

@@ -112,6 +112,51 @@ object Similarity {
        |WHERE cos >= $thresh ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Embedding near-dup CLUSTERS: connected components over the
+    * within-cell cosine pair graph (the similarity-family analogue of
+    * [[Dedup.dedupComponents]] — one canonical vector per duplicate
+    * cluster). Same min-label propagation core; same hot-cell guard.
+    */
+  def embedComponents(
+      emb: DataFrame,
+      thresh: Double = 0.3,
+      cellCap: Int = 10000
+  ): DataFrame = {
+    val pairs = cosineNearDupPairs(emb, thresh, cellCap)
+      .select(col("id_a"), col("id_b"))
+    Dedup.componentsFrom(emb.select(col("vec_id").as("doc_id")), pairs, maxIters = 20)
+      .select(col("doc_id").as("vec_id"), col("component"))
+  }
+
+  def embedComponentsSql(table: String, thresh: Double = 0.3, cellCap: Int = 10000): String = {
+    def lits(p: Int): String = planes(p).mkString("[", ",", "]")
+    val bits = (0 until NumPlanes).map { p =>
+      val d = s"list_reduce(list_transform(generate_series(1,$Dim), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * (${lits(p)})[i]), (x,y) -> x+y)"
+      s"(CASE WHEN ($d) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE sz AS (SELECT label, count(*) AS cell_n FROM $table GROUP BY label),
+       |k AS (SELECT e.vec_id, e.embedding, e.label,
+       |    CASE WHEN sz.cell_n > $cellCap
+       |      THEN 'H:' || e.label || ':' || CAST($bits AS BIGINT)
+       |      ELSE 'L:' || e.label END AS jk
+       |  FROM $table e JOIN sz ON e.label = sz.label),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${sqlCosine("a.embedding", "b.embedding", Dim)} AS cos
+       |  FROM k a JOIN k b
+       |    ON a.jk = b.jk AND a.vec_id < b.vec_id),
+       |pair AS (SELECT id_a, id_b FROM p WHERE cos >= $thresh),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+       |  UNION ALL SELECT id_b, id_a FROM pair),
+       |reach(node, lbl) AS (
+       |  SELECT vec_id, vec_id FROM $table
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS vec_id, min(lbl) AS component
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+  }
+
   private def topK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
