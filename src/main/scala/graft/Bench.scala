@@ -48,7 +48,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) =
         try time(fn(spark, sfDir).count())
-        catch { case _: Throwable => (-1L, -1.0) }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            (-1L, -1.0)
+        }
       name -> sec
     }
 
@@ -104,17 +108,6 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    /** (median sec, median thr, best sec, best thr) over N runs — median is
-      * the primary statistic (robust to DRAM-contention outliers); best is
-      * reported alongside for comparability with earlier best-of-N rounds.
-      */
-    def mapThroughput(p: Int, mult: Long, runs: Int): (Double, Double, Double, Double) = {
-      val secs = (1 to runs).map(_ => oneRun(p, mult))
-      val med = median(secs)
-      val best = secs.min
-      (med, baseDocs * mult / med, best, baseDocs * mult / best)
-    }
-
     /** Full pipeline (read -> salt -> extract -> bucketed write + lineage)
       * wall time — bounded by the single local disk, reported at both
       * levels for transparency.
@@ -129,6 +122,9 @@ object Bench {
       (sec, baseDocs * multEff / sec)
     }
 
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
     // N -> 4N pair: ALTERNATE levels (1,4,1,4,...) and take the median of 5,
     // so a monotonic drift (heap growth, thermal) biases both levels equally
     // instead of penalizing whichever ran first (round 1's 1.75 artifact).
@@ -141,9 +137,27 @@ object Bench {
     val thr1 = baseDocs * multEff / sec1
     val thr4 = baseDocs * multEff / sec4
     val efficiency = (thr4 / thr1) / 4.0
-    val (sec8, thr8, sec8Best, thr8Best) = mapThroughput(8, multPeak, runs = 3)
-    val (sec32, thr32, sec32Best, thr32Best) = mapThroughput(32, multPeak, runs = 3)
+    // peak 8/32 pair: SAME alternating median-of-5 protocol as 1/4 (r2's
+    // back-to-back blocks let ambient load land entirely on one level —
+    // sec8 medians absorbed it and the ratio went superlinear). loadavg is
+    // sampled around each run so the ambient-load context is recorded.
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
+    val peakTimes = (1 to effRuns).flatMap { _ =>
+      val r = Seq(8 -> oneRun(8, multPeak), 32 -> oneRun(32, multPeak))
+      loadSamples += loadavg()
+      r
+    }
+    val sec8 = median(peakTimes.collect { case (8, s) => s })
+    val sec32 = median(peakTimes.collect { case (32, s) => s })
+    val sec8Best = peakTimes.collect { case (8, s) => s }.min
+    val sec32Best = peakTimes.collect { case (32, s) => s }.min
+    val thr8 = baseDocs * multPeak / sec8
+    val thr32 = baseDocs * multPeak / sec32
+    val thr8Best = baseDocs * multPeak / sec8Best
+    val thr32Best = baseDocs * multPeak / sec32Best
     val efficiency8to32 = (thr32 / thr8) / 4.0
+    val loadMin = loadSamples.min
+    val loadMax = loadSamples.max
     val (full8Sec, full8Thr) = fullThroughput(8)
     val (full32Sec, full32Thr) = fullThroughput(32)
 
@@ -177,42 +191,69 @@ object Bench {
           val docs = job()
           docs / ((System.nanoTime() - t0) / 1e9)
         } finally s.stop()
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        // NonFatal only: an OOM/Interrupted must surface, not read as the
+        // benign "environment can't launch executors" -1 sentinel
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"clusterThroughput($nExec): ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
 
     val multC = math.max(1L, math.min(24L, 40000L / math.max(1L, baseDocs)))
     val thrC1 = clusterThroughput(1, multC)
     val thrC4 = clusterThroughput(4, multC * 4)
     val effC = if (thrC1 > 0 && thrC4 > 0) (thrC4 / thrC1) / 4.0 else -1.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // compact number formatting: milli-precision is plenty for seconds and
+    // efficiency ratios; whole docs/sec. Keeps the stdout line small.
+    def r3(x: Double): String = BigDecimal(math.rint(x * 1000) / 1000)
+      .underlying().stripTrailingZeros().toPlainString
+    def r0(x: Double): String = math.rint(x).toLong.toString
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // bench_schema 2 (ADVICE r1): the scaling pair is named explicitly in its
-    // key — scaling_efficiency_1_4 is the N->4N gate evidence (median-of-5,
-    // alternating levels), scaling_efficiency_8_32 stays informational
-    // (single-box DRAM-bus artifact). full_run keys carry their doc counts.
+    // bench_schema 3: BOTH peak pairs now use alternating median-of-5 with
+    // loadavg context. scaling_efficiency_1_4 is the N->4N gate evidence;
+    // scaling_efficiency_8_32 stays informational (single-box DRAM-bus
+    // artifact). full_run keys carry their doc counts.
     val extraction =
-      s"""{"bench_schema":2,"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":$sec1,"sec4":$sec4,"sec8":$sec8,"sec32":$sec32,""" +
-        s""""docs_per_sec_1":$thr1,"docs_per_sec_4":$thr4,"docs_per_sec_8":$thr8,"docs_per_sec_32":$thr32,""" +
-        s""""sec8_best":$sec8Best,"sec32_best":$sec32Best,""" +
-        s""""docs_per_sec_8_best":$thr8Best,"docs_per_sec_32_best":$thr32Best,""" +
-        s""""scaling_efficiency_1_4":$efficiency,"scaling_pair":"local[1]->local[4]",""" +
-        s""""scaling_efficiency":$efficiency,""" +
-        s""""scaling_efficiency_8_32":$efficiency8to32,""" +
-        s""""cluster_docs_per_sec_1":$thrC1,"cluster_docs_per_sec_4":$thrC4,""" +
-        s""""cluster_scaling_efficiency_1_4":$effC,"cluster_mode":"local-cluster[n,1,1536] separate executor JVMs",""" +
+      s"""{"bench_schema":3,"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
+        s""""docs_per_sec_1":${r0(thr1)},"docs_per_sec_4":${r0(thr4)},"docs_per_sec_8":${r0(thr8)},"docs_per_sec_32":${r0(thr32)},""" +
+        s""""sec8_best":${r3(sec8Best)},"sec32_best":${r3(sec32Best)},""" +
+        s""""docs_per_sec_8_best":${r0(thr8Best)},"docs_per_sec_32_best":${r0(thr32Best)},""" +
+        s""""scaling_efficiency_1_4":${r3(efficiency)},"scaling_pair":"local[1]->local[4]",""" +
+        s""""scaling_efficiency":${r3(efficiency)},""" +
+        s""""scaling_efficiency_8_32":${r3(efficiency8to32)},""" +
+        s""""loadavg_min":${r3(loadMin)},"loadavg_max":${r3(loadMax)},""" +
+        s""""cluster_docs_per_sec_1":${r0(thrC1)},"cluster_docs_per_sec_4":${r0(thrC4)},""" +
+        s""""cluster_scaling_efficiency_1_4":${r3(effC)},"cluster_mode":"local-cluster[n,1,1536] separate executor JVMs",""" +
         s""""full_run_docs":${baseDocs * multEff},""" +
-        s""""full_run_sec8":$full8Sec,"full_run_sec":$full32Sec,""" +
-        s""""full_docs_per_sec_8":$full8Thr,"full_docs_per_sec":$full32Thr}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
-    // Primary channel: raw stdout (build.sbt sets run/outputStrategy :=
-    // StdoutOutput so sbt does not prefix this line). Recovery channel: a
-    // file in the repo root, in case a future harness change re-wraps stdout.
-    println(line)
+        s""""full_run_sec8":${r3(full8Sec)},"full_run_sec":${r3(full32Sec)},""" +
+        s""""full_docs_per_sec_8":${r0(full8Thr)},"full_docs_per_sec":${r0(full32Thr)}}"""
+    // Full record (per-query map + extraction block) -> bench_result.json.
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    // Stdout gets a COMPACT line (~0.5 KB): the driver's tail capture
+    // truncated the full ~2.7 KB record two rounds running ("parsed": null),
+    // so the per-query map lives only in bench_result.json (pointed to by
+    // queries_file). build.sbt sets run/outputStrategy := StdoutOutput so
+    // sbt does not prefix this line.
+    val compactExtraction =
+      s"""{"docs":$nDocsPeak,"docs_per_sec_8":${r0(thr8)},"docs_per_sec_32":${r0(thr32)},""" +
+        s""""docs_per_sec_32_best":${r0(thr32Best)},""" +
+        s""""scaling_efficiency_1_4":${r3(efficiency)},"scaling_efficiency":${r3(efficiency)},""" +
+        s""""scaling_efficiency_8_32":${r3(efficiency8to32)},""" +
+        s""""cluster_scaling_efficiency_1_4":${r3(effC)},""" +
+        s""""full_docs_per_sec":${r0(full32Thr)},""" +
+        s""""loadavg_min":${r3(loadMin)},"loadavg_max":${r3(loadMax)}}"""
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+        s""""queries_file":"bench_result.json","extraction":$compactExtraction}"""
+    println(compact)
   }
 }

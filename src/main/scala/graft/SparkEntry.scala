@@ -66,7 +66,7 @@ object SparkEntry {
     "x2_extract_kv" -> ((s, dir) =>
       extracted(s, dir)
         .select(col("url"),
-          array_join(transform(col("kv"), k => concat_ws("", k.getField("key"), k.getField("value"))), "").as("kvs"))
+          array_join(transform(col("kv"), k => concat_ws("\u0001", k.getField("key"), k.getField("value"))), "\u0002").as("kvs"))
         .orderBy(col("url"))),
     "x3_lineage" -> ((s, dir) =>
       Pipeline.lineage(Pipeline.extract(pages(s, dir)))
@@ -129,6 +129,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(floor(col("value") * 1000).cast("long")).as("sum_vmilli"))
         .orderBy(col("hour"), col("event_type"))),
+    "q7_sessions" -> ((s, dir) => {
+      // one-shot batch replay of the streaming sessionizer (H21): the SAME
+      // flatMapGroupsWithState fold as Streams.sessionize, checked against
+      // a DuckDB gaps-and-islands CTE
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        // parquet stores TIMESTAMP_NTZ; the session tz is UTC so the cast
+        // is value-preserving (and unix_millis requires TIMESTAMP)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.EventRow]
+      graft.streaming.Streams.sessionizeOneShot(ev, gapMinutes = 30)
+        .toDF()
+        .orderBy("user_id", "session_start")
+    }),
     // --- text analysis (training-data pipeline ops) ---
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
@@ -258,6 +273,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_vmilli
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q7_sessions" ->
+      """WITH d AS (SELECT user_id, ts, CAST(floor(value * 1000) AS BIGINT) AS vmilli,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |      THEN 1 ELSE 0 END AS news
+        |  FROM events),
+        |s AS (SELECT user_id, ts, vmilli,
+        |    sum(news) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(vmilli) AS BIGINT) AS sum_vmilli
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "t1_langid" -> TextAnalysis.langIdSql("documents"),
     "t2_quality" -> TextAnalysis.qualitySql("documents"),
     "t3_token_counts" -> TextAnalysis.tokenCountsSql("documents"),

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * — interpreted per ELEMENT, with the intermediate product array
   * materialized per row) on the ANN hot paths. The accumulation order and
   * double-promotion are identical to the HOF form and the DuckDB
-  * `list_reduce` oracle, so cosines are bit-identical.
+  * `list_reduce` oracle, so cosines are bit-identical. A null ELEMENT in
+  * either array yields a null result — also matching the HOF form, which
+  * propagated element nulls through the fold (ArrayData.getFloat on a null
+  * slot would otherwise silently read 0.0).
   *
   * Unequal-length inputs are an error (the HOF form silently yielded null);
   * embeddings are fixed-dimension, so a length mismatch is data corruption.
@@ -33,6 +36,8 @@ case class DotExpression(left: Expression, right: Expression) extends BinaryExpr
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
+  // null even for non-null inputs when an array ELEMENT is null
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def fnName: String = {
@@ -52,7 +57,11 @@ case class DotExpression(left: Expression, right: Expression) extends BinaryExpr
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotExpression.$fnName($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.DotExpression.$fnName($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotExpression =
@@ -66,24 +75,36 @@ object DotExpression {
       s"graft_dot: length mismatch ${a.numElements()} vs ${b.numElements()}")
     n
   }
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = check(a, b); var acc = 0.0; var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
     acc
   }
-  def dotFD(a: ArrayData, b: ArrayData): Double = {
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = check(a, b); var acc = 0.0; var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1
+    }
     acc
   }
-  def dotDF(a: ArrayData, b: ArrayData): Double = {
+  def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = check(a, b); var acc = 0.0; var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1
+    }
     acc
   }
-  def dotDD(a: ArrayData, b: ArrayData): Double = {
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = check(a, b); var acc = 0.0; var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     acc
   }
 }

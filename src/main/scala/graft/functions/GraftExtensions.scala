@@ -36,6 +36,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotExpression(children(0), children(1))
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_byte_hist"),
+      new ExpressionInfo(classOf[ByteHistExpression].getName, "graft_byte_hist"),
+      (children: Seq[Expression]) => ByteHistExpression(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_frame_sample"),
+      new ExpressionInfo(classOf[FrameSampleExpression].getName, "graft_frame_sample"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_frame_sample(payload, k) requires a literal stride")
+        FrameSampleExpression(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_bucket"),
       new ExpressionInfo(classOf[FnvBucketExpression].getName, "graft_bucket"),
       (children: Seq[Expression]) => {

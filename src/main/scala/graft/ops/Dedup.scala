@@ -198,12 +198,19 @@ object Dedup {
     * (doc_id, component). Exposed for direct graph-shape tests.
     */
   private[ops] def componentsFrom(nodes: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
+    // convergence statistic: sum of labels as DECIMAL(38,0) — labels only
+    // ever decrease, so an unchanged sum == fixpoint. Decimal (not LONG) so
+    // the O(1) test cannot overflow at 10^12-doc id ranges (ANSI mode would
+    // throw on a LONG sum; non-ANSI could theoretically wrap to a false
+    // early-converge).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).persist()
-    var prevSum = labels.agg(sum(col("component"))).collect()(0).getLong(0)
-    var converged = false
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // empty node set: already at fixpoint
     var iters = 0
     while (!converged) {
       iters += 1
@@ -211,12 +218,19 @@ object Dedup {
       val nbr = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("component"))
-      val next = labels.select(col("doc_id"), col("component"))
+      val merged = labels.select(col("doc_id"), col("component"))
         .union(nbr)
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"))
-        .persist()
-      val s = next.agg(sum(col("component"))).collect()(0).getLong(0)
+      // each round's logical plan nests one join+agg on the previous
+      // round's frame; persist bounds recomputation but not plan depth —
+      // on high-diameter graphs the accumulated lineage makes analysis and
+      // scheduling cost grow per round. localCheckpoint every few rounds
+      // cuts the plan back to a leaf (the standard fixpoint-loop idiom).
+      val next =
+        if (iters % 5 == 0) merged.localCheckpoint()
+        else merged.persist()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum

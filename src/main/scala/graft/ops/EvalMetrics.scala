@@ -26,28 +26,57 @@ object EvalMetrics {
       kvPred: Long, kvGt: Long, kvCorrect: Long,
       lnPred: Long, lnGt: Long, lnCorrect: Long)
 
-  /** verdict bucket 0..9 for one item: < 8 keep, == 8 duplicate, else drop */
-  private def perturb(items: Column): Column =
-    flatten(transform(items, x => {
-      val m = h32(concat(col("url"), lit("|"), x)) % 10
-      when(m < 8, array(x))
-        .when(m === 8, array(x, x))
-        .otherwise(array().cast("array<string>"))
-    }))
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Plain-Scala mirror of [[ColFns.h32]]: first 8 hex chars of md5 as an
+    * unsigned 32-bit value in a Long (= first 4 digest bytes, big-endian).
+    */
+  private def h32s(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** verdict bucket 0..9 for one item: < 8 keep, == 8 duplicate, else drop.
+    * Runs inside the typed eval kernels (the earlier `flatten(transform(..))`
+    * column form was CodegenFallback — interpreted per element — and sat in
+    * four oracle queries' hot loop).
+    */
+  private def perturbItems(url: String, items: Seq[String]): Seq[String] =
+    items.flatMap { x =>
+      val m = h32s(url + "|" + x) % 10
+      if (m < 8) x :: Nil else if (m == 8) x :: x :: Nil else Nil
+    }
+
+  /** "key\u0001value" item strings from parallel key/value field arrays. */
+  private def kvItems(ks: Seq[String], vs: Seq[String]): Seq[String] =
+    ks.iterator.zip(vs.iterator).map { case (k, v) => k + "\u0001" + v }.toVector
+
+  /** "head:tail" strings from a flattened multimap (head, tails[]) pair. */
+  private def multiItems(heads: Seq[Int], tails: Seq[Seq[Int]]): Seq[String] =
+    heads.iterator.zip(tails.iterator)
+      .flatMap { case (h, ts) => ts.map(t => s"$h:$t") }.toVector
+
+  /** "head:tail" strings from parallel head/tail field arrays. */
+  private def pairItems(heads: Seq[Int], tails: Seq[Int]): Seq[String] =
+    heads.iterator.zip(tails.iterator).map { case (h, t) => s"$h:$t" }.toVector
 
   def perturbedEval(spark: SparkSession, goldenPath: String): DataFrame = {
     import spark.implicits._
+    // field extraction via GetArrayStructFields (a codegen'd projection, no
+    // interpreted lambda); item assembly + perturbation live in the typed
+    // kernel alongside the membership counting
     val g = spark.read.parquet(goldenPath)
-      .select(col("url"),
-        transform(col("kv"), x => concat(x.getField("key"), lit("\u0001"), x.getField("value"))).as("gkv"),
-        transform(col("lines"), l => l.getField("text")).as("gln"))
-      .select(col("url"), col("gkv"), col("gln"),
-        perturb(col("gkv")).as("pkv"), perturb(col("gln")).as("pln"))
+      .select(col("url"), col("kv.key").as("gk"), col("kv.value").as("gv"),
+        col("lines.text").as("gln"))
     val counts = g
-      .as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
-      .map { case (url, gkv, gln, pkv, pln) =>
-        val kv = PairMetrics.membershipCounts(pkv, gkv)
-        val ln = PairMetrics.membershipCounts(pln, gln)
+      .as[(String, Seq[String], Seq[String], Seq[String])]
+      .map { case (url, gk, gv, gln) =>
+        val gkv = kvItems(gk, gv)
+        val kv = PairMetrics.membershipCounts(perturbItems(url, gkv), gkv)
+        val ln = PairMetrics.membershipCounts(perturbItems(url, gln), gln)
         EvalCounts(url, kv.pred, kv.gt, kv.correct, ln.pred, ln.gt, ln.correct)
       }
     val agged = counts.dropDuplicates("url").agg(
@@ -77,20 +106,17 @@ object EvalMetrics {
     */
   def perturbedLinkEval(spark: SparkSession, goldenPath: String): DataFrame = {
     import spark.implicits._
-    val eh = flatten(transform(col("entHead"),
-      x => transform(x.getField("tails"),
-        t => concat(x.getField("head").cast("string"), lit(":"), t.cast("string")))))
-    val gh = transform(col("groupHead"),
-      p => concat(p.getField("head").cast("string"), lit(":"), p.getField("tail").cast("string")))
     val g = spark.read.parquet(goldenPath)
-      .select(col("url"), eh.as("geh"), gh.as("ggh"))
-      .select(col("url"), col("geh"), col("ggh"),
-        perturb(col("geh")).as("peh"), perturb(col("ggh")).as("pgh"))
+      .select(col("url"),
+        col("entHead.head").as("ehh"), col("entHead.tails").as("eht"),
+        col("groupHead.head").as("ghh"), col("groupHead.tail").as("ght"))
     val counts = g
-      .as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
-      .map { case (url, geh, ggh, peh, pgh) =>
-        val e = PairMetrics.membershipCounts(peh, geh)
-        val r = PairMetrics.membershipCounts(pgh, ggh)
+      .as[(String, Seq[Int], Seq[Seq[Int]], Seq[Int], Seq[Int])]
+      .map { case (url, ehh, eht, ghh, ght) =>
+        val geh = multiItems(ehh, eht)
+        val ggh = pairItems(ghh, ght)
+        val e = PairMetrics.membershipCounts(perturbItems(url, geh), geh)
+        val r = PairMetrics.membershipCounts(perturbItems(url, ggh), ggh)
         EvalCounts(url, e.pred, e.gt, e.correct, r.pred, r.gt, r.correct)
       }
     val agged = counts.dropDuplicates("url").agg(
@@ -107,20 +133,17 @@ object EvalMetrics {
     */
   def perturbedTailEval(spark: SparkSession, goldenPath: String): DataFrame = {
     import spark.implicits._
-    val et = flatten(transform(col("entTail"),
-      x => transform(x.getField("tails"),
-        t => concat(x.getField("head").cast("string"), lit(":"), t.cast("string")))))
-    val gl = transform(col("groupTail"),
-      p => concat(p.getField("head").cast("string"), lit(":"), p.getField("tail").cast("string")))
     val g = spark.read.parquet(goldenPath)
-      .select(col("url"), et.as("get"), gl.as("ggl"))
-      .select(col("url"), col("get"), col("ggl"),
-        perturb(col("get")).as("pet"), perturb(col("ggl")).as("pgl"))
+      .select(col("url"),
+        col("entTail.head").as("eth"), col("entTail.tails").as("ett"),
+        col("groupTail.head").as("glh"), col("groupTail.tail").as("glt"))
     val counts = g
-      .as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
-      .map { case (url, get, ggl, pet, pgl) =>
-        val e = PairMetrics.membershipCounts(pet, get)
-        val r = PairMetrics.membershipCounts(pgl, ggl)
+      .as[(String, Seq[Int], Seq[Seq[Int]], Seq[Int], Seq[Int])]
+      .map { case (url, eth, ett, glh, glt) =>
+        val get = multiItems(eth, ett)
+        val ggl = pairItems(glh, glt)
+        val e = PairMetrics.membershipCounts(perturbItems(url, get), get)
+        val r = PairMetrics.membershipCounts(perturbItems(url, ggl), ggl)
         EvalCounts(url, e.pred, e.gt, e.correct, r.pred, r.gt, r.correct)
       }
     val agged = counts.dropDuplicates("url").agg(
@@ -138,13 +161,13 @@ object EvalMetrics {
   def perturbedDetail(spark: SparkSession, goldenPath: String): DataFrame = {
     import spark.implicits._
     val g = spark.read.parquet(goldenPath)
-      .select(col("url"),
-        transform(col("kv"), x => concat(x.getField("key"), lit("\u0001"), x.getField("value"))).as("gkv"),
-        transform(col("lines"), l => l.getField("text")).as("gln"))
-      .select(col("url"), col("gkv"), col("gln"),
-        perturb(col("gkv")).as("pkv"), perturb(col("gln")).as("pln"))
-    g.as[(String, Seq[String], Seq[String], Seq[String], Seq[String])]
-      .flatMap { case (url, gkv, gln, pkv, pln) =>
+      .select(col("url"), col("kv.key").as("gk"), col("kv.value").as("gv"),
+        col("lines.text").as("gln"))
+    g.as[(String, Seq[String], Seq[String], Seq[String])]
+      .flatMap { case (url, gk, gv, gln) =>
+        val gkv = kvItems(gk, gv)
+        val pkv = perturbItems(url, gkv)
+        val pln = perturbItems(url, gln)
         PairMetrics.detail(pkv, gkv).map { case (v, i) => (url, "kv", v, i) } ++
           PairMetrics.detail(pln, gln).map { case (v, i) => (url, "line", v, i) }
       }

@@ -130,6 +130,10 @@ object Media {
       while (off + 8 <= b.length && (sampleRate == 0 || dataLen < 0)) {
         val id = new String(b, off, 4, "US-ASCII")
         val size = rdLe32(b, off + 4)
+        // a negative / overlong size (corrupt or adversarial chunk) would
+        // stall or rewind the walk — fail loudly instead of looping forever
+        require(size >= 0 && off.toLong + 8 + size <= b.length,
+          s"corrupt RIFF chunk '$id': size=$size at offset $off of ${b.length}")
         id match {
           case "fmt " => sampleRate = rdLe32(b, off + 12)
           case "data" => dataLen = size
@@ -172,15 +176,14 @@ object Media {
 
   /** Feature extraction: 16-bin byte histogram over the payload — the
     * deterministic stand-in for an embedding/feature extractor; a pure
-    * column projection (codegen, no shuffle) over the binary column.
+    * column projection (codegen, no shuffle) over the binary column. One
+    * native single-pass scan per row ([[graft.functions.ByteHistExpression]]
+    * — the prior form ran 16 regexp_replace passes over every payload).
     */
-  def byteHistogram(media: DataFrame): DataFrame = {
-    val payload = payloadCol
-    val features = concat_ws(",", Alphabet.map(c =>
-      (length(payload) - length(regexp_replace(payload, c.toString, ""))).cast("int").cast("string")): _*)
-    media.select(col("doc_id"), col("kind"), features.as("features"))
+  def byteHistogram(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("kind"),
+        call_function("graft_byte_hist", payloadCol).as("features"))
       .orderBy("doc_id")
-  }
 
   def byteHistogramSql(parquetGlob: String): String = {
     val feats = Alphabet.map(c =>
@@ -191,16 +194,14 @@ object Media {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Frame sampling: every k-th payload byte (video-frame-sample analogue). */
-  def frameSample(media: DataFrame, k: Int = 8): DataFrame = {
-    val payload = payloadCol
-    val sampled = when(length(payload) >= k,
-        concat_ws("", transform(
-          sequence(lit(1), floor(length(payload) / lit(k)).cast("int")),
-          i => payload.substr((i - lit(1)) * lit(k) + lit(1), lit(1)))))
-      .otherwise(lit(""))
-    media.select(col("doc_id"), sampled.as("frames")).orderBy("doc_id")
-  }
+  /** Frame sampling: every k-th payload byte (video-frame-sample analogue),
+    * one strided native copy per row ([[graft.functions.FrameSampleExpression]]
+    * — the prior `transform(sequence(...))` HOF was CodegenFallback).
+    */
+  def frameSample(media: DataFrame, k: Int = 8): DataFrame =
+    media.select(col("doc_id"),
+        call_function("graft_frame_sample", payloadCol, lit(k)).as("frames"))
+      .orderBy("doc_id")
 
   def frameSampleSql(parquetGlob: String, k: Int = 8): String =
     s"""SELECT doc_id,

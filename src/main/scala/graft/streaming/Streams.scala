@@ -24,11 +24,16 @@ object Streams {
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** `sum_vmilli` accumulates floor(value*1000) as a LONG: integer addition
+    * is order-independent and exact, so the batch replay hashes identically
+    * to a relational oracle regardless of per-group evaluation order (a
+    * Double sum would differ in the last bits across fold orders).
+    */
   final case class SessionOut(user_id: Long, session_start: Timestamp,
-      session_end: Timestamp, n_events: Long, sum_value: Double)
+      session_end: Timestamp, n_events: Long, sum_vmilli: Long)
 
   /** Per-user session accumulator (public: encoder codegen instantiates it). */
-  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, vmilli: Long)
 
   /** Streaming extraction: file-source over page parquet -> the batch
     * kernel, unchanged. Caller attaches writeStream (parquet/iceberg sink
@@ -68,6 +73,58 @@ object Streams {
       .dropDuplicatesWithinWatermark("text_h")
       .drop("text_h")
 
+  /** The per-key session fold shared by the streaming and one-shot batch
+    * paths — ONE kernel, so the DuckDB gaps-and-islands oracle on the batch
+    * replay (q7_sessions) checks exactly the logic the stream runs.
+    * `streaming = false` skips the event-time timeout registration (batch
+    * execution has no watermark clock; timeouts never fire there).
+    */
+  /** Timestamps fold as epoch MICROS (event timestamps carry microsecond
+    * precision; java.sql.Timestamp.getTime alone would truncate session
+    * bounds to millis). The inactivity-gap test compares ms-TRUNCATED
+    * values — exactly the `epoch_ms(ts) - epoch_ms(lag(ts)) > gap` algebra
+    * of the relational oracle, so boundary events within the same
+    * microsecond-of-millisecond land identically.
+    */
+  private def epochMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  private def sessionUpdate(gapMs: Long, streaming: Boolean)(
+      userId: Long, rows: Iterator[EventRow],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val out = Vector.newBuilder[SessionOut]
+    if (state.hasTimedOut) {
+      val s = state.get
+      out += SessionOut(userId, microsTs(s.start), microsTs(s.last), s.n, s.vmilli)
+      state.remove()
+    } else {
+      // event-time order within a micro-batch is not guaranteed
+      val sorted = rows.toVector.sortBy(e => epochMicros(e.ts))
+      var st = state.getOption.getOrElse(
+        SessionState(Long.MaxValue, Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        val t = epochMicros(e.ts)
+        val v = math.floor(e.value * 1000).toLong
+        if (st.n > 0 && t / 1000L - st.last / 1000L > gapMs) {
+          out += SessionOut(userId, microsTs(st.start), microsTs(st.last), st.n, st.vmilli)
+          st = SessionState(t, t, 1L, v)
+        } else {
+          st = SessionState(math.min(st.start, t), math.max(st.last, t),
+            st.n + 1, st.vmilli + v)
+        }
+      }
+      state.update(st)
+      if (streaming) state.setTimeoutTimestamp(st.last / 1000L + gapMs)
+    }
+    out.result().iterator
+  }
+
   /** Event-time sessionization with an inactivity gap: emits one row per
     * closed session. State per user is O(1); sessions close via event-time
     * timeout as the watermark passes lastTs + gap.
@@ -75,39 +132,37 @@ object Streams {
   def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
-
-    def update(userId: Long, rows: Iterator[EventRow],
-        state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val out = Vector.newBuilder[SessionOut]
-      if (state.hasTimedOut) {
-        val s = state.get
-        out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-        state.remove()
-      } else {
-        // event-time order within a micro-batch is not guaranteed
-        val sorted = rows.toVector.sortBy(_.ts.getTime)
-        var st = state.getOption.getOrElse(
-          SessionState(Long.MaxValue, Long.MinValue, 0L, 0.0))
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          if (st.n > 0 && t - st.last > gapMs) {
-            out += SessionOut(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
-            st = SessionState(t, t, 1L, e.value)
-          } else {
-            st = SessionState(math.min(st.start, t), math.max(st.last, t),
-              st.n + 1, st.total + e.value)
-          }
-        }
-        state.update(st)
-        state.setTimeoutTimestamp(st.last + gapMs)
-      }
-      out.result().iterator
-    }
-
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionUpdate(gapMinutes * 60000L, streaming = true))
+  }
+
+  /** One-shot batch replay of [[sessionize]] through the SAME
+    * flatMapGroupsWithState fold (batch execution calls the function once
+    * per key with all of its rows). Batch never fires event-time timeouts,
+    * so each user's final open session would stay in (discarded) state; a
+    * per-user flush sentinel one tick past the inactivity gap forces it to
+    * emit exactly as the watermark would in a stream — the sentinel's own
+    * one-event session is the only state left behind. This is the
+    * DuckDB-oracle-checkable surface for the sessionization operator
+    * (CORRECTNESS q7_sessions).
+    */
+  def sessionizeOneShot(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val sentinels = events.toDF()
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("mts"))
+      .select(lit(-1L).as("event_id"),
+        timestamp_millis(unix_millis(col("mts")) + gapMs + 1L).as("ts"),
+        col("user_id"), lit("__flush__").as("event_type"), lit(0.0).as("value"))
+      .as[EventRow]
+    events.unionByName(sentinels)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionUpdate(gapMs, streaming = false))
   }
 }

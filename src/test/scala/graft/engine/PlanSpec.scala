@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m-block media features run native expressions, no interpreted lambda") {
+    Seq("m2_media_hist" -> "graft_byte_hist",
+        "m3_frame_sample" -> "graft_frame_sample").foreach { case (q, fn) =>
+      val p = plan(q)
+      assert(p.contains(fn), s"$q must use the native $fn expression:\n$p")
+      assert(!p.contains("lambdafunction"),
+        s"$q must not evaluate interpreted higher-order lambdas:\n$p")
+      // narrow projections: the only exchange allowed is the output orderBy
+      val body = p.substring(0, math.max(0, p.indexOf("Sort")))
+      assert(!body.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle before the output sort:\n$p")
+    }
+  }
+
   test("s4 LSH bucketing is a shuffle-free narrow projection") {
     val p = plan("s4_lsh_buckets")
     val body = p.substring(0, math.max(0, p.indexOf("Sort")))

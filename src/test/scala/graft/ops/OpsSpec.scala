@@ -130,6 +130,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: diameter-12 chain converges across checkpoint boundaries") {
+    import spark.implicits._
+    // a 13-node path graph needs >5 propagation rounds, so the fixpoint
+    // loop crosses the every-5-rounds localCheckpoint at least twice —
+    // exercising both lineage truncation and the decimal-sum convergence
+    // test on a high-diameter graph (plus a large-id singleton: the decimal
+    // path must not care about id magnitude)
+    val big = Long.MaxValue / 2
+    val nodes = ((1L to 13L) :+ big).toDF("doc_id")
+    val pairs = (1L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.componentsFrom(nodes, pairs, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 13L).map(_ -> 1L).toMap + (big -> big)
+    assert(got == expected)
+  }
+
   test("dedupComponents clusters exact-duplicate groups; others stay singletons") {
     val text1 = "alpha beta gamma delta epsilon zeta"
     val text2 = "one two three four five six seven"

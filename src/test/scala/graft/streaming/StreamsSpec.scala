@@ -106,7 +106,23 @@ class StreamsSpec extends AnyFunSuite {
     val first = sessions(0)
     assert(first.getAs[Long]("user_id") == 7L)
     assert(first.getAs[Long]("n_events") == 2L)
-    assert(first.getAs[Double]("sum_value") == 3.0)
+    assert(first.getAs[Long]("sum_vmilli") == 3000L)
     assert(first.getAs[Timestamp]("session_end") == tsAt(10, 5))
+  }
+
+  test("one-shot batch sessionize replays the same fold and closes all real sessions") {
+    import spark.implicits._
+    // user 7: two sessions (gap 115 min); user 8: one single-event session
+    val events = Seq(
+      EventRow(1, tsAt(10, 0), 7, "click", 1.0),
+      EventRow(2, tsAt(10, 5), 7, "click", 2.0),
+      EventRow(3, tsAt(12, 0), 7, "click", 4.0),
+      EventRow(4, tsAt(14, 0), 8, "view", 0.5)).toDS()
+    val out = Streams.sessionizeOneShot(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(out.length == 3)
+    assert(out(0) == Streams.SessionOut(7, tsAt(10, 0), tsAt(10, 5), 2, 3000L))
+    assert(out(1) == Streams.SessionOut(7, tsAt(12, 0), tsAt(12, 0), 1, 4000L))
+    assert(out(2) == Streams.SessionOut(8, tsAt(14, 0), tsAt(14, 0), 1, 500L))
   }
 }
