@@ -53,13 +53,41 @@ object DocBuilder {
     var sortedEndToken: Option[Int] = None
   }
 
+  /** One sorted line's bookkeeping, exposed for the executed-reference
+    * comparison (sibr.py's LineInfo dataclass fields the loop mutates).
+    */
+  final case class TraceLine(origLineId: Int, origEntityId: Int, category: String,
+      tokens: Vector[String], coords: Vector[Int],
+      start: Option[Int], end: Option[Int])
+
+  /** The builder's internal bookkeeping — exclusion sets, entity maps,
+    * orig->sorted map, token offsets — surfaced so RefVectorSpec can pin
+    * them against the EXECUTED reference loop (sibr.py:105-263), not just
+    * against the observable DocSample.
+    */
+  final case class BuildTrace(
+      emptyLine: Set[Int],
+      emptyEntity: Set[Int],
+      entityFirstLine: Map[Int, Int],
+      entityLastLine: Map[Int, Int],
+      entityText: Map[Int, String],
+      inScopeEntityId: Set[Int],
+      inScopeLineId: Set[Int],
+      lineOrigToSorted: Map[Int, Int],
+      sortedLines: Vector[TraceLine]
+  )
+
   /** Normalize a raw annotation line text exactly as the engine does before
     * tokenization: ordered replacement table + full-width folding
     * (/root/reference/data/datasets/rfund.py:95-109 applied dataset-side).
     */
   def normalizeLineText(raw: String): String = TextNorm.specialReplace(raw)
 
-  def build(doc: AnnDoc, maxTokenLen: Int = DefaultMaxTokenLen): DocSample = {
+  def build(doc: AnnDoc, maxTokenLen: Int = DefaultMaxTokenLen): DocSample =
+    buildWithTrace(doc, maxTokenLen)._1
+
+  def buildWithTrace(doc: AnnDoc,
+      maxTokenLen: Int = DefaultMaxTokenLen): (DocSample, BuildTrace) = {
     val allOrigLines = mutable.ArrayBuffer.empty[LineInfo]
     val allOrigBoxes = mutable.ArrayBuffer.empty[Vector[Int]]
     val emptyLine = mutable.HashSet.empty[Int]
@@ -206,7 +234,7 @@ object DocBuilder {
       if (ok) relations += ((entityIdToText(qId), entityIdToText(aId)))
     }
 
-    DocSample(
+    val sample = DocSample(
       uid = doc.uid,
       tokens = texts.result(),
       bbox = bbox.result(),
@@ -218,6 +246,19 @@ object DocBuilder {
       groupHeadSpots = groupHeadSpots.result(),
       groupTailSpots = groupTailSpots.result()
     )
+    val trace = BuildTrace(
+      emptyLine = emptyLine.toSet,
+      emptyEntity = emptyEntity.toSet,
+      entityFirstLine = entityFirstLine.toMap,
+      entityLastLine = entityLastLine.toMap,
+      entityText = entityIdToText.toMap,
+      inScopeEntityId = inScopeEntityId.toSet,
+      inScopeLineId = inScopeLineId.toSet,
+      lineOrigToSorted = lineOrigToSorted.toMap,
+      sortedLines = sortedLines.map(ln => TraceLine(ln.origLineId, ln.origEntityId,
+        ln.category, ln.tokens, ln.coords, ln.sortedStartToken, ln.sortedEndToken))
+    )
+    (sample, trace)
   }
 
   /** Canonicalize + decode one sample: the shared kernel body used by the

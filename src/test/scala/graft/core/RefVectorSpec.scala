@@ -106,6 +106,77 @@ class RefVectorSpec extends AnyFunSuite {
     assert(nKv >= 20, s"vectors must exercise kv emission (got $nKv pairs)")
   }
 
+  test("sibr dataset loop: DocBuilder matches the executed reference preprocessing") {
+    // vectors come from EXECUTING sibr.py's unmodified __getitem__ over
+    // synthetic annotation fixtures (tokenizer mocked with this engine's
+    // contract, texts pre-normalized by the executed _special_text_replace);
+    // internals were captured from the reference frame via sys.settrace.
+    def strSeq(n: JsonNode): Vector[String] = n.elements.asScala.map(_.asText).toVector
+    def spots3(n: JsonNode): Vector[(Int, Int, Int)] =
+      n.elements.asScala.map(e => (e.get(0).asInt, e.get(1).asInt, e.get(2).asInt)).toVector
+    def intSet(n: JsonNode): Set[Int] = n.elements.asScala.map(_.asInt).toSet
+    def intMap(n: JsonNode): Map[Int, Int] =
+      n.elements.asScala.map(e => e.get(0).asInt -> e.get(1).asInt).toMap
+    def strMap(n: JsonNode): Map[Int, String] =
+      n.elements.asScala.map(e => e.get(0).asInt -> e.get(1).asText).toMap
+
+    var nTruncated = 0
+    root.get("sibr_dataset").elements.asScala.zipWithIndex.foreach { case (c, ci) =>
+      val d = c.get("doc")
+      val doc = AnnDoc(
+        uid = d.get("uid").asText,
+        width = d.get("width").asInt,
+        height = d.get("height").asInt,
+        entities = d.get("entities").elements.asScala.map { e =>
+          AnnEntity(e.get("id").asInt, e.get("label").asText,
+            e.get("lines").elements.asScala.map { l =>
+              AnnLine(l.get("id").asInt, l.get("text").asText, intSeq(l.get("bbox")))
+            }.toVector)
+        }.toVector,
+        kvEntity = d.get("kv").elements.asScala
+          .map(r => AnnRelation(r.get(0).asInt, r.get(1).asInt)).toVector,
+        lineGrouping = d.get("grouping").elements.asScala
+          .map(r => AnnRelation(r.get(0).asInt, r.get(1).asInt)).toVector
+      )
+      val (sample, trace) = DocBuilder.buildWithTrace(doc, c.get("max_token_len").asInt)
+      val tag = s"case $ci (${doc.uid}, mtl=${c.get("max_token_len").asInt})"
+
+      // observable sample
+      assert(sample.tokens == strSeq(c.get("text")), s"$tag tokens")
+      assert(sample.bbox == c.get("bbox").elements.asScala.map(intSeq).toVector, s"$tag bbox")
+      assert(sample.origBbox == c.get("orig_bbox").elements.asScala.map(intSeq).toVector, s"$tag origBbox")
+      assert(sample.relations == c.get("relations").elements.asScala
+        .map(e => (e.get(0).asText, e.get(1).asText)).toVector, s"$tag relations")
+      assert(sample.lineExtractionSpots == spots3(c.get("le")), s"$tag le")
+      assert(sample.entHeadSpots == spots3(c.get("eh")), s"$tag eh")
+      assert(sample.entTailSpots == spots3(c.get("et")), s"$tag et")
+      assert(sample.groupHeadSpots == spots3(c.get("gh")), s"$tag gh")
+      assert(sample.groupTailSpots == spots3(c.get("gtl")), s"$tag gtl")
+
+      // internal bookkeeping: exclusion-set timing, entity maps, offsets
+      assert(trace.emptyLine == intSet(c.get("empty_line")), s"$tag empty_line")
+      assert(trace.emptyEntity == intSet(c.get("empty_entity")), s"$tag empty_entity")
+      assert(trace.entityFirstLine == intMap(c.get("entity_first_line")), s"$tag first_line")
+      assert(trace.entityLastLine == intMap(c.get("entity_last_line")), s"$tag last_line")
+      assert(trace.entityText == strMap(c.get("entity_text")), s"$tag entity_text")
+      assert(trace.inScopeEntityId == intSet(c.get("in_scope_entity")), s"$tag in_scope_entity")
+      assert(trace.inScopeLineId == intSet(c.get("in_scope_line")), s"$tag in_scope_line")
+      assert(trace.lineOrigToSorted == intMap(c.get("line_orig_to_sorted")), s"$tag orig_to_sorted")
+
+      // the sorted LineInfo array with per-line token offsets (None past cut)
+      val expLines = c.get("sorted_lines").elements.asScala.map { ln =>
+        DocBuilder.TraceLine(
+          ln.get("line_id").asInt, ln.get("entity_id").asInt,
+          ln.get("category").asText, strSeq(ln.get("tokens")), intSeq(ln.get("coords")),
+          if (ln.get("start").isNull) None else Some(ln.get("start").asInt),
+          if (ln.get("end").isNull) None else Some(ln.get("end").asInt))
+      }.toVector
+      assert(trace.sortedLines == expLines, s"$tag sorted_lines")
+      if (expLines.exists(_.start.isEmpty)) nTruncated += 1
+    }
+    assert(nTruncated >= 4, s"vectors must exercise truncation (got $nTruncated truncated docs)")
+  }
+
   test("parse_matrix_spots matches reference dict-order and tie semantics") {
     root.get("parse_matrix_spots").elements.asScala.foreach { c =>
       val spots = c.get("spots").elements.asScala.map { s =>

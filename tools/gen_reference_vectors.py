@@ -308,6 +308,265 @@ sd_cases.append(run_decode({
 }))
 out["sample_decode"] = sd_cases
 
+# --- SIBRDataset.__getitem__: execute the FULL dataset-side preprocessing
+# loop (sibr.py:90-460) over synthetic annotation fixtures — truncation `>=`,
+# empty-line/empty-entity exclusion-set timing, orig->sorted map, running
+# token offsets, in-scope bookkeeping, spot channels, gt relations.
+# The tokenizer is mocked with the ENGINE'S contract (graft.core.Tokenizer:
+# identity-partition tokens, trailing-ws attach, empty for all-space lines;
+# fetcher=None = identity), and line texts are pre-normalized with the
+# EXECUTED _special_text_replace, mirroring DocBuilder.normalizeLineText.
+# Internals (exclusion sets, maps, LineInfo offsets) are captured from the
+# reference frame's locals via sys.settrace — the source runs UNMODIFIED.
+import sys, tempfile, unicodedata
+
+sib_src = open("/root/reference/data/datasets/sibr.py").read()
+m_li = re.search(r"@dataclass\nclass LineInfo:.*?sorted_end_token: int = None\n", sib_src, re.S)
+m_gi = re.search(r"    def __getitem__.*", sib_src, re.S)
+ns_sib = {"json": json, "os": os,
+          "sort_boxes": sort_boxes, "normalize_bbox": normalize_bbox,
+          "box_augmentation": du.box_augmentation}
+exec(compile(
+    "from dataclasses import dataclass\n"
+    "from typing import Callable, Dict, List, Optional, Union\n"
+    + m_li.group(0) + "\nclass _DS:\n" + m_gi.group(0),
+    "sibr_loop", "exec"), ns_sib)
+_DS = ns_sib["_DS"]
+
+def _is_core(c):
+    cat = unicodedata.category(c)
+    return cat[0] == 'L' or cat == 'Nd'  # Java Character.isLetterOrDigit
+
+class MockTok:
+    """graft.core.Tokenizer contract: leading-ws+core tokens, trailing ws
+    attaches to the last token, all-space lines tokenize to []."""
+    @staticmethod
+    def tokenize(text):
+        out = []
+        i, n, token_start = 0, len(text), 0
+        while i < n:
+            if text[i].isspace():
+                i += 1
+            else:
+                end = i + 1
+                if _is_core(text[i]):
+                    while end < n and _is_core(text[end]):
+                        end += 1
+                out.append(text[token_start:end])
+                i = end
+                token_start = end
+        if not out:
+            return []
+        if token_start < n:
+            out[-1] = out[-1] + text[token_start:]
+        return out
+    @staticmethod
+    def convert_tokens_to_ids(tokens):
+        return [0] * len(tokens)  # only the LENGTH feeds the loop
+
+_sib_tmp = tempfile.mkdtemp(prefix="sibrvec")
+
+def run_sibr(doc, max_token_len):
+    """doc = engine-shaped fixture; texts are pre-normalized with the
+    executed reference _special_text_replace before the loop sees them."""
+    info = {
+        "img": {"fname": doc["uid"], "width": doc["width"], "height": doc["height"]},
+        "entities": [
+            {"id": e["id"], "label": e["label"],
+             "lines": [{"id": l["id"], "text": _special(l["text"]), "bbox": l["bbox"]}
+                       for l in e["lines"]]}
+            for e in doc["entities"]],
+        "relations": {
+            "kv_entity": [{"from_id": a, "to_id": b} for a, b in doc["kv"]],
+            "line_grouping": [{"from_id": a, "to_id": b} for a, b in doc["grouping"]],
+        },
+    }
+    fname = f"{abs(hash(doc['uid']))}.json"
+    with open(os.path.join(_sib_tmp, fname), "w") as f:
+        json.dump(info, f)
+    ds = _DS()
+    ds.tokenizer = MockTok()
+    ds.tokenizer_fetcher = None
+    ds.max_token_len = max_token_len
+    ds.add_cls_token = False
+    ds.add_sep_token = False
+    ds.apply_box_aug = False
+    ds.image_root = _sib_tmp
+    ds.annotation_root = _sib_tmp
+    ds.annotation_fname_list = [fname]
+
+    captured = {}
+    def tracer(frame, event, arg):
+        if frame.f_code.co_name == "__getitem__":
+            if event == "return":
+                captured.update(frame.f_locals)
+            return tracer
+        return None
+    sys.settrace(tracer)
+    try:
+        r = ds[0]
+    finally:
+        sys.settrace(None)
+
+    return {
+        "doc": doc, "max_token_len": max_token_len,
+        "text": r["text"],
+        "bbox": r["bbox"], "orig_bbox": r["orig_bbox"],
+        "relations": [[x["key"], x["value"]] for x in r["relations"]],
+        "le": [list(s) for s in r["line_extraction_matrix_spots"]],
+        "eh": [list(s) for s in r["ent_linking_head_rel_matrix_spots"]],
+        "et": [list(s) for s in r["ent_linking_tail_rel_matrix_spots"]],
+        "gh": [list(s) for s in r["line_grouping_head_rel_matrix_spots"]],
+        "gtl": [list(s) for s in r["line_grouping_tail_rel_matrix_spots"]],
+        "empty_line": sorted(captured["empty_line"]),
+        "empty_entity": sorted(captured["empty_entity"]),
+        "entity_first_line": sorted(captured["entity_first_line_map"].items()),
+        "entity_last_line": sorted(captured["entity_last_line_map"].items()),
+        "entity_text": sorted(captured["entity_id_to_text_map"].items()),
+        "in_scope_entity": sorted(captured["in_scope_entity_id"]),
+        "in_scope_line": sorted(captured["in_scope_line_id"]),
+        "line_orig_to_sorted": sorted(captured["line_orig_to_sorted_map"].items()),
+        "sorted_lines": [
+            {"line_id": ln.orig_line_id, "entity_id": ln.orig_entity_id,
+             "category": ln.category, "tokens": ln.tokens, "coords": ln.coords,
+             "start": ln.sorted_start_token, "end": ln.sorted_end_token}
+            for ln in captured["all_sorted_line_list"]],
+    }
+
+_next_box_y = [0]
+def fx_box():
+    # distinct centers (sidesteps numpy unstable-sort ambiguity in sort_boxes)
+    _next_box_y[0] += rng.choice([37, 41, 53])
+    l = rng.randint(0, 900)
+    return [l, _next_box_y[0], l + rng.randint(10, 300), _next_box_y[0] + rng.randint(5, 30)]
+
+LINE_WORDS = ["Name", "Total", "42", "ok", "x9", "val"]
+WS_ONLY = ["", " ", "　", "\xa0\xa0", " \t ", "\x1c"]
+def fx_text(kind):
+    if kind == "ws":
+        return rng.choice(WS_ONLY)
+    if kind == "special":
+        return rng.choice(["Ｔｏｔａｌ：　４２", "☑ done – ok", "café ‘x’", "a—b™", "§5 ¢99 ü"])
+    nw = rng.randint(1, 4)
+    sep = rng.choice([" ", "  ", ", ", ": "])
+    t = sep.join(rng.choice(LINE_WORDS) for _ in range(nw))
+    return rng.choice(["", " "]) + t + rng.choice(["", " ", "  "])
+
+def fx_doc(uid, n_entities, ws_rate, max_lines=4):
+    _next_box_y[0] = 0
+    entities, next_line_id = [], 0
+    for eid in range(n_entities):
+        lines = []
+        for _ in range(rng.randint(0, max_lines)):
+            kind = "ws" if rng.random() < ws_rate else \
+                   ("special" if rng.random() < 0.2 else "plain")
+            lines.append({"id": next_line_id, "text": fx_text(kind), "bbox": fx_box()})
+            next_line_id += 1
+        entities.append({"id": eid, "label": rng.choice(
+            ["other", "header", "question", "question", "answer", "answer"]),
+            "lines": lines})
+    line_ids = [l["id"] for e in entities for l in e["lines"]]
+    kv, grouping = [], []
+    for _ in range(rng.randint(0, n_entities)):
+        kv.append([rng.randrange(n_entities), rng.randrange(n_entities)])
+    if rng.random() < 0.3:
+        kv.append([n_entities + 5, rng.randrange(n_entities)])  # nonexistent id
+    if rng.random() < 0.3 and kv:
+        kv.append(list(kv[0]))  # duplicate relation
+    for e in entities:  # chain consecutive lines within each entity
+        ids = [l["id"] for l in e["lines"]]
+        for a, b in zip(ids, ids[1:]):
+            if rng.random() < 0.8:
+                grouping.append([a, b])
+    for _ in range(rng.randint(0, 3)):  # noise: random / reversed / self links
+        if line_ids:
+            a = rng.choice(line_ids)
+            b = rng.choice(line_ids + [a, 999])
+            grouping.append([a, b])
+    return {"uid": uid, "width": rng.randint(400, 1600), "height": rng.randint(400, 2000),
+            "entities": entities, "kv": kv, "grouping": grouping}
+
+sib_cases = []
+# hand-built: the empty_entity GLOBAL-list timing quirk — an all-empty FIRST
+# entity lands in empty_entity; an all-empty LATER entity does not (and its
+# last-line map records ANOTHER entity's line, its text is "")
+sib_cases.append(run_sibr({
+    "uid": "quirk-first-empty", "width": 800, "height": 600,
+    "entities": [
+        {"id": 0, "label": "question", "lines": [{"id": 0, "text": " ", "bbox": [10, 10, 60, 30]}]},
+        {"id": 1, "label": "question", "lines": [{"id": 1, "text": "Name:", "bbox": [10, 50, 80, 70]}]},
+        {"id": 2, "label": "answer", "lines": [{"id": 2, "text": "Bob", "bbox": [10, 90, 60, 110]}]},
+    ], "kv": [[1, 2], [0, 2]], "grouping": [[1, 2]]}, 511))
+sib_cases.append(run_sibr({
+    "uid": "quirk-later-empty", "width": 800, "height": 600,
+    "entities": [
+        {"id": 0, "label": "question", "lines": [{"id": 0, "text": "Key", "bbox": [10, 10, 60, 30]}]},
+        {"id": 1, "label": "answer", "lines": [{"id": 1, "text": "　", "bbox": [10, 50, 80, 70]},
+                                                {"id": 2, "text": "  ", "bbox": [10, 90, 80, 110]}]},
+        {"id": 2, "label": "answer", "lines": [{"id": 3, "text": "Val", "bbox": [10, 130, 60, 150]}]},
+    ], "kv": [[0, 1], [0, 2]], "grouping": [[1, 3], [0, 3]]}, 511))
+# hand-built: empty line mid-entity; entity text skips it, grouping via it skips
+sib_cases.append(run_sibr({
+    "uid": "mid-empty", "width": 800, "height": 600,
+    "entities": [
+        {"id": 0, "label": "question", "lines": [
+            {"id": 0, "text": "Total ", "bbox": [10, 10, 90, 30]},
+            {"id": 1, "text": "   ", "bbox": [10, 40, 90, 60]},
+            {"id": 2, "text": "due:", "bbox": [10, 70, 90, 90]}]},
+        {"id": 1, "label": "answer", "lines": [{"id": 3, "text": "¥42", "bbox": [10, 100, 60, 120]}]},
+    ], "kv": [[0, 1]], "grouping": [[0, 1], [1, 2], [0, 2], [2, 3]]}, 511))
+# hand-built: zero-line entity, all-empty doc, single-line doc
+sib_cases.append(run_sibr({
+    "uid": "zero-line-entity", "width": 500, "height": 500,
+    "entities": [
+        {"id": 0, "label": "header", "lines": []},
+        {"id": 1, "label": "question", "lines": [{"id": 0, "text": "q", "bbox": [5, 5, 50, 25]}]},
+        {"id": 2, "label": "other", "lines": []},
+    ], "kv": [[0, 1], [1, 2]], "grouping": []}, 511))
+sib_cases.append(run_sibr({
+    "uid": "all-empty-doc", "width": 500, "height": 500,
+    "entities": [
+        {"id": 0, "label": "question", "lines": [{"id": 0, "text": " ", "bbox": [5, 5, 50, 25]}]},
+        {"id": 1, "label": "answer", "lines": [{"id": 1, "text": "\t", "bbox": [5, 45, 50, 65]}]},
+    ], "kv": [[0, 1]], "grouping": [[0, 1]]}, 511))
+# hand-built: truncation boundary +/-1 over the same doc — 4 lines x 4 tokens,
+# reading order == annotation order; cut thresholds 16/17/18 place the `>=`
+# trip exactly at, one past, and one before the boundary line
+trunc_doc = {
+    "uid": "trunc-pm1", "width": 1000, "height": 1000,
+    "entities": [
+        {"id": e, "label": ("question" if e % 2 == 0 else "answer"),
+         "lines": [{"id": e, "text": "a b c d", "bbox": [10, 10 + 40 * e, 200, 30 + 40 * e]}]}
+        for e in range(4)
+    ], "kv": [[0, 1], [2, 3], [0, 3]], "grouping": [[0, 1], [1, 2], [2, 3]]}
+for mtl in (16, 17, 18):
+    sib_cases.append(run_sibr(trunc_doc, mtl))
+# hand-built: entity straddles the cut (first line in scope, last line out) —
+# entity IS in-scope but kv via it fails the first/last-line-in-scope check
+sib_cases.append(run_sibr({
+    "uid": "straddle-cut", "width": 1000, "height": 1000,
+    "entities": [
+        {"id": 0, "label": "question", "lines": [{"id": 0, "text": "k1 k2", "bbox": [10, 10, 200, 30]}]},
+        {"id": 1, "label": "answer", "lines": [
+            {"id": 1, "text": "v1 v2", "bbox": [10, 50, 200, 70]},
+            {"id": 2, "text": "v3 v4 v5 v6", "bbox": [10, 90, 200, 110]}]},
+    ], "kv": [[0, 1]], "grouping": [[1, 2]]}, 9))
+# hand-built: reading order reverses annotation order (truncation cuts by
+# SORTED position, so the annotation-later line survives)
+sib_cases.append(run_sibr({
+    "uid": "sort-vs-cut", "width": 1000, "height": 1000,
+    "entities": [
+        {"id": 0, "label": "question", "lines": [{"id": 0, "text": "low low low", "bbox": [10, 800, 200, 830]}]},
+        {"id": 1, "label": "answer", "lines": [{"id": 1, "text": "high high high", "bbox": [10, 10, 200, 40]}]},
+    ], "kv": [[0, 1], [1, 0]], "grouping": []}, 5))
+# seeded random sweep: ws-heavy, special-heavy, truncation-heavy mixes
+for trial in range(26):
+    ws_rate = [0.1, 0.35, 0.7][trial % 3]
+    mtl = [12, 24, 48, 511][trial % 4]
+    sib_cases.append(run_sibr(
+        fx_doc(f"rand-{trial}", n_entities=rng.randint(1, 7), ws_rate=ws_rate), mtl))
+out["sibr_dataset"] = sib_cases
+
 os.makedirs("/root/repo/src/test/resources/refvec", exist_ok=True)
 with open("/root/repo/src/test/resources/refvec/vectors.json", "w") as f:
     json.dump(out, f)
