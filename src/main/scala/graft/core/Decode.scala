@@ -90,34 +90,58 @@ object Decode {
     // follow grouping_head; accept a step only if line-extraction's tail for
     // the next head equals grouping_tail's tail for the current tail.
     // Absent keys are the -1 sentinel (token indices are >= 0).
-    final case class Walk(texts: Vector[String], boxes: Vector[Vector[Int]], currHead: Int, currTail: Int)
+    //
+    // The reference appends per-segment text slices / merged boxes to lists
+    // and finishes with "".join + merge_bbox; both folds are associative, so
+    // the walk accumulates ONE text builder and ONE running min/max box —
+    // byte-identical output, none of the per-segment String/Vector wrappers
+    // on this hot path.
+    final class Walk(headIdx: Int, firstTailIdx: Int) {
+      val sb = new java.lang.StringBuilder
+      var minX: Int = Int.MaxValue
+      var minY: Int = Int.MaxValue
+      var maxX: Int = Int.MinValue
+      var maxY: Int = Int.MinValue
+      var currHead: Int = headIdx
+      var currTail: Int = firstTailIdx
+      def addSegment(s: Int, eIncl: Int): Unit = {
+        var k = s
+        while (k <= eIncl) {
+          sb.append(text(k))
+          val bx = bbox(k)
+          if (bx(0) < minX) minX = bx(0)
+          if (bx(1) < minY) minY = bx(1)
+          if (bx(2) > maxX) maxX = bx(2)
+          if (bx(3) > maxY) maxY = bx(3)
+          k += 1
+        }
+      }
+      def box: Vector[Int] = Vector(minX, minY, maxX, maxY)
+    }
     def walkChain(headIdx: Int, firstTailIdx: Int): Walk = {
-      var texts = Vector(sliceText(headIdx, firstTailIdx))
-      var boxes = Vector(sliceBox(headIdx, firstTailIdx))
-      var currHead = headIdx
-      var currTail = firstTailIdx
-      var nextHead = groupHead.getOrMinus1(currHead)
+      val w = new Walk(headIdx, firstTailIdx)
+      w.addSegment(headIdx, firstTailIdx)
+      var nextHead = groupHead.getOrMinus1(w.currHead)
       var numOp = 0
       var continue = true
       while (continue && nextHead != -1) {
         numOp += 1
         if (numOp > 1000) continue = false // loop guard (decode.py:259-261)
-        else if (nextHead == currHead) continue = false // self-loop (decode.py:263-264)
+        else if (nextHead == w.currHead) continue = false // self-loop (decode.py:263-264)
         else {
           val leTail = lineExtraction.getOrMinus1(nextHead)
           if (leTail == -1) continue = false // next head not an extracted line
-          else if (groupTail.getOrMinus1(currTail) != leTail) {
+          else if (groupTail.getOrMinus1(w.currTail) != leTail) {
             continue = false // sub-task cross-validation failed (decode.py:274-276)
           } else {
-            texts :+= sliceText(nextHead, leTail)
-            boxes :+= sliceBox(nextHead, leTail)
-            currHead = nextHead
-            currTail = leTail
-            nextHead = groupHead.getOrMinus1(currHead)
+            w.addSegment(nextHead, leTail)
+            w.currHead = nextHead
+            w.currTail = leTail
+            nextHead = groupHead.getOrMinus1(w.currHead)
           }
         }
       }
-      Walk(texts, boxes, currHead, currTail)
+      w
     }
 
     // --- entity-linking heads drive KV emission (decode.py:223-368) ---
@@ -138,10 +162,10 @@ object Decode {
           // the key chain tail (decode.py:352-359)
           if (entTail.containsValue(kw.currTail, vw.currTail)) {
             kvPairs += KvPair(
-              key = TextNorm.pyStrip(kw.texts.mkString),
-              value = TextNorm.pyStrip(vw.texts.mkString),
-              keyBox = Boxes.mergeBbox(kw.boxes),
-              valueBox = Boxes.mergeBbox(vw.boxes)
+              key = TextNorm.pyStrip(kw.sb.toString),
+              value = TextNorm.pyStrip(vw.sb.toString),
+              keyBox = kw.box,
+              valueBox = vw.box
             )
           }
         } // else: head not in line-extraction map: skip (decode.py:236-243)

@@ -84,10 +84,20 @@ object DocBuilder {
   def normalizeLineText(raw: String): String = TextNorm.specialReplace(raw)
 
   def build(doc: AnnDoc, maxTokenLen: Int = DefaultMaxTokenLen): DocSample =
-    buildWithTrace(doc, maxTokenLen)._1
+    buildImpl(doc, maxTokenLen, wantTrace = false)._1
 
   def buildWithTrace(doc: AnnDoc,
       maxTokenLen: Int = DefaultMaxTokenLen): (DocSample, BuildTrace) = {
+    val (sample, trace) = buildImpl(doc, maxTokenLen, wantTrace = true)
+    (sample, trace.get)
+  }
+
+  /** wantTrace=false keeps the hot extraction path allocation-free: the
+    * trace copies every internal set/map, which only the executed-reference
+    * spec needs.
+    */
+  private def buildImpl(doc: AnnDoc, maxTokenLen: Int,
+      wantTrace: Boolean): (DocSample, Option[BuildTrace]) = {
     val allOrigLines = mutable.ArrayBuffer.empty[LineInfo]
     val allOrigBoxes = mutable.ArrayBuffer.empty[Vector[Int]]
     val emptyLine = mutable.HashSet.empty[Int]
@@ -246,7 +256,7 @@ object DocBuilder {
       groupHeadSpots = groupHeadSpots.result(),
       groupTailSpots = groupTailSpots.result()
     )
-    val trace = BuildTrace(
+    val trace = if (!wantTrace) None else Some(BuildTrace(
       emptyLine = emptyLine.toSet,
       emptyEntity = emptyEntity.toSet,
       entityFirstLine = entityFirstLine.toMap,
@@ -257,7 +267,7 @@ object DocBuilder {
       lineOrigToSorted = lineOrigToSorted.toMap,
       sortedLines = sortedLines.map(ln => TraceLine(ln.origLineId, ln.origEntityId,
         ln.category, ln.tokens, ln.coords, ln.sortedStartToken, ln.sortedEndToken))
-    )
+    ))
     (sample, trace)
   }
 
