@@ -63,11 +63,21 @@ object SparkEntry {
       extracted(s, dir)
         .select(col("url"), col("text"), col("nTokens"), col("nLines"), col("nKv"))
         .orderBy(col("url"))),
-    "x2_extract_kv" -> ((s, dir) =>
+    "x2_extract_kv" -> ((s, dir) => {
+      // key/value field extraction is a codegen GetArrayStructFields
+      // projection; pair assembly joins in a typed kernel (the former
+      // transform(...) lambda was CodegenFallback)
+      import s.implicits._
       extracted(s, dir)
-        .select(col("url"),
-          array_join(transform(col("kv"), k => concat_ws("\u0001", k.getField("key"), k.getField("value"))), "\u0002").as("kvs"))
-        .orderBy(col("url"))),
+        .select(col("url"), col("kv.key").as("ks"), col("kv.value").as("vs"))
+        .as[(String, Seq[String], Seq[String])]
+        .map { case (url, ks, vs) =>
+          (url, ks.iterator.zip(vs.iterator)
+            .map { case (k, v) => k + "\u0001" + v }.mkString("\u0002"))
+        }
+        .toDF("url", "kvs")
+        .orderBy(col("url"))
+    }),
     "x3_lineage" -> ((s, dir) =>
       Pipeline.lineage(Pipeline.extract(pages(s, dir)))
         .select(col("bucket"), col("nDocs"), col("nTokens"), col("nKv"))

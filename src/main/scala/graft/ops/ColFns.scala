@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * Every primitive here has an exact DuckDB equivalent so the driver's
   * oracle compare is bit-exact:
   *   - [[h32]]   <->  `CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)`
-  *   - [[words]] <->  `list_filter(string_split(text,' '), w -> w <> '')`
-  *   - [[shingles]] <-> `list_transform(generate_series(1, len(w)-n+1), ...)`
+  *   - [[dot]]   <->  `list_reduce(list_transform(...), (x,y) -> x+y)`
+  *   - [[micro]] <->  `CAST(floor(x * 1000000.0) AS BIGINT)`
+  * (the word/shingle primitives live in the typed kernels —
+  * Dedup.shingleRows — since the higher-order column forms are
+  * CodegenFallback; only their DuckDB mirrors remain here.)
   *
   * md5 is the one hash both engines implement identically; all derived
   * hashes (minhash, simhash, fingerprints, LSH planes) are built on its
@@ -22,20 +25,6 @@ object ColFns {
   /** Cross-engine 32-bit hash in [0, 2^32): first 8 hex chars of md5. */
   def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
-
-  /** Whitespace words with empties dropped (split keeps trailing empties). */
-  def words(text: Column): Column =
-    filter(split(text, " ", -1), w => w =!= lit(""))
-
-  /** Word n-grams, 1-based to mirror DuckDB list indexing; empty array when
-    * the doc is shorter than n (guarded: Spark `sequence(1, k)` with k < 1
-    * would generate a DESCENDING sequence, unlike DuckDB's empty list).
-    */
-  def shingles(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
 
   /** Sequential-fold double dot product of two float/double vectors —
     * the native codegen'd [[graft.functions.DotExpression]] (identical

@@ -87,6 +87,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e-block eval queries have no interpreted lambda (typed kernels + GetArrayStructFields)") {
+    Seq("e1_eval_metrics", "e2_eval_links", "e3_eval_tails", "e4_eval_detail").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"),
+        s"$q must not evaluate interpreted higher-order lambdas:\n$p")
+    }
+  }
+
   test("m-block media features run native expressions, no interpreted lambda") {
     Seq("m2_media_hist" -> "graft_byte_hist",
         "m3_frame_sample" -> "graft_frame_sample").foreach { case (q, fn) =>
