@@ -310,24 +310,6 @@ object Lineizer {
     )
   }
 
-  /** One open-element frame of the streaming scanner. Mirrors the tree
-    * parser's frame stack exactly (incl. mismatched-close cascades); the
-    * lineizer context (refs/flags) rides the frame instead of a recursive
-    * walk, and positioned blocks capture their subtree text inline — no DOM
-    * is ever materialized.
-    */
-  private final class SFrame(
-      val tag: String,
-      val myRef: Int,          // 0 for frames inside an open block (walk never visits them)
-      val isA: Boolean,
-      val isBlockRoot: Boolean,
-      // context for CHILDREN of this element
-      val nav: Boolean,
-      val hdr: Boolean,
-      val cell: String,
-      val dl: Int,
-      val tr: Int
-  )
 
   /** Streaming equivalent of `lineize(HtmlParser.parse(html), uid)`: a
     * single scan over the markup producing blocks directly — no DOM, no
@@ -340,8 +322,38 @@ object Lineizer {
     import HtmlParser._
     val blocks = mutable.ArrayBuffer.empty[Block]
 
-    val frames = mutable.ArrayBuffer.empty[SFrame]
-    frames += new SFrame("#root", 1, isA = false, isBlockRoot = false,
+    // frame stack as parallel primitive arrays (one [[SFrame]]-shaped record
+    // per open element; an object per element measured ~8 KB/doc of churn).
+    // bits: 1 = isA, 2 = isBlockRoot, 4 = nav, 8 = hdr.
+    var fCap = 64
+    var fTag = new Array[String](fCap)
+    var fRef = new Array[Int](fCap)
+    var fBits = new Array[Int](fCap)
+    var fCell = new Array[String](fCap)
+    var fDl = new Array[Int](fCap)
+    var fTr = new Array[Int](fCap)
+    var fLen = 0
+    def pushFrame(tag: String, ref: Int, isA: Boolean, isBlockRoot: Boolean,
+        nav: Boolean, hdr: Boolean, cell: String, dl: Int, tr: Int): Unit = {
+      if (fLen == fCap) {
+        fCap *= 2
+        fTag = java.util.Arrays.copyOf(fTag, fCap)
+        fRef = java.util.Arrays.copyOf(fRef, fCap)
+        fBits = java.util.Arrays.copyOf(fBits, fCap)
+        fCell = java.util.Arrays.copyOf(fCell, fCap)
+        fDl = java.util.Arrays.copyOf(fDl, fCap)
+        fTr = java.util.Arrays.copyOf(fTr, fCap)
+      }
+      fTag(fLen) = tag
+      fRef(fLen) = ref
+      fBits(fLen) = (if (isA) 1 else 0) | (if (isBlockRoot) 2 else 0) |
+        (if (nav) 4 else 0) | (if (hdr) 8 else 0)
+      fCell(fLen) = cell
+      fDl(fLen) = dl
+      fTr(fLen) = tr
+      fLen += 1
+    }
+    pushFrame("#root", 1, isA = false, isBlockRoot = false,
       nav = false, hdr = false, cell = "", dl = 0, tr = 0)
 
     var elemCounter = 1 // #root consumed ref 1, matching the tree walk
@@ -421,9 +433,10 @@ object Lineizer {
     }
 
     def closeFrame(): Unit = {
-      val f = frames.remove(frames.length - 1)
-      if (blockOpen && f.isA) aDepth -= 1
-      if (f.isBlockRoot) emitBlock()
+      fLen -= 1
+      val bits = fBits(fLen)
+      if (blockOpen && (bits & 1) != 0) aDepth -= 1
+      if ((bits & 2) != 0) emitBlock()
     }
 
     /** Text run [from, until): appended only while a block is open; the
@@ -459,8 +472,9 @@ object Lineizer {
           while (ns < ne && html.charAt(ns) <= ' ') ns += 1
           while (ne > ns && html.charAt(ne - 1) <= ' ') ne -= 1
           val name = tagNameOf(html, ns, ne)
-          val idx = frames.lastIndexWhere(_.tag == name)
-          if (idx > 0) while (frames.length > idx) closeFrame()
+          var idx = fLen - 1
+          while (idx >= 0 && fTag(idx) != name) idx -= 1
+          if (idx > 0) while (fLen > idx) closeFrame()
           i = if (end < 0) n else end + 1
         } else {
           var j = lt + 1
@@ -521,20 +535,21 @@ object Lineizer {
               // inside a block: frames still mirror the parser, text flows,
               // but no refs and no nested blocks (the walk never descends)
               if (!isVoidLike) {
-                val top = frames(frames.length - 1)
-                frames += new SFrame(name, 0, isA = name == "a", isBlockRoot = false,
-                  nav = top.nav, hdr = top.hdr, cell = top.cell, dl = top.dl, tr = top.tr)
+                val t = fLen - 1
+                pushFrame(name, 0, isA = name == "a", isBlockRoot = false,
+                  nav = (fBits(t) & 4) != 0, hdr = (fBits(t) & 8) != 0,
+                  cell = fCell(t), dl = fDl(t), tr = fTr(t))
                 if (name == "a") aDepth += 1
               }
             } else {
               elemCounter += 1
               val myRef = elemCounter
-              val top = frames(frames.length - 1)
-              val nav2 = top.nav || navTags.contains(name)
-              val hdr2 = top.hdr || headerTags.contains(name)
-              val cell2 = if (cellTags.contains(name)) name else top.cell
-              val dl2 = if (name == "dl") myRef else top.dl
-              val tr2 = if (name == "tr") myRef else top.tr
+              val t = fLen - 1
+              val nav2 = (fBits(t) & 4) != 0 || navTags.contains(name)
+              val hdr2 = (fBits(t) & 8) != 0 || headerTags.contains(name)
+              val cell2 = if (cellTags.contains(name)) name else fCell(t)
+              val dl2 = if (name == "dl") myRef else fDl(t)
+              val tr2 = if (name == "tr") myRef else fTr(t)
               // style parsed in place over the raw region; entity-bearing
               // styles (never in practice) fall back to the decoded string
               val box =
@@ -544,7 +559,7 @@ object Lineizer {
                 else parseStyleBox(html, styleVs, styleVe)
               box match {
                 case Some(b) =>
-                  bTag = name; bParentRef = top.myRef
+                  bTag = name; bParentRef = fRef(t)
                   bDlRef = dl2; bTrRef = tr2
                   bId = Option(matVal(idVs, idVe)).filter(_.nonEmpty)
                   bFor = Option(matVal(forVs, forVe)).filter(_.nonEmpty)
@@ -554,12 +569,12 @@ object Lineizer {
                   else {
                     blockOpen = true
                     aDepth = if (name == "a") 1 else 0
-                    frames += new SFrame(name, myRef, isA = name == "a", isBlockRoot = true,
+                    pushFrame(name, myRef, isA = name == "a", isBlockRoot = true,
                       nav = nav2, hdr = hdr2, cell = cell2, dl = dl2, tr = tr2)
                   }
                 case None =>
                   if (!isVoidLike)
-                    frames += new SFrame(name, myRef, isA = name == "a", isBlockRoot = false,
+                    pushFrame(name, myRef, isA = name == "a", isBlockRoot = false,
                       nav = nav2, hdr = hdr2, cell = cell2, dl = dl2, tr = tr2)
               }
             }
@@ -567,7 +582,7 @@ object Lineizer {
         }
       }
     }
-    while (frames.length > 1) closeFrame()
+    while (fLen > 1) closeFrame()
     val (width, height) = if (dimW >= 0) (dimW, dimH) else (1000, 1414)
     assemble(blocks, width, height, uid)
   }
