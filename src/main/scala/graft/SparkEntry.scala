@@ -160,6 +160,7 @@ object SparkEntry {
     "t3_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
+    "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     // --- deduplication family ---
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "d2_minhash_lsh" -> ((s, dir) => Dedup.lshCandidatePairs(docs(s, dir))),
@@ -301,6 +302,7 @@ object SparkEntry {
     "t3_token_counts" -> TextAnalysis.tokenCountsSql("documents"),
     "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
+    "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
     "d1_dedup_exact" -> Dedup.exactSql("documents"),
     "d2_minhash_lsh" -> Dedup.lshCandidatePairsSql("documents"),
     "d3_simhash" -> Dedup.simhashSql("documents"),

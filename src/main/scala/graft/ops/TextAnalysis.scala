@@ -156,6 +156,76 @@ object TextAnalysis {
        |FROM (SELECT unnest(${sqlWords("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token ASC LIMIT $k""".stripMargin
 
+  /** Repetition-based quality stats — the standard web-corpus repetition
+    * rules (Gopher §A1.1 / RefinedWeb-style filters), per document:
+    * most-frequent-word fraction, duplicate-word fraction
+    * (1 - distinct/total), and most-frequent-bigram fraction. One typed map
+    * kernel pass with two small per-doc count maps — narrow and
+    * shuffle-free, so it composes with the lang/quality gates at 100 TB
+    * without a per-word explode+groupBy (the corpus-wide explode shape is
+    * only right when aggregating ACROSS docs, as in [[vocabTopK]]).
+    */
+  final case class RepStats(doc_id: Long, n_words: Long, top_word_micro: Long,
+      dup_word_micro: Long, top_bigram_micro: Long)
+
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = t.split(' ').filter(_.nonEmpty)
+        val n = ws.length
+        if (n == 0) RepStats(id, 0L, 0L, 0L, 0L)
+        else {
+          @inline def toMicro(x: Double): Long = math.floor(x * 1000000.0).toLong
+          val wc = new java.util.HashMap[String, Integer]()
+          var maxW = 0
+          var i = 0
+          while (i < n) {
+            val c = wc.getOrDefault(ws(i), 0) + 1
+            wc.put(ws(i), c)
+            if (c > maxW) maxW = c
+            i += 1
+          }
+          var maxB = 0
+          if (n >= 2) {
+            val bc = new java.util.HashMap[String, Integer]()
+            i = 0
+            while (i < n - 1) {
+              val b = ws(i) + " " + ws(i + 1)
+              val c = bc.getOrDefault(b, 0) + 1
+              bc.put(b, c)
+              if (c > maxB) maxB = c
+              i += 1
+            }
+          }
+          RepStats(id, n.toLong,
+            toMicro(maxW.toDouble / n),
+            toMicro(1.0 - wc.size.toDouble / n),
+            if (n >= 2) toMicro(maxB.toDouble / (n - 1)) else 0L)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  def repetitionStatsSql(table: String): String =
+    s"""WITH d AS (SELECT doc_id, ${sqlWords("text")} AS ws FROM $table),
+       |wc AS (SELECT doc_id, word, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM d) GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, max(c) AS maxw, sum(c) AS nw, count(*) AS dw
+       |  FROM wc GROUP BY 1),
+       |bc AS (SELECT doc_id, bigram, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(${sqlShingles("ws", 2)}) AS bigram FROM d)
+       |  GROUP BY 1, 2),
+       |ba AS (SELECT doc_id, max(c) AS maxb, sum(c) AS nb FROM bc GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(wa.nw, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(floor(CAST(wa.maxw AS DOUBLE) / wa.nw * 1000000.0), 0) AS BIGINT) AS top_word_micro,
+       |  CAST(coalesce(floor((1.0 - CAST(wa.dw AS DOUBLE) / wa.nw) * 1000000.0), 0) AS BIGINT) AS dup_word_micro,
+       |  CAST(coalesce(floor(CAST(ba.maxb AS DOUBLE) / ba.nb * 1000000.0), 0) AS BIGINT) AS top_bigram_micro
+       |FROM d LEFT JOIN wa USING (doc_id) LEFT JOIN ba USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: a rolling polynomial hash over word hashes
     * (mod 1e9+7 — keeps every intermediate < 2^35, ANSI-overflow-safe), plus
     * a winnowing-style min-hash over 4-gram window hashes.

@@ -120,6 +120,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("repetition stats: top-word/dup-word/top-bigram fractions") {
+    // "a a a b": n=4, maxw=3, distinct=2, bigrams: "a a"x2, "a b"x1 -> maxb=2/3
+    val df = docsDf(
+      1L -> "a a a b",
+      2L -> "x y z",      // all distinct: top 1/3, dup 0, bigrams all unique 1/2
+      3L -> "solo",       // single word: no bigrams
+      4L -> " ")          // no words at all
+    val got = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((4L, 750000L, 500000L, 666666L)))
+    assert(got(2L) == ((3L, 333333L, 0L, 500000L)))
+    assert(got(3L) == ((1L, 1000000L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("connected components: multi-round path graph and singletons") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("doc_id")
