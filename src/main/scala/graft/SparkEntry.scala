@@ -204,6 +204,8 @@ object SparkEntry {
     }),
     // --- prep-funnel composition (lang gate -> quality gate -> dedup) ---
     "p1_prep_funnel" -> ((s, dir) => Prep.funnel(docs(s, dir))),
+    "p2_sample" -> ((s, dir) =>
+      Prep.stratifiedSample(docs(s, dir), SampleRates, defaultRate = 0.35)),
     // --- sources: schema'd JSON fixture ingest + catalog table scan ---
     "a1_json_scan" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -244,6 +246,10 @@ object SparkEntry {
         .select(col("doc_id"), GraftFunctions.f2hExpr("fw").as("halfwidth"))
         .orderBy("doc_id"))
   )
+
+  // mixture weights for the p2 stratified-sampling query (es exercises the
+  // defaultRate fallback branch)
+  private val SampleRates = Seq("en" -> 0.75, "zh" -> 0.2, "de" -> 0.5, "fr" -> 0.05)
 
   def oracleSql: Map[String, String] = Map(
     "x1_extract_text" ->
@@ -319,6 +325,7 @@ object SparkEntry {
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
     "p1_prep_funnel" -> Prep.funnelSql("documents"),
+    "p2_sample" -> Prep.stratifiedSampleSql("documents", SampleRates, defaultRate = 0.35),
     "m1_media_meta" -> Media.extractMetaSql(M),
     "m2_media_hist" -> Media.byteHistogramSql(M),
     "m3_frame_sample" -> Media.frameSampleSql(M),

@@ -48,6 +48,40 @@ object Prep {
       .orderBy("lang")
   }
 
+  /** Deterministic stratified sampling — the data-mixing primitive: keep a
+    * doc iff h32(doc_id ':' salt) % 1e6 < rate(lang)·1e6. Hash-gated rather
+    * than RNG-gated: reproducible across retries, independent of partition
+    * layout, and resumable (a re-run keeps exactly the same rows), which is
+    * what mixture-weight sampling needs at 10^12 docs. One codegen
+    * projection + filter; zero shuffles. Unlisted languages fall back to
+    * `defaultRate`; expected stratum size = rate · |stratum|.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Double)],
+      defaultRate: Double = 0.5, salt: String = "mix1"): DataFrame = {
+    val gate = h32(concat(col("doc_id").cast("string"), lit(":" + salt))) % 1000000L
+    val rateCol = rates.foldRight(lit((defaultRate * 1e6).toLong)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit((r * 1e6).toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), gate.as("g"), rateCol.as("rate_micro"))
+      .filter(col("g") < col("rate_micro"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleSql(table: String, rates: Seq[(String, Double)],
+      defaultRate: Double = 0.5, salt: String = "mix1"): String = {
+    // thresholds computed with the SAME (r * 1e6).toLong as the Spark side,
+    // so double-literal rounding can never diverge between engines
+    val cases = rates.map { case (l, r) => s"WHEN lang = '$l' THEN ${(r * 1e6).toLong}" }
+      .mkString("CASE ", " ", s" ELSE ${(defaultRate * 1e6).toLong} END")
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    ${sqlH32(s"CAST(doc_id AS VARCHAR) || ':$salt'")} % 1000000 AS g,
+       |    $cases AS rate_micro
+       |  FROM $table)
+       |WHERE g < rate_micro ORDER BY doc_id""".stripMargin
+  }
+
   def funnelSql(table: String, lang: String = "en", minScoreMicro: Long = 250000L): String = {
     val w = sqlWords("text")
     val stop = TextAnalysis.StopwordProfiles.head._2.map(s => s"'$s'").mkString("[", ",", "]")

@@ -120,6 +120,24 @@ class OpsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("stratified sampling: rate edges, default fallback, threshold monotonicity") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    def ids(rates: Seq[(String, Double)], dflt: Double): Set[Long] =
+      Prep.stratifiedSample(df, rates, defaultRate = dflt)
+        .collect().map(_.getLong(0)).toSet
+    // rate 1.0 keeps every row of the stratum; 0.0 drops all of it
+    assert(ids(Seq("en" -> 1.0), dflt = 0.0) == (2L to 200L by 2).toSet)
+    // default-rate fallback applies to unlisted languages (zh here)
+    assert(ids(Seq("en" -> 0.0), dflt = 1.0) == (1L to 199L by 2).toSet)
+    // hash-gate monotonicity: raising a rate only ADDS rows (same hashes)
+    val lo = ids(Seq("en" -> 0.3, "zh" -> 0.2), dflt = 0.0)
+    val hi = ids(Seq("en" -> 0.6, "zh" -> 0.7), dflt = 0.0)
+    assert(lo.subsetOf(hi))
+    assert(lo.nonEmpty && hi.size > lo.size && hi.size < 200)
+  }
+
   test("repetition stats: top-word/dup-word/top-bigram fractions") {
     // "a a a b": n=4, maxw=3, distinct=2, bigrams: "a a"x2, "a b"x1 -> maxb=2/3
     val df = docsDf(
