@@ -207,9 +207,20 @@ object Bench {
           -1.0
       }
 
+    // The cluster pair follows the same alternating median-of-3 protocol as
+    // the thread pairs: it was the last single-sample metric, and one
+    // ambient-load spike during its one timed run skewed the whole round's
+    // gate number. A failed level (env can't launch executors) stays -1.
     val multC = math.max(1L, math.min(24L, 40000L / math.max(1L, baseDocs)))
-    val thrC1 = clusterThroughput(1, multC)
-    val thrC4 = clusterThroughput(4, multC * 4)
+    val clusterRuns = (1 to 3).flatMap { _ =>
+      Seq(1 -> clusterThroughput(1, multC), 4 -> clusterThroughput(4, multC * 4))
+    }
+    def medianPos(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else median(ok)
+    }
+    val thrC1 = medianPos(clusterRuns.collect { case (1, t) => t })
+    val thrC4 = medianPos(clusterRuns.collect { case (4, t) => t })
     val effC = if (thrC1 > 0 && thrC4 > 0) (thrC4 / thrC1) / 4.0 else -1.0
 
     // compact number formatting: milli-precision is plenty for seconds and
