@@ -170,6 +170,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"extract stage must be map-only:\n$p")
   }
 
+  test("p2 stratified sample is a shuffle-free codegen filter") {
+    val p = plan("p2_sample")
+    val body = p.substring(0, math.max(0, p.indexOf("Sort")))
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"p2 must not shuffle before the output sort:\n$p")
+    assert(!p.contains("lambdafunction"), s"p2 must stay codegen:\n$p")
+  }
+
   test("p1 funnel plan has no joins: one window shuffle + aggregate") {
     val p = plan("p1_prep_funnel")
     assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
