@@ -168,6 +168,12 @@ object SparkEntry {
     "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "d6_dedup_components" -> ((s, dir) => Dedup.dedupComponents(docs(s, dir))),
+    "d7_contamination" -> ((s, dir) => {
+      // benchmark-decontamination shape: probe set = every 100th doc (a
+      // stand-in for a small eval suite), broadcast against the corpus
+      val d = docs(s, dir)
+      Dedup.contamination(d, d.filter(col("doc_id") % 100 === 0))
+    }),
     // --- embedding similarity / ANN ---
     // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
     // LSH-sub-bucketed (hot-cell guard), the rest keep exact within-cell pairs
@@ -315,6 +321,7 @@ object SparkEntry {
     "d4_jaccard" -> Dedup.jaccardPairsSql("documents"),
     "d5_simhash_pairs" -> Dedup.simhashPairsSql("documents"),
     "d6_dedup_components" -> Dedup.dedupComponentsSql("documents"),
+    "d7_contamination" -> Dedup.contaminationSql("documents", "doc_id % 100 = 0"),
     "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings", cellCap = 50),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),

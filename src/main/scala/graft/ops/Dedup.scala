@@ -266,6 +266,38 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing any word n-gram
+    * with a PROBE set (eval benchmarks, held-out suites). The probe side is
+    * tiny by construction, so its distinct shingles BROADCAST and the doc
+    * side streams through a map-side hash join — at 100 TB the only shuffle
+    * is the final per-doc hit count (map-side partial agg). Returns
+    * (doc_id, n_hits) for contaminated docs; a pipeline drops or quarantines
+    * them.
+    */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val docSh = shingleRows(docs, n, distinct = true)
+    val probeSh = broadcast(
+      shingleRows(probes, n, distinct = true).select(col("s")).distinct())
+    docSh.join(probeSh, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  def contaminationSql(table: String, probePred: String, n: Int = 8): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("w", n)
+    s"""WITH d AS (SELECT doc_id, list_distinct($sh) AS shingles
+       |  FROM (SELECT doc_id, $w AS w FROM $table)),
+       |ds AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+       |ps AS (SELECT DISTINCT s FROM (
+       |  SELECT unnest(shingles) AS s FROM d WHERE $probePred))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM ds JOIN ps USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-doc DISTINCT shingle set as one array column, computed map-side in
     * the typed kernel (no shuffle; used to rescore candidate pairs exactly).
     */

@@ -170,6 +170,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"extract stage must be map-only:\n$p")
   }
 
+  test("d7 contamination probes broadcast (no shuffle of the corpus side for the join)") {
+    val p = plan("d7_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+  }
+
   test("p2 stratified sample is a shuffle-free codegen filter") {
     val p = plan("p2_sample")
     val body = p.substring(0, math.max(0, p.indexOf("Sort")))

@@ -120,6 +120,17 @@ class OpsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("contamination: docs sharing a probe n-gram are flagged with hit counts") {
+    // probe = doc 1; doc 2 shares its full 4-gram run, doc 3 shares none
+    val df = docsDf(
+      1L -> "alpha beta gamma delta epsilon",      // probe: 2 distinct 4-grams
+      2L -> "alpha beta gamma delta other words",  // shares 1 of them
+      3L -> "completely different text here now")
+    val got = Dedup.contamination(df, df.filter(col("doc_id") === 1L), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("stratified sampling: rate edges, default fallback, threshold monotonicity") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh", s"text $i"))
