@@ -161,6 +161,18 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    "t7_redact" -> ((s, dir) => {
+      // synthetic corpus has no PII, so plant deterministic email/number
+      // strings in-query (the f1 construct-input-identically-in-both-engines
+      // pattern) and scrub them
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or call 5551234567 now")))
+          .otherwise(lit("")))
+      TextAnalysis.redactPii(
+        docs(s, dir).select(col("doc_id"), planted.as("text")))
+    }),
     // --- deduplication family ---
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "d2_minhash_lsh" -> ((s, dir) => Dedup.lshCandidatePairs(docs(s, dir))),
@@ -315,6 +327,10 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
+    "t7_redact" -> TextAnalysis.redactPiiSql(
+      "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
+        "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +
+        "ELSE '' END AS text FROM documents)"),
     "d1_dedup_exact" -> Dedup.exactSql("documents"),
     "d2_minhash_lsh" -> Dedup.lshCandidatePairsSql("documents"),
     "d3_simhash" -> Dedup.simhashSql("documents"),

@@ -226,6 +226,29 @@ object TextAnalysis {
        |FROM d LEFT JOIN wa USING (doc_id) LEFT JOIN ba USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction: scrub email addresses and long digit runs (phone/ID-like)
+    * from a text column — the standard pre-release scrubbing pass of a
+    * training-data pipeline. Pure codegen projection (regexp_replace), no
+    * shuffle. Patterns deliberately stay in the regex subset Java and RE2
+    * (DuckDB) interpret identically: character classes, +, bounded
+    * repetition — no backreferences, no lookaround.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val LongDigitPattern = "[0-9]{6,}"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          LongDigitPattern, "<NUM>").as("redacted"))
+      .orderBy("doc_id")
+
+  def redactPiiSql(table: String, textExpr: String = "text"): String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace($textExpr, '$EmailPattern', '<EMAIL>', 'g'),
+       |    '$LongDigitPattern', '<NUM>', 'g') AS redacted
+       |FROM $table ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: a rolling polynomial hash over word hashes
     * (mod 1e9+7 — keeps every intermediate < 2^35, ANSI-overflow-safe), plus
     * a winnowing-style min-hash over 4-gram window hashes.

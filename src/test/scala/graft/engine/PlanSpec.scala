@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("t-block text analysis ops are shuffle-free narrow projections") {
     Seq("t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
-        "t6_repetition").foreach { q =>
+        "t6_repetition", "t7_redact").foreach { q =>
       val p = plan(q)
       // the only exchange allowed is the final presentation orderBy
       val body = p.substring(0, math.max(0, p.indexOf("Sort")))

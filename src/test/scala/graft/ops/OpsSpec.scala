@@ -120,6 +120,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("pii redaction: emails and long digit runs scrubbed, short numbers kept") {
+    val df = docsDf(
+      1L -> "mail me at a.b-c@test.org thanks",
+      2L -> "id 123456789 and 12345 ok",
+      3L -> "both x9@a.co.uk then 0000001",
+      4L -> "clean text stays put")
+    val got = TextAnalysis.redactPii(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> thanks")
+    assert(got(2L) == "id <NUM> and 12345 ok")
+    assert(got(3L) == "both <EMAIL> then <NUM>")
+    assert(got(4L) == "clean text stays put")
+  }
+
   test("contamination: docs sharing a probe n-gram are flagged with hit counts") {
     // probe = doc 1; doc 2 shares its full 4-gram run, doc 3 shares none
     val df = docsDf(
