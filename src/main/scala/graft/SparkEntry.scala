@@ -154,6 +154,8 @@ object SparkEntry {
         .toDF()
         .orderBy("user_id", "session_start")
     }),
+    "q8_asof" -> ((s, dir) =>
+      graft.ops.AsOf.asOfJoin(s.read.parquet(s"$dir/events.parquet"))),
     // --- text analysis (training-data pipeline ops) ---
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
@@ -185,6 +187,11 @@ object SparkEntry {
       // stand-in for a small eval suite), broadcast against the corpus
       val d = docs(s, dir)
       Dedup.contamination(d, d.filter(col("doc_id") % 100 === 0))
+    }),
+    "d8_line_dedup" -> ((s, dir) => {
+      // CCNet-style cross-doc line dedup over the extracted pages table
+      Corpus.ensure(s, dir)
+      Dedup.lineDedup(s.read.parquet(Corpus.pagesPath(dir)))
     }),
     // --- embedding similarity / ANN ---
     // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
@@ -224,6 +231,11 @@ object SparkEntry {
     "p1_prep_funnel" -> ((s, dir) => Prep.funnel(docs(s, dir))),
     "p2_sample" -> ((s, dir) =>
       Prep.stratifiedSample(docs(s, dir), SampleRates, defaultRate = 0.35)),
+    "p3_url_hosts" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      Prep.urlHostStats(s.read.parquet(Corpus.pagesPath(dir)))
+    }),
+    "p4_pack" -> ((s, dir) => Prep.packChunks(docs(s, dir))),
     // --- sources: schema'd JSON fixture ingest + catalog table scan ---
     "a1_json_scan" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -321,6 +333,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(vmilli) AS BIGINT) AS sum_vmilli
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q8_asof" -> graft.ops.AsOf.asOfJoinSql("events"),
     "t1_langid" -> TextAnalysis.langIdSql("documents"),
     "t2_quality" -> TextAnalysis.qualitySql("documents"),
     "t3_token_counts" -> TextAnalysis.tokenCountsSql("documents"),
@@ -338,6 +351,7 @@ object SparkEntry {
     "d5_simhash_pairs" -> Dedup.simhashPairsSql("documents"),
     "d6_dedup_components" -> Dedup.dedupComponentsSql("documents"),
     "d7_contamination" -> Dedup.contaminationSql("documents", "doc_id % 100 = 0"),
+    "d8_line_dedup" -> Dedup.lineDedupSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings", cellCap = 50),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),
@@ -349,6 +363,8 @@ object SparkEntry {
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
     "p1_prep_funnel" -> Prep.funnelSql("documents"),
     "p2_sample" -> Prep.stratifiedSampleSql("documents", SampleRates, defaultRate = 0.35),
+    "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p4_pack" -> Prep.packChunksSql("documents"),
     "m1_media_meta" -> Media.extractMetaSql(M),
     "m2_media_hist" -> Media.byteHistogramSql(M),
     "m3_frame_sample" -> Media.frameSampleSql(M),

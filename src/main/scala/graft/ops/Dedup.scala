@@ -376,4 +376,63 @@ object Dedup {
        |SELECT id_a, id_b, ${sqlMicro("jac")} AS jac_micro FROM j
        |WHERE jac >= $thresh ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Cross-document LINE-level dedup (CCNet-style paragraph dedup): every
+    * line that appears anywhere else in the corpus keeps only its first
+    * occurrence — the classic boilerplate-stripping pass web pipelines run
+    * after extraction (nav bars, footers, cookie banners repeat across a
+    * host; their first occurrence survives, the rest are dropped and each
+    * doc is reassembled from its surviving lines in order).
+    *
+    * "First" is the lexicographically minimal (url, pos) occurrence,
+    * encoded as one sortable key so both engines agree bit-exactly.
+    *
+    * Scale shape — deliberately agg+join, NOT a window: the hottest
+    * boilerplate line can appear in nearly every document, and a
+    * row_number window over the line key would sort all 10^12 occurrences
+    * of that line in ONE task with no mitigation. The aggregate computes
+    * min(first-key) WITH map-side partial aggregation (the hot key
+    * collapses to one row per input task), and the join back is an
+    * equi-join AQE's skew-join handling splits automatically. Three linear
+    * shuffles (line agg, line join, url reassembly), no quadratic stage.
+    */
+  def lineDedup(pages: DataFrame): DataFrame = {
+    val lines = pages
+      .select(col("url"), posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      // sortable occurrence key: url is unique per page, pos < 10^9
+      .withColumn("occ", concat(col("url"), lit("\u0001"),
+        lpad(col("pos").cast("string"), 9, "0")))
+    val firsts = lines
+      .groupBy(col("line")).agg(min(col("occ")).as("first_occ"))
+    lines.join(firsts, "line")
+      .withColumn("keep", col("occ") === col("first_occ"))
+      .groupBy(col("url"))
+      .agg(
+        // nulls (dropped lines) are skipped by collect_list; sort_array
+        // orders by the leading pos field; arr.line extraction and
+        // array_join are codegen projections (no lambda in the plan)
+        sort_array(collect_list(when(col("keep"), struct(col("pos"), col("line")))))
+          .as("arr"),
+        count(lit(1)).as("n_lines"),
+        sum((!col("keep")).cast("long")).as("n_dropped"))
+      .select(col("url"), array_join(col("arr.line"), "\n").as("text"),
+        col("n_lines"), col("n_dropped"))
+      .orderBy("url")
+  }
+
+  /** DuckDB mirror over the same hive-partitioned pages glob. */
+  def lineDedupSql(pagesGlob: String): String =
+    s"""WITH e AS (SELECT url, str_split(text, chr(10)) AS ls
+       |    FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |l AS (SELECT url, unnest(ls) AS line, unnest(range(len(ls))) AS pos FROM e),
+       |o AS (SELECT url, line, pos,
+       |    url || chr(1) || lpad(CAST(pos AS VARCHAR), 9, '0') AS occ FROM l),
+       |f AS (SELECT line, min(occ) AS first_occ FROM o GROUP BY line),
+       |k AS (SELECT o.url, o.pos, o.line, o.occ = f.first_occ AS keep
+       |    FROM o JOIN f USING (line))
+       |SELECT url,
+       |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM k GROUP BY url ORDER BY url""".stripMargin
 }

@@ -124,4 +124,122 @@ object Prep {
        |  CAST(sum(CASE WHEN qual_ok AND uniq THEN n_words ELSE 0 END) AS BIGINT) AS survivor_words
        |FROM canon GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** Hosts a crawl-curation pass would drop (spam/SEO farms, adult, ad
+    * mirrors — here two synthetic stand-ins). Literal list: the real thing
+    * is a broadcast lookup, identical plan shape.
+    */
+  val HostBlocklist: Seq[String] = Seq("host-13.example", "host-42.example")
+
+  /** URL canonicalization + per-host corpus stats — the first stage of any
+    * web-corpus curation run (RefinedWeb/CCNet style): scheme and `www.`
+    * stripped, host lowercased, tracking (`utm_*`) params removed, fragment
+    * dropped, then blocklist-filtered host-level aggregation. The synthetic
+    * corpus keeps 30% of pages on one host (host-0) by design, so the
+    * output also evidences the skew a salted writer has to handle.
+    *
+    * One codegen projection + one aggregate; zero joins (the blocklist is a
+    * literal IN filter — a real list ships as a broadcast and keeps the
+    * same map-side shape).
+    */
+  /** Canonical url form: lowercase, scheme and leading `www.` stripped,
+    * fragment dropped, `utm_*` tracking params removed (other params kept).
+    */
+  private[ops] def normalizeUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lowered = lower(u)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
+    // a stripped leading param leaves '&' where '?' belongs
+    regexp_replace(noUtm, "^([^?]*)&", "$1?")
+  }
+
+  def urlHostStats(pages: DataFrame): DataFrame = {
+    // deterministic noise so normalization has real work to do: a third of
+    // urls gain uppercase scheme + www + tracking params + fragment (the
+    // construct-input-identically-in-both-engines pattern, like t7/f1)
+    val noisy = when(h32(col("url")) % 3 === 0,
+      concat(lit("HTTPS://WWW."), substring(col("url"), 9, 1000000),
+        lit("?id=7&utm_source=news&utm_campaign=x#frag")))
+      .otherwise(col("url"))
+    pages
+      .select(normalizeUrl(noisy).as("norm_url"))
+      .withColumn("host", regexp_extract(col("norm_url"), "^([^/]+)", 1))
+      .filter(!col("host").isInCollection(HostBlocklist))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("norm_url")).as("n_urls"))
+      .orderBy("host")
+  }
+
+  /** DuckDB mirror (regexes kept to the Java/RE2-identical subset; DuckDB
+    * regexp_replace needs the explicit 'g' flag Spark applies implicitly —
+    * these patterns all match at most once, so 'g' vs first-match cannot
+    * diverge).
+    */
+  def urlHostStatsSql(pagesGlob: String): String = {
+    val noisy = s"CASE WHEN ${sqlH32("url")} % 3 = 0 " +
+      "THEN 'HTTPS://WWW.' || substring(url, 9) || '?id=7&utm_source=news&utm_campaign=x#frag' " +
+      "ELSE url END"
+    val block = HostBlocklist.map(h => s"'$h'").mkString(", ")
+    s"""WITH n AS (SELECT regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(lower($noisy), '^https?://', ''),
+       |          '^www\\.', ''),
+       |        '#.*$$', ''),
+       |      '[?&]utm_[^&#]*', '', 'g'),
+       |    '^([^?]*)&', '\\1?') AS norm_url
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |h AS (SELECT norm_url, regexp_extract(norm_url, '^([^/]+)', 1) AS host FROM n)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls
+       |FROM h WHERE host NOT IN ($block)
+       |GROUP BY host ORDER BY host""".stripMargin
+  }
+
+  /** Concat-and-chunk token packing — how a training run turns a filtered
+    * corpus into fixed-budget sequences: within each (lang, shard) stream,
+    * docs are laid end-to-end in doc_id order and cut every `budget`
+    * tokens; a doc belongs to the chunk where it STARTS. Shards keep the
+    * window partitions narrow at 10^12 docs (a per-lang global order would
+    * funnel a whole language through one sort partition); the per-shard
+    * running sum is the only shuffle, and chunk stats ride the same
+    * partitioning into a partial-agg.
+    */
+  def packChunks(docs: DataFrame, budget: Long = 256L, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(nShards.toLong)).cast("int").as("shard"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "shard", "chunk_id")
+  }
+
+  def packChunksSql(table: String, budget: Long = 256L, nShards: Int = 8): String =
+    s"""WITH t AS (SELECT doc_id, lang, doc_id % $nShards AS shard,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $table),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT lang, CAST(shard AS INT) AS shard,
+       |  CAST(floor((cum - n_tokens) / $budget) AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard, chunk_id
+       |ORDER BY lang, shard, chunk_id""".stripMargin
 }

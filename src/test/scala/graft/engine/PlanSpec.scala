@@ -209,4 +209,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"),
       s"expected partial aggregation before the exchange:\n$p")
   }
+
+  test("q8 as-of join plans with NO join node: one window over one hash shuffle") {
+    val p = plan("q8_asof")
+    assert(!p.contains("Join"), s"as-of must be the union+window form, not a join:\n$p")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+    assert(windows == 1, s"both running-lasts must share ONE window pass, got $windows:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"one hash shuffle (user_id) + output sort only, got $exchanges:\n$p")
+  }
+
+  test("d8 line dedup: first-occurrence agg keeps a partial phase, no window over the line key, no lambdas") {
+    val p = plan("d8_line_dedup")
+    // the hot boilerplate line must be collapsed map-side (partial min), not
+    // sorted through a single window partition
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"first-occurrence must be a partial-aggregable min:\n$p")
+    assert(!p.contains("Window"), s"no window over the skewed line key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"line join must stay an equi-join:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"reassembly must be sort_array + GetArrayStructFields, not HOFs:\n$p")
+  }
+
+  test("p3 url host stats: no joins, codegen normalization, one agg shuffle") {
+    val p = plan("p3_url_hosts")
+    assert(!p.contains("Join"), s"blocklist must be a filter, not a join:\n$p")
+    assert(!p.contains("lambdafunction"), s"p3 must stay codegen:\n$p")
+  }
+
+  test("p4 packing: no joins; shard window then chunk agg") {
+    val p = plan("p4_pack")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(p.contains("Window"), s"expected the running-sum window:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"window + agg + output sort only, got $exchanges:\n$p")
+  }
 }

@@ -379,4 +379,86 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("kvRMicro") == 996934L)
     assert(r1.getAs[Long]("lnF1Micro") == 995542L)
   }
+
+  // ---------- as-of join ----------
+
+  test("asOfJoin: inclusive ties, max event_id among equal-ts quotes, -1 sentinel") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    val ev = Seq(
+      (10L, t(1000L), 1L, "view"),
+      (11L, t(2000L), 1L, "click"), // two quotes AT the probe ts: both visible
+      (12L, t(2000L), 1L, "view"),
+      (13L, t(2000L), 1L, "view"), //   and the higher event_id wins the tie
+      (14L, t(3000L), 1L, "click"),
+      (15L, t(2500L), 1L, "error"), // other types never match
+      (20L, t(5000L), 2L, "click") // no prior quote for this user -> sentinel
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = AsOf.asOfJoin(ev).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("quote_id"), r.getAs[Long]("lag_ms")))
+    assert(out.toSeq == Seq((11L, 13L, 0L), (14L, 13L, 1000L), (20L, -1L, -1L)))
+  }
+
+  // ---------- line-level dedup ----------
+
+  test("lineDedup: first (url,pos) occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    val pages = Seq(
+      ("u1", "nav\nalpha\nfooter"),
+      ("u2", "nav\nbeta\nfooter"),
+      ("u3", "nav\nfooter") // every line is a later duplicate -> empty doc
+    ).toDF("url", "text")
+    val out = Dedup.lineDedup(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped")))
+    assert(out.toSeq == Seq(
+      ("u1", "nav\nalpha\nfooter", 3L, 0L),
+      ("u2", "beta", 3L, 2L),
+      ("u3", "", 2L, 2L)))
+  }
+
+  // ---------- url canonicalization + host stats ----------
+
+  test("normalizeUrl: scheme/www/fragment/utm stripped, other params kept") {
+    import spark.implicits._
+    val out = Seq(
+      "HTTPS://WWW.Host-1.example/en/doc-1?id=7&utm_source=n&utm_campaign=x#frag",
+      "http://host-2.example/a?utm_x=1",
+      "host-3.example/b#f",
+      "https://x.example/?utm_a=1&b=2" // stripped leading param: & -> ?
+    ).toDF("u").select(Prep.normalizeUrl(col("u"))).as[String].collect()
+    assert(out.toSeq == Seq(
+      "host-1.example/en/doc-1?id=7",
+      "host-2.example/a",
+      "host-3.example/b",
+      "x.example/?b=2"))
+  }
+
+  test("urlHostStats: blocklisted hosts dropped; variants collapse per host") {
+    import spark.implicits._
+    val pages = Seq(
+      "https://host-13.example/en/doc-1", // blocklisted
+      "https://host-7.example/en/doc-1",
+      "https://host-7.example/en/doc-2"
+    ).toDF("url")
+    val out = Prep.urlHostStats(pages).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_pages"), r.getAs[Long]("n_urls")))
+    assert(out.toSeq == Seq(("host-7.example", 2L, 2L)))
+  }
+
+  // ---------- token packing ----------
+
+  test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "a b c d"), // starts at 0  -> chunk 0
+      (1L, "en", "e f"),     // starts at 4  -> chunk 0 (cum 6 straddles)
+      (2L, "en", "g h i"),   // starts at 6  -> chunk 1
+      (3L, "en", "j")        // starts at 9  -> chunk 1
+    ).toDF("doc_id", "lang", "text")
+    val out = Prep.packChunks(docs, budget = 5L, nShards = 1).collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    assert(out.toSeq == Seq((0L, 2L, 6L, 0L, 1L), (1L, 2L, 4L, 2L, 3L)))
+  }
 }
