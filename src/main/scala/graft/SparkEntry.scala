@@ -210,6 +210,10 @@ object SparkEntry {
     }),
     "m2_media_hist" -> ((s, dir) => Media.byteHistogram(media(s, dir))),
     "m3_frame_sample" -> ((s, dir) => Media.frameSample(media(s, dir))),
+    "m4_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      Media.aHash(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -236,6 +240,23 @@ object SparkEntry {
       Prep.urlHostStats(s.read.parquet(Corpus.pagesPath(dir)))
     }),
     "p4_pack" -> ((s, dir) => Prep.packChunks(docs(s, dir))),
+    "p5_host_cap" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      Prep.hostCap(s.read.parquet(Corpus.pagesPath(dir)))
+    }),
+    "q9_rollup" -> ((s, dir) =>
+      // multi-granularity aggregation in ONE pass (grouping sets): the
+      // per-(flag,status) + per-flag + grand-total report a corpus audit
+      // wants without three scans; nulls coalesced so the cross-engine
+      // hash never sees engine-specific null ordering
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
     // --- sources: schema'd JSON fixture ingest + catalog table scan ---
     "a1_json_scan" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -365,9 +386,18 @@ object SparkEntry {
     "p2_sample" -> Prep.stratifiedSampleSql("documents", SampleRates, defaultRate = 0.35),
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksSql("documents"),
+    "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "q9_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "m1_media_meta" -> Media.extractMetaSql(M),
     "m2_media_hist" -> Media.byteHistogramSql(M),
     "m3_frame_sample" -> Media.frameSampleSql(M),
+    "m4_image_ahash" -> Media.aHashSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

@@ -147,7 +147,104 @@ object Media {
 
     def decode(kind: String, media: Array[Byte]): MediaParsed =
       if (kind == "image") decodeBmp(media) else decodeWav(media)
+
+    /** Average-hash perceptual fingerprint over the DECODED pixel grid:
+      * 8x8 block-average grayscale, bit set iff the block mean exceeds the
+      * image mean. All-integer: grayscale = sum of the 3 channel bytes and
+      * the mean test is the cross-multiplication
+      * `blockSum * nPixels > totalSum * blockCount` — exact in both
+      * engines, no floating point (bounded: fine to ~10^8-pixel images).
+      * Row padding bytes are excluded (the honest part of parsing a real
+      * BMP); rows are hashed in file order (bottom-up — a fixed
+      * orientation, irrelevant for a fingerprint as long as both sides
+      * agree). Blocks with no pixels (h or w < 8) stay 0.
+      * Returns (width, height, hiBits, loBits) — two unsigned-32 halves so
+      * neither engine needs a 1<<63 that overflows BIGINT.
+      */
+    def ahash(b: Array[Byte]): (Int, Int, Long, Long) = {
+      val parsed = decodeBmp(b)
+      val w = parsed.width
+      val h = parsed.height
+      val off = rdLe32(b, 10)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val bs = new Array[Long](64)
+      val bc = new Array[Long](64)
+      var total = 0L
+      var row = 0
+      while (row < h) {
+        val base = off + row * rowSize
+        val gy = row * 8 / h
+        var c = 0
+        while (c < w) {
+          val i = base + c * 3
+          val gray = (b(i) & 0xFF) + (b(i + 1) & 0xFF) + (b(i + 2) & 0xFF)
+          val blk = gy * 8 + c * 8 / w
+          bs(blk) += gray
+          bc(blk) += 1
+          total += gray
+          c += 1
+        }
+        row += 1
+      }
+      val tc = w.toLong * h
+      var hi = 0L
+      var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (bc(k) > 0 && bs(k) * tc > total * bc(k)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      (w, h, hi, lo)
+    }
   }
+
+  final case class AHashRow(doc_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Image perceptual near-dup hash (aHash) through the typed kernel —
+    * image near-dup detection joins on these the same way simhashPairs
+    * bands text signatures. Map-only; the shuffle-free analogue of the
+    * text fingerprint ops.
+    */
+  def aHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { r =>
+      val (w, h, hi, lo) = MediaKernel.ahash(r.media)
+      AHashRow(r.doc_id, w, h, hi, lo)
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB mirror recomputing the hash from the write-side truth (payload
+    * pixel string + intended width/height), fully independent of the
+    * engine's BMP decode: pixel q sits at byte `(q div w)*rowSize +
+    * (q mod w)*3` of the payload, grayscale = sum of 3 `ord`s, then the
+    * same integer cross-multiplied mean test.
+    */
+  def aHashSql(parquetGlob: String): String =
+    s"""WITH img AS (SELECT doc_id, payload, meta.width AS w, meta.height AS h,
+       |    ((3 * meta.width + 3) // 4) * 4 AS rowsize
+       |  FROM read_parquet('$parquetGlob') WHERE kind = 'image'),
+       |pxg AS (SELECT doc_id, w, h,
+       |    (q // w) * 8 // h AS gy, (q % w) * 8 // w AS gx,
+       |    ord(substring(payload, (q // w) * rowsize + (q % w) * 3 + 1, 1))
+       |      + ord(substring(payload, (q // w) * rowsize + (q % w) * 3 + 2, 1))
+       |      + ord(substring(payload, (q // w) * rowsize + (q % w) * 3 + 3, 1)) AS gray
+       |  FROM (SELECT doc_id, payload, w, h, rowsize, unnest(range(w * h)) AS q FROM img)),
+       |blocks AS (SELECT doc_id, gy, gx, sum(gray) AS bs, count(*) AS bc
+       |  FROM pxg GROUP BY doc_id, gy, gx),
+       |tot AS (SELECT doc_id, min(w) AS w, min(h) AS h, sum(gray) AS ts,
+       |    count(*) AS tc FROM pxg GROUP BY doc_id),
+       |bits AS (SELECT b.doc_id, t.w, t.h, b.gy * 8 + b.gx AS idx,
+       |    CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+       |  FROM blocks b JOIN tot t USING (doc_id))
+       |SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+       |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND idx >= 32
+       |    THEN 1::BIGINT << (idx - 32) END), 0) AS BIGINT) AS ahash_hi,
+       |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND idx < 32
+       |    THEN 1::BIGINT << idx END), 0) AS BIGINT) AS ahash_lo
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Metadata extraction through the typed kernel (binary -> parsed). */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaParsed] = {

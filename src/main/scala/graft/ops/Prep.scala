@@ -200,6 +200,52 @@ object Prep {
        |GROUP BY host ORDER BY host""".stripMargin
   }
 
+  /** Per-host contribution cap (RefinedWeb-style): keep at most `k` pages
+    * per host, chosen deterministically as the k smallest
+    * h32(url ':' salt) — hash-priority, so the kept set is reproducible
+    * and independent of partition layout, like [[stratifiedSample]].
+    *
+    * Skew-safe two-stage top-k: the corpus deliberately parks 30% of pages
+    * on one host, and a single row_number window over `host` would sort
+    * all of that host's 10^12-scale rows in ONE task. Stage 1 takes the
+    * per-(host, sub-bucket) top-k over `nSub` hash sub-buckets — bounded
+    * partitions regardless of host skew; stage 2 re-ranks the <= nSub*k
+    * survivors per host, which is O(nSub*k) rows per host by construction.
+    * Top-k of a union is contained in the union of per-bucket top-k's, so
+    * the result is EXACTLY the single-window answer (the DuckDB oracle is
+    * that single window).
+    */
+  def hostCap(pages: DataFrame, k: Int = 5, salt: String = "cap1",
+      nSub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = pages.select(col("url"),
+      regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+      h32(concat(col("url"), lit(":" + salt))).as("pri"))
+    // url breaks h32 ties (collisions are rare but must stay deterministic)
+    val sub = Window
+      .partitionBy(col("host"), pmod(h32(col("url")), lit(nSub.toLong)))
+      .orderBy(col("pri"), col("url"))
+    val whost = Window.partitionBy(col("host")).orderBy(col("pri"), col("url"))
+    base
+      .withColumn("rn1", row_number().over(sub)).filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(whost)).filter(col("rn") <= k)
+      .select(col("host"), col("url"), col("rn").cast("int").as("rn"))
+      .orderBy("host", "rn")
+  }
+
+  /** DuckDB mirror: the semantically-equal single window (small data —
+    * the oracle doesn't need the skew guard, which is the point: both
+    * plans answer the same query).
+    */
+  def hostCapSql(pagesGlob: String, k: Int = 5, salt: String = "cap1"): String =
+    s"""SELECT host, url, CAST(rn AS INT) AS rn FROM (
+       |  SELECT host, url,
+       |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY pri, url) AS rn
+       |  FROM (SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |      ${sqlH32(s"url || ':$salt'")} AS pri
+       |    FROM read_parquet('$pagesGlob', hive_partitioning=1)))
+       |WHERE rn <= $k ORDER BY host, rn""".stripMargin
+
   /** Concat-and-chunk token packing — how a training run turns a filtered
     * corpus into fixed-budget sequences: within each (lang, shard) stream,
     * docs are laid end-to-end in doc_id order and cut every `budget`

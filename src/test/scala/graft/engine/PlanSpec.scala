@@ -238,6 +238,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"p3 must stay codegen:\n$p")
   }
 
+  test("q9 rollup: all granularities from ONE scan via Expand (no union of aggregates)") {
+    val p = plan("q9_rollup")
+    assert(p.contains("Expand"), s"rollup must plan as Expand + single agg:\n$p")
+    assert(!p.contains("Union"), s"must not union per-granularity scans:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one scan feeds every granularity, got $scans:\n$p")
+  }
+
+  test("p5 host cap: stage-1 window partitions on (host, sub-bucket), never host alone first") {
+    val p = plan("p5_host_cap")
+    // two windows, and the FIRST exchange must include the sub-bucket key
+    // (pmod of h32) so the hot host never lands in one task
+    val windows = "\\(\\d+\\) Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 2, s"expected the two-stage top-k, got $windows windows:\n$p")
+    // Spark 4's rank-limit pushdown: partial top-k BEFORE each shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number filter must push a map-side group limit:\n$p")
+    val firstEx = p.indexOf("hashpartitioning(")
+    assert(firstEx >= 0, p)
+    val firstExLine = p.substring(firstEx, p.indexOf('\n', firstEx))
+    // the sub-bucket pmod is pre-projected (_w0), so the gate is: the first
+    // shuffle keys on host PLUS a second expression, never host alone
+    // "hashpartitioning(k1, k2, nPart)" -> key count = items - 1
+    val keys = firstExLine.substring("hashpartitioning(".length,
+      firstExLine.indexOf(')')).split(", ").length - 1
+    assert(keys == 2 && firstExLine.contains("host"),
+      s"stage-1 shuffle must be (host, sub-bucket), got:\n$firstExLine\n$p")
+    assert(p.contains("pmod"), s"sub-bucket key must be the pmod salt:\n$p")
+  }
+
   test("p4 packing: no joins; shard window then chunk agg") {
     val p = plan("p4_pack")
     assert(!p.contains("Join"), s"packing must not join:\n$p")

@@ -446,6 +446,58 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("host-7.example", 2L, 2L)))
   }
 
+  // ---------- image perceptual hash ----------
+
+  test("ahash: bright half sets exactly its bits; row padding is excluded") {
+    // 8x8, left half 'a' (gray 291), right half 'p' (gray 336): each 8x8
+    // block is one pixel, bits set exactly on columns 4..7 of every row
+    val w = 8; val h = 8
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val px = Array.tabulate(rowSize * h) { i =>
+      val c = (i % rowSize) / 3
+      (if (c < 4) 'a' else 'p').toByte
+    }
+    val (ww, hh, hi, lo) = Media.MediaKernel.ahash(Media.bmpBytes(w, h, px))
+    assert((ww, hh) == (8, 8))
+    assert(lo == 0xF0F0F0F0L && hi == 0xF0F0F0F0L)
+
+    // w=5 -> rowSize 16, one padding byte per row: flipping the padding
+    // between extremes must not move the hash (real-parse honesty)
+    val w2 = 5; val rs2 = ((3 * w2 + 3) / 4) * 4
+    def img(pad: Byte) = Array.tabulate(rs2 * 4) { i =>
+      if (i % rs2 >= 3 * w2) pad
+      else (('a' + (i * 7) % 16).toByte)
+    }
+    val a = Media.MediaKernel.ahash(Media.bmpBytes(w2, 4, img('a'.toByte)))
+    val b = Media.MediaKernel.ahash(Media.bmpBytes(w2, 4, img('p'.toByte)))
+    assert(a == b, "padding bytes leaked into the hash")
+  }
+
+  // ---------- per-host cap ----------
+
+  test("hostCap: two-stage top-k equals the single-window answer on a skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 200 pages on one hot host + a long tail, like the real corpus skew
+    val urls = (0 until 200).map(i => s"https://hot.example/p$i") ++
+      (0 until 40).map(i => s"https://tail-${i % 7}.example/p$i")
+    val pages = urls.toDF("url")
+    val got = Prep.hostCap(pages, k = 3, nSub = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // naive single-window reference, same priority function
+    val ref = pages.select(col("url"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        graft.ops.ColFns.h32(concat(col("url"), lit(":cap1"))).as("pri"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("pri"), col("url"))))
+      .filter(col("rn") <= 3)
+      .select(col("host"), col("url"), col("rn").cast("int"))
+      .orderBy("host", "rn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == ref.toSeq)
+    assert(got.count(_._1 == "hot.example") == 3, "hot host must be capped at k")
+  }
+
   // ---------- token packing ----------
 
   test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
