@@ -49,8 +49,10 @@ object DocBuilder {
       val origEntityId: Int,
       val origLineId: Int
   ) {
-    var sortedStartToken: Option[Int] = None
-    var sortedEndToken: Option[Int] = None
+    // -1 = unset (the reference's None); plain ints keep the hot path free
+    // of Some() allocations — the trace re-wraps them as Options
+    var sortedStartToken: Int = -1
+    var sortedEndToken: Int = -1
   }
 
   /** One sorted line's bookkeeping, exposed for the executed-reference
@@ -100,21 +102,27 @@ object DocBuilder {
       wantTrace: Boolean): (DocSample, Option[BuildTrace]) = {
     val allOrigLines = mutable.ArrayBuffer.empty[LineInfo]
     val allOrigBoxes = mutable.ArrayBuffer.empty[Vector[Int]]
-    val emptyLine = mutable.HashSet.empty[Int]
-    val emptyEntity = mutable.HashSet.empty[Int]
+    // open-addressing primitive maps (value 1 = set membership): the boxed
+    // HashMap/HashSet versions cost an entry object + boxed key per put on
+    // the per-doc hot path (-1 is the maps' empty sentinel, hence the
+    // nonnegative-id requirement — the reference's ids are list indices)
+    val emptyLine = new IntIntOrdered()
+    val emptyEntity = new IntIntOrdered()
     val entityIdToText = mutable.HashMap.empty[Int, String]
-    val entityFirstLine = mutable.HashMap.empty[Int, Int]
-    val entityLastLine = mutable.HashMap.empty[Int, Int]
-    val lineIdToEntityId = mutable.HashMap.empty[Int, Int]
+    val entityFirstLine = new IntIntOrdered()
+    val entityLastLine = new IntIntOrdered()
+    val lineIdToEntityId = new IntIntOrdered()
 
     doc.entities.foreach { entity =>
       var firstLineFlag = true
       val entityTextList = mutable.ArrayBuffer.empty[String]
+      require(entity.id >= 0, s"negative entity id ${entity.id}")
       entity.lines.foreach { line =>
+        require(line.id >= 0, s"negative line id ${line.id}")
         val lineText = normalizeLineText(line.text)
         val lineTokens = Tokenizer.tokenize(lineText)
         if (lineTokens.isEmpty) {
-          emptyLine.add(line.id)
+          emptyLine.put(line.id, 1)
         } else {
           entityTextList += lineText
           val b = Boxes.boxTwoPointConvert(line.bbox)
@@ -126,7 +134,7 @@ object DocBuilder {
         }
       }
       if (allOrigLines.isEmpty) {
-        emptyEntity.add(entity.id)
+        emptyEntity.put(entity.id, 1)
       } else {
         entityLastLine.put(entity.id, allOrigLines.last.origLineId)
         entityIdToText.put(entity.id, entityTextList.mkString)
@@ -146,9 +154,9 @@ object DocBuilder {
     val groupTailSpots = Vector.newBuilder[(Int, Int, Int)]
 
     var currTokenIdx = 0
-    val lineOrigToSorted = mutable.HashMap.empty[Int, Int]
-    val inScopeEntityId = mutable.HashSet.empty[Int]
-    val inScopeLineId = mutable.HashSet.empty[Int]
+    val lineOrigToSorted = new IntIntOrdered()
+    val inScopeEntityId = new IntIntOrdered()
+    val inScopeLineId = new IntIntOrdered()
 
     var sortedLineIdx = 0
     var truncated = false
@@ -159,16 +167,16 @@ object DocBuilder {
       if (currTokenIdx + lineTokenLen >= maxTokenLen) {
         truncated = true // dataset-side `>=` rule (sibr.py:233)
       } else {
-        inScopeEntityId.add(ln.origEntityId)
-        inScopeLineId.add(ln.origLineId)
+        inScopeEntityId.put(ln.origEntityId, 1)
+        inScopeLineId.put(ln.origLineId, 1)
         val norm = Boxes.normalizeBbox(ln.coords, doc.width, doc.height)
         var k = 0
         while (k < lineTokenLen) { origBbox += ln.coords; bbox += norm; k += 1 }
         texts ++= ln.tokens
         val start = currTokenIdx
-        ln.sortedStartToken = Some(start)
+        ln.sortedStartToken = start
         currTokenIdx += lineTokenLen
-        ln.sortedEndToken = Some(currTokenIdx)
+        ln.sortedEndToken = currTokenIdx
         if (ln.category == AnnLabels.Question || ln.category == AnnLabels.Answer) {
           lineExtractionSpots += ((start, currTokenIdx - 1, 1))
         }
@@ -184,18 +192,18 @@ object DocBuilder {
         emptyEntity.contains(qId) || emptyEntity.contains(aId) ||
           !inScopeEntityId.contains(qId) || !inScopeEntityId.contains(aId)
       if (!skip) {
-        val qFirst = entityFirstLine(qId)
-        val aFirst = entityFirstLine(aId)
-        val qLast = entityLastLine(qId)
-        val aLast = entityLastLine(aId)
+        val qFirst = entityFirstLine.getOrMinus1(qId)
+        val aFirst = entityFirstLine.getOrMinus1(aId)
+        val qLast = entityLastLine.getOrMinus1(qId)
+        val aLast = entityLastLine.getOrMinus1(aId)
         val linesInScope =
           inScopeLineId.contains(qFirst) && inScopeLineId.contains(qLast) &&
             inScopeLineId.contains(aFirst) && inScopeLineId.contains(aLast)
         if (linesInScope) {
-          val qFirstStart = sortedLines(lineOrigToSorted(qFirst)).sortedStartToken.get
-          val aFirstStart = sortedLines(lineOrigToSorted(aFirst)).sortedStartToken.get
-          val qLastEnd = sortedLines(lineOrigToSorted(qLast)).sortedEndToken.get
-          val aLastEnd = sortedLines(lineOrigToSorted(aLast)).sortedEndToken.get
+          val qFirstStart = sortedLines(lineOrigToSorted.getOrMinus1(qFirst)).sortedStartToken
+          val aFirstStart = sortedLines(lineOrigToSorted.getOrMinus1(aFirst)).sortedStartToken
+          val qLastEnd = sortedLines(lineOrigToSorted.getOrMinus1(qLast)).sortedEndToken
+          val aLastEnd = sortedLines(lineOrigToSorted.getOrMinus1(aLast)).sortedEndToken
           if (qFirstStart < aFirstStart)
             entHeadSpots += ((qFirstStart, aFirstStart, 1))
           else
@@ -214,20 +222,22 @@ object DocBuilder {
       val toId = rel.toId
       val skip =
         emptyLine.contains(fromId) || emptyLine.contains(toId) || {
-          val fromEnt = lineIdToEntityId.getOrElse(fromId, -1)
-          val toEnt = lineIdToEntityId.getOrElse(toId, -1)
+          val fromEnt = lineIdToEntityId.getOrMinus1(fromId)
+          val toEnt = lineIdToEntityId.getOrMinus1(toId)
           !inScopeEntityId.contains(fromEnt) || !inScopeEntityId.contains(toEnt)
         } || !inScopeLineId.contains(fromId) || !inScopeLineId.contains(toId)
       if (!skip) {
-        val fromLn = sortedLines(lineOrigToSorted(fromId))
-        val toLn = sortedLines(lineOrigToSorted(toId))
-        (fromLn.sortedStartToken, fromLn.sortedEndToken, toLn.sortedStartToken, toLn.sortedEndToken) match {
-          case (Some(fs), Some(fe), Some(ts), Some(te)) =>
-            if (fs < ts) groupHeadSpots += ((fs, ts, 1))
-            else groupHeadSpots += ((ts, fs, 2))
-            if (fe < te) groupTailSpots += ((fe - 1, te - 1, 1))
-            else groupTailSpots += ((te - 1, fe - 1, 2))
-          case _ => ()
+        val fromLn = sortedLines(lineOrigToSorted.getOrMinus1(fromId))
+        val toLn = sortedLines(lineOrigToSorted.getOrMinus1(toId))
+        val fs = fromLn.sortedStartToken; val fe = fromLn.sortedEndToken
+        val ts = toLn.sortedStartToken; val te = toLn.sortedEndToken
+        // -1 = unset offsets (the truncation-tripped line quirk): skip, as
+        // the reference's None match did
+        if (fs >= 0 && fe >= 0 && ts >= 0 && te >= 0) {
+          if (fs < ts) groupHeadSpots += ((fs, ts, 1))
+          else groupHeadSpots += ((ts, fs, 2))
+          if (fe < te) groupTailSpots += ((fe - 1, te - 1, 1))
+          else groupTailSpots += ((te - 1, fe - 1, 2))
         }
       }
     }
@@ -256,17 +266,19 @@ object DocBuilder {
       groupHeadSpots = groupHeadSpots.result(),
       groupTailSpots = groupTailSpots.result()
     )
+    def asSet(m: IntIntOrdered): Set[Int] = m.toVector.iterator.map(_._1).toSet
+    def opt(v: Int): Option[Int] = if (v >= 0) Some(v) else None
     val trace = if (!wantTrace) None else Some(BuildTrace(
-      emptyLine = emptyLine.toSet,
-      emptyEntity = emptyEntity.toSet,
-      entityFirstLine = entityFirstLine.toMap,
-      entityLastLine = entityLastLine.toMap,
+      emptyLine = asSet(emptyLine),
+      emptyEntity = asSet(emptyEntity),
+      entityFirstLine = entityFirstLine.toVector.toMap,
+      entityLastLine = entityLastLine.toVector.toMap,
       entityText = entityIdToText.toMap,
-      inScopeEntityId = inScopeEntityId.toSet,
-      inScopeLineId = inScopeLineId.toSet,
-      lineOrigToSorted = lineOrigToSorted.toMap,
+      inScopeEntityId = asSet(inScopeEntityId),
+      inScopeLineId = asSet(inScopeLineId),
+      lineOrigToSorted = lineOrigToSorted.toVector.toMap,
       sortedLines = sortedLines.map(ln => TraceLine(ln.origLineId, ln.origEntityId,
-        ln.category, ln.tokens, ln.coords, ln.sortedStartToken, ln.sortedEndToken))
+        ln.category, ln.tokens, ln.coords, opt(ln.sortedStartToken), opt(ln.sortedEndToken)))
     ))
     (sample, trace)
   }

@@ -56,6 +56,18 @@ object DriveAlloc {
     stage("build only") { i =>
       graft.core.DocBuilder.build(anns(i % anns.length))
     }
+    stage("  b:norm+tokenize") { i =>
+      val d = anns(i % anns.length)
+      d.entities.foreach(_.lines.foreach { l =>
+        graft.core.Tokenizer.tokenize(graft.core.DocBuilder.normalizeLineText(l.text))
+      })
+    }
+    stage("  b:boxconvert+sort") { i =>
+      val d = anns(i % anns.length)
+      val boxes = d.entities.iterator.flatMap(_.lines.iterator)
+        .map(l => graft.core.Boxes.boxTwoPointConvert(l.bbox)).toVector
+      graft.core.Boxes.sortBoxes(boxes)
+    }
     val samples = pages.map { p =>
       graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
         new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
