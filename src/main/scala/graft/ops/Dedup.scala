@@ -402,9 +402,14 @@ object Dedup {
       // sortable occurrence key: url is unique per page, pos < 10^9
       .withColumn("occ", concat(col("url"), lit("\u0001"),
         lpad(col("pos").cast("string"), 9, "0")))
-    val firsts = lines
-      .groupBy(col("line")).agg(min(col("occ")).as("first_occ"))
-    lines.join(firsts, "line")
+    // agg/join on the 16-byte content hash, NOT the raw line: at corpus
+    // scale a "line" is a whole paragraph, and shuffling the text twice
+    // (agg + join) would dominate; md5 collisions are the usual 2^-64
+    // content-dedup risk
+    val hashed = lines.withColumn("lh", unhex(md5(col("line"))))
+    val firsts = hashed
+      .groupBy(col("lh")).agg(min(col("occ")).as("first_occ"))
+    hashed.join(firsts, "lh")
       .withColumn("keep", col("occ") === col("first_occ"))
       .groupBy(col("url"))
       .agg(
