@@ -7,8 +7,10 @@ import scala.collection.mutable
   * returned by /root/reference/data/datasets/sibr.py:447-460.
   *
   * Token-parallel invariant: tokens.length == bbox.length == origBbox.length.
-  * Spot channels carry (i, j, tag) triples in emission order; they are
-  * canonicalized (dense round-trip order, score 1.0) at decode time.
+  * Spot channels carry [[Spots.pack]]ed (i, j, seq, tag) longs in emission
+  * order (boxed tuples cost ~80 B/spot on the hot path); canonicalization
+  * (dense round-trip order, score 1.0) happens at decode time and
+  * [[Spots.unpack]] recovers the tuple view for specs/fixtures.
   */
 final case class DocSample(
     uid: String,
@@ -16,11 +18,11 @@ final case class DocSample(
     bbox: Vector[Vector[Int]],
     origBbox: Vector[Vector[Int]],
     relations: Vector[(String, String)],
-    lineExtractionSpots: Vector[(Int, Int, Int)],
-    entHeadSpots: Vector[(Int, Int, Int)],
-    entTailSpots: Vector[(Int, Int, Int)],
-    groupHeadSpots: Vector[(Int, Int, Int)],
-    groupTailSpots: Vector[(Int, Int, Int)]
+    lineExtractionSpots: Array[Long],
+    entHeadSpots: Array[Long],
+    entTailSpots: Array[Long],
+    groupHeadSpots: Array[Long],
+    groupTailSpots: Array[Long]
 )
 
 /** Exact port of the dataset pre-processing pipeline
@@ -98,6 +100,16 @@ object DocBuilder {
     * trace copies every internal set/map, which only the executed-reference
     * spec needs.
     */
+  /** Growable packed-long spot channel; seq = emission index within the
+    * channel (exactly the k canonicalize's tuple path would assign).
+    */
+  private final class SpotsBuilder {
+    private val b = mutable.ArrayBuilder.make[Long]
+    private var n = 0
+    def add(i: Int, j: Int, tag: Int): Unit = { b += Spots.pack(i, j, n, tag); n += 1 }
+    def result(): Array[Long] = b.result()
+  }
+
   private def buildImpl(doc: AnnDoc, maxTokenLen: Int,
       wantTrace: Boolean): (DocSample, Option[BuildTrace]) = {
     val allOrigLines = mutable.ArrayBuffer.empty[LineInfo]
@@ -108,14 +120,30 @@ object DocBuilder {
     // nonnegative-id requirement — the reference's ids are list indices)
     val emptyLine = new IntIntOrdered()
     val emptyEntity = new IntIntOrdered()
-    val entityIdToText = mutable.HashMap.empty[Int, String]
+    // entity text is a SLICE of the global kept-line text buffer, built
+    // lazily: eagerly mkString-ing every entity cost ~6 KB/doc and only
+    // relation endpoints (and the trace) ever read the text
+    val lineTexts = mutable.ArrayBuffer.empty[String]
+    val entityTextStart = new IntIntOrdered()
+    val entityTextEnd = new IntIntOrdered()
+    def entityTextOf(id: Int): String = {
+      val st = entityTextStart.getOrMinus1(id)
+      val en = entityTextEnd.getOrMinus1(id)
+      if (st < 0) ""
+      else {
+        val sb = new java.lang.StringBuilder
+        var k = st
+        while (k < en) { sb.append(lineTexts(k)); k += 1 }
+        sb.toString
+      }
+    }
     val entityFirstLine = new IntIntOrdered()
     val entityLastLine = new IntIntOrdered()
     val lineIdToEntityId = new IntIntOrdered()
 
     doc.entities.foreach { entity =>
       var firstLineFlag = true
-      val entityTextList = mutable.ArrayBuffer.empty[String]
+      val entityTextStartIdx = lineTexts.length
       require(entity.id >= 0, s"negative entity id ${entity.id}")
       entity.lines.foreach { line =>
         require(line.id >= 0, s"negative line id ${line.id}")
@@ -124,7 +152,7 @@ object DocBuilder {
         if (lineTokens.isEmpty) {
           emptyLine.put(line.id, 1)
         } else {
-          entityTextList += lineText
+          lineTexts += lineText
           val b = Boxes.boxTwoPointConvert(line.bbox)
           allOrigLines += new LineInfo(b, lineTokens, entity.label, entity.id, line.id)
           allOrigBoxes += b
@@ -137,7 +165,10 @@ object DocBuilder {
         emptyEntity.put(entity.id, 1)
       } else {
         entityLastLine.put(entity.id, allOrigLines.last.origLineId)
-        entityIdToText.put(entity.id, entityTextList.mkString)
+        // reference quirk preserved: ANY entity closing after the first
+        // globally-kept line records its text — possibly the empty slice
+        entityTextStart.put(entity.id, entityTextStartIdx)
+        entityTextEnd.put(entity.id, lineTexts.length)
       }
     }
 
@@ -147,11 +178,11 @@ object DocBuilder {
     val texts = Vector.newBuilder[String]
     val bbox = Vector.newBuilder[Vector[Int]]
     val origBbox = Vector.newBuilder[Vector[Int]]
-    val lineExtractionSpots = Vector.newBuilder[(Int, Int, Int)]
-    val entHeadSpots = Vector.newBuilder[(Int, Int, Int)]
-    val entTailSpots = Vector.newBuilder[(Int, Int, Int)]
-    val groupHeadSpots = Vector.newBuilder[(Int, Int, Int)]
-    val groupTailSpots = Vector.newBuilder[(Int, Int, Int)]
+    val lineExtractionSpots = new SpotsBuilder
+    val entHeadSpots = new SpotsBuilder
+    val entTailSpots = new SpotsBuilder
+    val groupHeadSpots = new SpotsBuilder
+    val groupTailSpots = new SpotsBuilder
 
     var currTokenIdx = 0
     val lineOrigToSorted = new IntIntOrdered()
@@ -178,7 +209,7 @@ object DocBuilder {
         currTokenIdx += lineTokenLen
         ln.sortedEndToken = currTokenIdx
         if (ln.category == AnnLabels.Question || ln.category == AnnLabels.Answer) {
-          lineExtractionSpots += ((start, currTokenIdx - 1, 1))
+          lineExtractionSpots.add(start, currTokenIdx - 1, 1)
         }
         sortedLineIdx += 1
       }
@@ -205,13 +236,13 @@ object DocBuilder {
           val qLastEnd = sortedLines(lineOrigToSorted.getOrMinus1(qLast)).sortedEndToken
           val aLastEnd = sortedLines(lineOrigToSorted.getOrMinus1(aLast)).sortedEndToken
           if (qFirstStart < aFirstStart)
-            entHeadSpots += ((qFirstStart, aFirstStart, 1))
+            entHeadSpots.add(qFirstStart, aFirstStart, 1)
           else
-            entHeadSpots += ((aFirstStart, qFirstStart, 2))
+            entHeadSpots.add(aFirstStart, qFirstStart, 2)
           if (qLastEnd < aLastEnd)
-            entTailSpots += ((qLastEnd - 1, aLastEnd - 1, 1))
+            entTailSpots.add(qLastEnd - 1, aLastEnd - 1, 1)
           else
-            entTailSpots += ((aLastEnd - 1, qLastEnd - 1, 2))
+            entTailSpots.add(aLastEnd - 1, qLastEnd - 1, 2)
         }
       }
     }
@@ -234,10 +265,10 @@ object DocBuilder {
         // -1 = unset offsets (the truncation-tripped line quirk): skip, as
         // the reference's None match did
         if (fs >= 0 && fe >= 0 && ts >= 0 && te >= 0) {
-          if (fs < ts) groupHeadSpots += ((fs, ts, 1))
-          else groupHeadSpots += ((ts, fs, 2))
-          if (fe < te) groupTailSpots += ((fe - 1, te - 1, 1))
-          else groupTailSpots += ((te - 1, fe - 1, 2))
+          if (fs < ts) groupHeadSpots.add(fs, ts, 1)
+          else groupHeadSpots.add(ts, fs, 2)
+          if (fe < te) groupTailSpots.add(fe - 1, te - 1, 1)
+          else groupTailSpots.add(te - 1, fe - 1, 2)
         }
       }
     }
@@ -248,10 +279,10 @@ object DocBuilder {
       val qId = rel.fromId
       val aId = rel.toId
       val ok =
-        entityIdToText.contains(qId) && entityIdToText.contains(aId) &&
+        entityTextStart.contains(qId) && entityTextStart.contains(aId) &&
           !emptyEntity.contains(qId) && !emptyEntity.contains(aId) &&
           inScopeEntityId.contains(qId) && inScopeEntityId.contains(aId)
-      if (ok) relations += ((entityIdToText(qId), entityIdToText(aId)))
+      if (ok) relations += ((entityTextOf(qId), entityTextOf(aId)))
     }
 
     val sample = DocSample(
@@ -273,7 +304,8 @@ object DocBuilder {
       emptyEntity = asSet(emptyEntity),
       entityFirstLine = entityFirstLine.toVector.toMap,
       entityLastLine = entityLastLine.toVector.toMap,
-      entityText = entityIdToText.toMap,
+      entityText = entityTextStart.toVector.iterator
+        .map { case (id, _) => id -> entityTextOf(id) }.toMap,
       inScopeEntityId = asSet(inScopeEntityId),
       inScopeLineId = asSet(inScopeLineId),
       lineOrigToSorted = lineOrigToSorted.toVector.toMap,
@@ -289,11 +321,11 @@ object DocBuilder {
   def decodeSample(sample: DocSample, decodeGt: Boolean = false): DecodedDoc =
     Decode.decode(
       text = sample.tokens,
-      lineExtractionSpots = Spots.canonicalize(sample.lineExtractionSpots),
-      entHeadSpots = Spots.canonicalize(sample.entHeadSpots),
-      entTailSpots = Spots.canonicalize(sample.entTailSpots),
-      groupHeadSpots = Spots.canonicalize(sample.groupHeadSpots),
-      groupTailSpots = Spots.canonicalize(sample.groupTailSpots),
+      lineExtractionSpots = Spots.canonicalizePacked(sample.lineExtractionSpots),
+      entHeadSpots = Spots.canonicalizePacked(sample.entHeadSpots),
+      entTailSpots = Spots.canonicalizePacked(sample.entTailSpots),
+      groupHeadSpots = Spots.canonicalizePacked(sample.groupHeadSpots),
+      groupTailSpots = Spots.canonicalizePacked(sample.groupTailSpots),
       bbox = sample.origBbox,
       decodeGt = decodeGt
     )

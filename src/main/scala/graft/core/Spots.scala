@@ -39,20 +39,51 @@ object Spots {
         arr(k) = (i.toLong << 40) | (j.toLong << 20) | (k.toLong << 2) | tag.toLong
         k += 1
       }
-      java.util.Arrays.sort(arr)
-      val out = Vector.newBuilder[Spot]
-      var idx = 0
-      while (idx < m) {
-        val cellKey = arr(idx) >>> 20
-        var last = arr(idx)
-        idx += 1
-        while (idx < m && (arr(idx) >>> 20) == cellKey) { last = arr(idx); idx += 1 }
-        val tag = (last & 3L).toInt
-        if (tag != 0)
-          out += Spot((last >>> 40).toInt, ((last >>> 20) & 0xFFFFFL).toInt, tag, 1.0)
-      }
-      out.result()
+      scanPacked(arr)
     } else canonicalizeBoxed(spots)
+  }
+
+  /** Pack one (i, j, tag) spot with its emission index in the channel —
+    * the exact (i:20 | j:20 | seq:18 | tag:2) layout the canonicalize sort
+    * uses, so build-side channels skip the tuple form entirely.
+    */
+  @inline def pack(i: Int, j: Int, seq: Int, tag: Int): Long = {
+    require(i >= 0 && i <= j && j < (1 << 20) && seq >= 0 && seq < (1 << 18) &&
+      tag >= 0 && tag <= 3, s"unpackable spot ($i,$j,$tag) at seq $seq")
+    (i.toLong << 40) | (j.toLong << 20) | (seq.toLong << 2) | tag.toLong
+  }
+
+  /** Emission-order (i, j, tag) tuples of a packed channel (spec/fixture
+    * use; the hot path never unpacks).
+    */
+  def unpack(packed: Array[Long]): Vector[(Int, Int, Int)] =
+    packed.iterator.map(l =>
+      ((l >>> 40).toInt, ((l >>> 20) & 0xFFFFFL).toInt, (l & 3L).toInt)).toVector
+
+  /** Canonicalize a packed channel: sort a copy (the input stays in
+    * emission order), then the same last-wins cell scan.
+    */
+  def canonicalizePacked(spots: Array[Long]): Vector[Spot] = {
+    if (spots.isEmpty) return Vector.empty
+    scanPacked(java.util.Arrays.copyOf(spots, spots.length))
+  }
+
+  /** Sorts `arr` in place and reads back (i, j) cells last-wins. */
+  private def scanPacked(arr: Array[Long]): Vector[Spot] = {
+    java.util.Arrays.sort(arr)
+    val m = arr.length
+    val out = Vector.newBuilder[Spot]
+    var idx = 0
+    while (idx < m) {
+      val cellKey = arr(idx) >>> 20
+      var last = arr(idx)
+      idx += 1
+      while (idx < m && (arr(idx) >>> 20) == cellKey) { last = arr(idx); idx += 1 }
+      val tag = (last & 3L).toInt
+      if (tag != 0)
+        out += Spot((last >>> 40).toInt, ((last >>> 20) & 0xFFFFFL).toInt, tag, 1.0)
+    }
+    out.result()
   }
 
   private[core] def canonicalizeBoxed(spots: Seq[(Int, Int, Int)]): Vector[Spot] = {

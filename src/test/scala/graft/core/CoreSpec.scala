@@ -247,9 +247,18 @@ class QuadCorpusSpec extends AnyFunSuite {
       val annLines = ann.entities.flatMap(_.lines)
       quads += annLines.count(_.bbox.length == 8)
       // converting every box up front must give the identical DocSample
+      // (spot channels are Array[Long] — compare them structurally, the
+      // case-class == is reference equality for arrays)
       val converted = ann.copy(entities = ann.entities.map(e =>
         e.copy(lines = e.lines.map(l => l.copy(bbox = Boxes.boxTwoPointConvert(l.bbox))))))
-      assert(DocBuilder.build(ann) == DocBuilder.build(converted), s"doc $i")
+      val (a, b) = (DocBuilder.build(ann), DocBuilder.build(converted))
+      assert(a.uid == b.uid && a.tokens == b.tokens && a.bbox == b.bbox &&
+        a.origBbox == b.origBbox && a.relations == b.relations, s"doc $i")
+      assert(a.lineExtractionSpots.sameElements(b.lineExtractionSpots) &&
+        a.entHeadSpots.sameElements(b.entHeadSpots) &&
+        a.entTailSpots.sameElements(b.entTailSpots) &&
+        a.groupHeadSpots.sameElements(b.groupHeadSpots) &&
+        a.groupTailSpots.sameElements(b.groupTailSpots), s"doc $i spots")
     }
     assert(quads > 20, s"corpus must exercise the 8-coord path (got $quads quad lines)")
   }

@@ -147,11 +147,11 @@ class RefVectorSpec extends AnyFunSuite {
       assert(sample.origBbox == c.get("orig_bbox").elements.asScala.map(intSeq).toVector, s"$tag origBbox")
       assert(sample.relations == c.get("relations").elements.asScala
         .map(e => (e.get(0).asText, e.get(1).asText)).toVector, s"$tag relations")
-      assert(sample.lineExtractionSpots == spots3(c.get("le")), s"$tag le")
-      assert(sample.entHeadSpots == spots3(c.get("eh")), s"$tag eh")
-      assert(sample.entTailSpots == spots3(c.get("et")), s"$tag et")
-      assert(sample.groupHeadSpots == spots3(c.get("gh")), s"$tag gh")
-      assert(sample.groupTailSpots == spots3(c.get("gtl")), s"$tag gtl")
+      assert(graft.core.Spots.unpack(sample.lineExtractionSpots) == spots3(c.get("le")), s"$tag le")
+      assert(graft.core.Spots.unpack(sample.entHeadSpots) == spots3(c.get("eh")), s"$tag eh")
+      assert(graft.core.Spots.unpack(sample.entTailSpots) == spots3(c.get("et")), s"$tag et")
+      assert(graft.core.Spots.unpack(sample.groupHeadSpots) == spots3(c.get("gh")), s"$tag gh")
+      assert(graft.core.Spots.unpack(sample.groupTailSpots) == spots3(c.get("gtl")), s"$tag gtl")
 
       // internal bookkeeping: exclusion-set timing, entity maps, offsets
       assert(trace.emptyLine == intSet(c.get("empty_line")), s"$tag empty_line")

@@ -68,17 +68,32 @@ object DriveAlloc {
         .map(l => graft.core.Boxes.boxTwoPointConvert(l.bbox)).toVector
       graft.core.Boxes.sortBoxes(boxes)
     }
+    stage("  b:normalizeBbox") { i =>
+      val d = anns(i % anns.length)
+      d.entities.foreach(_.lines.foreach { l =>
+        graft.core.Boxes.normalizeBbox(
+          graft.core.Boxes.boxTwoPointConvert(l.bbox), d.width, d.height)
+      })
+    }
+    stage("  b:entityText") { i =>
+      val d = anns(i % anns.length)
+      d.entities.foreach { e =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        e.lines.foreach(l => buf += graft.core.DocBuilder.normalizeLineText(l.text))
+        buf.mkString
+      }
+    }
     val samples = pages.map { p =>
       graft.core.DocBuilder.build(graft.html.Lineizer.lineize(graft.html.HtmlParser.parse(
         new String(p.html, java.nio.charset.StandardCharsets.UTF_8)), p.url))
     }
     stage("canonicalize x5") { i =>
       val s = samples(i % samples.length)
-      graft.core.Spots.canonicalize(s.lineExtractionSpots)
-      graft.core.Spots.canonicalize(s.entHeadSpots)
-      graft.core.Spots.canonicalize(s.entTailSpots)
-      graft.core.Spots.canonicalize(s.groupHeadSpots)
-      graft.core.Spots.canonicalize(s.groupTailSpots)
+      graft.core.Spots.canonicalizePacked(s.lineExtractionSpots)
+      graft.core.Spots.canonicalizePacked(s.entHeadSpots)
+      graft.core.Spots.canonicalizePacked(s.entTailSpots)
+      graft.core.Spots.canonicalizePacked(s.groupHeadSpots)
+      graft.core.Spots.canonicalizePacked(s.groupTailSpots)
     }
     stage("decodeSample") { i =>
       graft.core.DocBuilder.decodeSample(samples(i % samples.length))
