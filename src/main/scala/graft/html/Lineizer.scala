@@ -325,7 +325,9 @@ object Lineizer {
     // frame stack as parallel primitive arrays (one [[SFrame]]-shaped record
     // per open element; an object per element measured ~8 KB/doc of churn).
     // bits: 1 = isA, 2 = isBlockRoot, 4 = nav, 8 = hdr.
-    var fCap = 64
+    // 16 covers real nesting depth (corpus max ~10); deep tag-soup grows by
+    // doubling. 64 initial slots cost ~1.5 KB/doc across the six arrays.
+    var fCap = 16
     var fTag = new Array[String](fCap)
     var fRef = new Array[Int](fCap)
     var fBits = new Array[Int](fCap)
