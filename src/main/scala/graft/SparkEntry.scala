@@ -244,6 +244,10 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       Prep.hostCap(s.read.parquet(Corpus.pagesPath(dir)))
     }),
+    "p6_robots" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      Prep.robotsGate(s.read.parquet(Corpus.pagesPath(dir)))
+    }),
     "q9_rollup" -> ((s, dir) =>
       // multi-granularity aggregation in ONE pass (grouping sets): the
       // per-(flag,status) + per-flag + grand-total report a corpus audit
@@ -387,6 +391,7 @@ object SparkEntry {
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksSql("documents"),
     "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p6_robots" -> Prep.robotsGateSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "q9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |  COALESCE(l_linestatus, 'ALL') AS status,

@@ -200,6 +200,45 @@ object Prep {
        |GROUP BY host ORDER BY host""".stripMargin
   }
 
+  /** Meta-robots indexability gate — the policy pre-filter a crawl
+    * curation run applies BEFORE spending a full parse on the page: a
+    * codegen regexp scan over the raw html bytes costs a fraction of the
+    * DOM walk, and pages opting out via
+    * `<meta name="robots" content="...noindex...">` never reach the
+    * extraction kernel. Synthetic corpus html carries no robots tags, so a
+    * deterministic fifth of pages get one planted in-query (the
+    * construct-input-identically-in-both-engines pattern, like t7/f1).
+    * Map-only + one tiny aggregate.
+    */
+  def robotsGate(pages: DataFrame): DataFrame = {
+    val htmlStr = col("html").cast("string")
+    val planted = when(h32(col("url")) % 5 === 0,
+      concat(lit("<meta name=\"robots\" content=\"noindex, nofollow\">"), htmlStr))
+      .otherwise(htmlStr)
+    val noindex = planted.rlike("<meta name=\"robots\" content=\"[^\"]*noindex")
+    pages
+      .select(col("lang"), noindex.cast("int").as("ni"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("ni")).cast("long").as("n_noindex"),
+        (count(lit(1)) - sum(col("ni"))).cast("long").as("n_indexable"))
+      .orderBy("lang")
+  }
+
+  def robotsGateSql(pagesGlob: String): String =
+    s"""WITH h AS (SELECT lang,
+       |    CASE WHEN ${sqlH32("url")} % 5 = 0
+       |      THEN '<meta name="robots" content="noindex, nofollow">' || decode(html)
+       |      ELSE decode(html) END AS html_s
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |f AS (SELECT lang, CASE WHEN regexp_matches(html_s,
+       |    '<meta name="robots" content="[^"]*noindex') THEN 1 ELSE 0 END AS ni
+       |  FROM h)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(sum(ni) AS BIGINT) AS n_noindex,
+       |  CAST(count(*) - sum(ni) AS BIGINT) AS n_indexable
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-host contribution cap (RefinedWeb-style): keep at most `k` pages
     * per host, chosen deterministically as the k smallest
     * h32(url ':' salt) — hash-priority, so the kept set is reproducible

@@ -268,6 +268,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pmod"), s"sub-bucket key must be the pmod salt:\n$p")
   }
 
+  test("p6 robots gate: map-only pre-parse scan, pruned to (url, html, lang)") {
+    val p = plan("p6_robots")
+    assert(!p.contains("Join"), s"policy gate must not join:\n$p")
+    assert(!p.contains("lambdafunction"), s"p6 must stay codegen:\n$p")
+    assert(!p.contains("warc_ts"), s"unused columns must not be read:\n$p")
+  }
+
   test("p4 packing: no joins; shard window then chunk agg") {
     val p = plan("p4_pack")
     assert(!p.contains("Join"), s"packing must not join:\n$p")

@@ -400,6 +400,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((11L, 13L, 0L), (14L, 13L, 1000L), (20L, -1L, -1L)))
   }
 
+  test("asOfJoin: equals the naive O(n^2) scan on random event sets") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(4242)
+    // dense ts space so equal-timestamp ties actually occur
+    val events = (0 until 400).map { id =>
+      (id.toLong, new Timestamp(1000L * rng.nextInt(40)), rng.nextInt(8).toLong,
+        if (rng.nextBoolean()) "click" else "view")
+    }
+    val got = AsOf.asOfJoin(events.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("quote_id"), r.getAs[Long]("lag_ms")))
+    val naive = events.filter(_._4 == "click").sortBy(_._1).map { case (id, ts, u, _) =>
+      val qs = events.filter(e => e._4 == "view" && e._3 == u && !e._2.after(ts))
+      if (qs.isEmpty) (id, -1L, -1L)
+      else {
+        val q = qs.maxBy(e => (e._2.getTime, e._1))
+        (id, q._1, ts.getTime - q._2.getTime)
+      }
+    }
+    assert(got.toSeq == naive.toSeq)
+  }
+
   // ---------- line-level dedup ----------
 
   test("lineDedup: first (url,pos) occurrence survives, docs reassemble in order") {
@@ -496,6 +518,26 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     assert(got.toSeq == ref.toSeq)
     assert(got.count(_._1 == "hot.example") == 3, "hot host must be capped at k")
+  }
+
+  // ---------- robots gate ----------
+
+  test("robotsGate: planted noindex pages counted out per lang") {
+    import spark.implicits._
+    // urls chosen so h32(url) % 5 == 0 for SOME rows; verify counts react
+    val pages = (0 until 50).map(i =>
+      (s"https://h.example/en/doc-$i", "<html><p>x</p></html>".getBytes("UTF-8"), "en"))
+    val df = pages.toDF("url", "html", "lang")
+    val out = Prep.robotsGate(df).collect()(0)
+    val expectNi = pages.count { case (u, _, _) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(u).substring(0, 8), 16)
+      h % 5 == 0
+    }
+    assert(out.getAs[Long]("n_pages") == 50L)
+    assert(out.getAs[Long]("n_noindex") == expectNi.toLong)
+    assert(out.getAs[Long]("n_indexable") == 50L - expectNi)
+    assert(expectNi > 0, "plant condition must fire for some urls")
   }
 
   // ---------- token packing ----------
