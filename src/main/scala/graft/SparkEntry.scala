@@ -214,6 +214,10 @@ object SparkEntry {
       import s.implicits._
       Media.aHash(media(s, dir).as[Media.MediaRow])
     }),
+    "m5_ahash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Media.aHashPairs(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -403,6 +407,7 @@ object SparkEntry {
     "m2_media_hist" -> Media.byteHistogramSql(M),
     "m3_frame_sample" -> Media.frameSampleSql(M),
     "m4_image_ahash" -> Media.aHashSql(M),
+    "m5_ahash_pairs" -> Media.aHashPairsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

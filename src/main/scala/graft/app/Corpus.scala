@@ -18,7 +18,9 @@ object Corpus {
   // boxTwoPointConvert quad path).
   // v3: pages lang-partitioned; DocOut gained kernelUs (golden schema).
   // v4: media fixture uses real BMP/WAV containers + write-side truth cols.
-  final val Version = "v4"
+  // v5: every fifth image is a one-byte-nudged near-duplicate of the
+  //     previous image (real positives for the m5 ahash near-dup join).
+  final val Version = "v5"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

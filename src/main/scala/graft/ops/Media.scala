@@ -81,12 +81,25 @@ object Media {
   def rowFor(i: Long): MediaRow = {
     val rng = new java.util.Random(i * 0x9E3779B97F4A7C15L + 13L)
     if (i % 2 == 0) {
-      val w = 4 + rng.nextInt(37)
-      val h = 2 + rng.nextInt(9)
-      val imgSize = ((3 * w + 3) / 4) * 4 * h
-      val pixels = Array.fill(imgSize)(('a' + rng.nextInt(16)).toByte)
-      MediaRow(i, "image", bmpBytes(w, h, pixels),
-        MediaMeta(w, h, 0, imgSize), new String(pixels, "US-ASCII"))
+      if ((i / 2) % 5 == 4 && i >= 2) {
+        // every fifth image is a NEAR-DUPLICATE of the previous image:
+        // same pixels with one byte nudged — gives the ahash near-dup
+        // join (m5) real positives, the visual analogue of the text
+        // corpus's planted duplicate docs
+        val base = rowFor(i - 2)
+        val px = base.payload.getBytes("US-ASCII")
+        px(rng.nextInt(px.length)) = ('a' + rng.nextInt(16)).toByte
+        MediaRow(i, "image", bmpBytes(base.meta.width, base.meta.height, px),
+          MediaMeta(base.meta.width, base.meta.height, 0, px.length),
+          new String(px, "US-ASCII"))
+      } else {
+        val w = 4 + rng.nextInt(37)
+        val h = 2 + rng.nextInt(9)
+        val imgSize = ((3 * w + 3) / 4) * 4 * h
+        val pixels = Array.fill(imgSize)(('a' + rng.nextInt(16)).toByte)
+        MediaRow(i, "image", bmpBytes(w, h, pixels),
+          MediaMeta(w, h, 0, imgSize), new String(pixels, "US-ASCII"))
+      }
     } else {
       val sr = Vector(8000, 16000, 22050, 44100)(rng.nextInt(4))
       val n = 64 + rng.nextInt(193)
@@ -223,6 +236,11 @@ object Media {
     * same integer cross-multiplied mean test.
     */
   def aHashSql(parquetGlob: String): String =
+    s"""${aHashCte(parquetGlob)}
+       |SELECT * FROM ah ORDER BY doc_id""".stripMargin
+
+  /** The hash recomputation as a reusable CTE chain ending in `ah`. */
+  private def aHashCte(parquetGlob: String): String =
     s"""WITH img AS (SELECT doc_id, payload, meta.width AS w, meta.height AS h,
        |    ((3 * meta.width + 3) // 4) * 4 AS rowsize
        |  FROM read_parquet('$parquetGlob') WHERE kind = 'image'),
@@ -238,13 +256,13 @@ object Media {
        |    count(*) AS tc FROM pxg GROUP BY doc_id),
        |bits AS (SELECT b.doc_id, t.w, t.h, b.gy * 8 + b.gx AS idx,
        |    CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
-       |  FROM blocks b JOIN tot t USING (doc_id))
-       |SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+       |  FROM blocks b JOIN tot t USING (doc_id)),
+       |ah AS (SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
        |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND idx >= 32
        |    THEN 1::BIGINT << (idx - 32) END), 0) AS BIGINT) AS ahash_hi,
        |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND idx < 32
        |    THEN 1::BIGINT << idx END), 0) AS BIGINT) AS ahash_lo
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Metadata extraction through the typed kernel (binary -> parsed). */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaParsed] = {
@@ -308,4 +326,48 @@ object Media {
        |  ELSE '' END AS frames
        |FROM read_parquet('$parquetGlob')
        |ORDER BY doc_id""".stripMargin
+
+  /** Image near-dup pairs over the perceptual hash: band the 64-bit ahash
+    * into eight 8-bit bands (pigeonhole: any pair within hamming distance 7
+    * shares at least one exact band), bucket-join, verify with the summed
+    * bit_count over both halves — the visual analogue of the simhash text
+    * join (H3b). At corpus scale hot bands (e.g. flat images hashing to 0)
+    * get the same df-cap treatment as text stop-shingles; the fixture's
+    * planted one-byte-nudged duplicates give the join real positives.
+    */
+  def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 4): DataFrame = {
+    val h = aHash(media)
+    val bandKeys =
+      (0 until 4).map(b => concat(lit(s"h$b:"),
+        shiftright(col("ahash_hi"), 8 * b).bitwiseAND(lit(255L)).cast("string"))) ++
+      (0 until 4).map(b => concat(lit(s"l$b:"),
+        shiftright(col("ahash_lo"), 8 * b).bitwiseAND(lit(255L)).cast("string")))
+    val banded = h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(bandKeys: _*)).as("bkey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) +
+          bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo")))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  def aHashPairsSql(parquetGlob: String, maxHamming: Int = 4): String = {
+    val bands =
+      (0 until 4).map(b => s"'h$b:' || ((ahash_hi >> ${8 * b}) & 255)") ++
+      (0 until 4).map(b => s"'l$b:' || ((ahash_lo >> ${8 * b}) & 255)")
+    s"""${aHashCte(parquetGlob)},
+       |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
+       |    unnest([${bands.mkString(", ")}]) AS bkey FROM ah)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |     + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+       |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

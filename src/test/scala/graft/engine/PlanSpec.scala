@@ -110,6 +110,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m5 ahash pairs: band equi-join, no cartesian, no lambdas") {
+    val p = plan("m5_ahash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"band join must stay an equi-join:\n$p")
+    assert(!p.contains("lambdafunction"), s"m5 must stay codegen/kernel:\n$p")
+  }
+
   test("s4 LSH bucketing is a shuffle-free narrow projection") {
     val p = plan("s4_lsh_buckets")
     val body = p.substring(0, math.max(0, p.indexOf("Sort")))

@@ -540,6 +540,22 @@ class OpsSpec extends AnyFunSuite {
     assert(expectNi > 0, "plant condition must fire for some urls")
   }
 
+  // ---------- image near-dup pairs ----------
+
+  test("aHashPairs: planted one-byte-nudged duplicates surface as pairs") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(Media.rowFor).filter(_.kind == "image")
+    val pairs = Media.aHashPairs(rows.toDS()).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    // fixture plants near-dups at i where (i/2) % 5 == 4: (6,8), (16,18), (26,28), (36,38)
+    val planted = Seq((6L, 8L), (16L, 18L), (26L, 28L), (36L, 38L))
+    planted.foreach { pp =>
+      val hit = pairs.find(p => (p._1, p._2) == pp)
+      assert(hit.isDefined, s"planted near-dup $pp not found in ${pairs.toSeq}")
+      assert(hit.get._3 <= 4, s"planted pair $pp hamming ${hit.get._3}")
+    }
+  }
+
   // ---------- token packing ----------
 
   test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
