@@ -377,6 +377,71 @@ object Dedup {
        |WHERE jac >= $thresh ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Exact duplicated-SPAN detection (the word-n-gram form of Lee et al.'s
+    * suffix-array substring dedup): every position whose n-gram occurs
+    * anywhere else in the corpus (another doc OR a repeat in the same doc)
+    * is flagged, and flagged positions within `n` of each other merge into
+    * maximal spans — the ranges a span-level dedup pass would excise.
+    *
+    * Scale shape: positional shingles project to (doc_id, pos, 16-byte
+    * md5) BEFORE the shuffle (the text never leaves the map side); the
+    * occurrence count is a partial-agg'd groupBy on the hash; the join
+    * back is AQE-skew-safe; the island merge windows per doc_id, which is
+    * bounded by document length — never a corpus-scale partition.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val w = t.split(' ').filter(_.nonEmpty)
+        if (w.length < n) Iterator.empty
+        else (0 to w.length - n).iterator.map(p => (id, p, w.slice(p, p + n).mkString(" ")))
+      }
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"), unhex(md5(col("s"))).as("sh"))
+    val dup = pos.groupBy(col("sh")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val flagged = pos.join(dup, "sh").select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      // new island when the gap to the previous flagged position exceeds n
+      // (null lag -> the when() is null -> otherwise(1): first island)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + n).cast("int").as("span_end"),
+        count(lit(1)).as("n_pos"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_pos"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def dupSpansSql(table: String, n: Int = 8): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("ws", n)
+    s"""WITH docs AS (SELECT doc_id, $w AS ws FROM $table),
+       |sh AS (SELECT doc_id, CAST(unnest(range(len(sg))) AS INT) AS pos,
+       |    unnest(sg) AS s
+       |  FROM (SELECT doc_id, $sh AS sg FROM docs)),
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+       |f AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+       |brk AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+       |      THEN 0 ELSE 1 END AS b
+       |  FROM f),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brk)
+       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |  CAST(max(pos) + $n AS INT) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_pos
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style paragraph dedup): every
     * line that appears anywhere else in the corpus keeps only its first
     * occurrence — the classic boilerplate-stripping pass web pipelines run

@@ -275,6 +275,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pmod"), s"sub-bucket key must be the pmod salt:\n$p")
   }
 
+  test("d9 dup spans: hash-keyed partial count, equi-join, per-doc island window only") {
+    val p = plan("d9_dup_spans")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"occurrence count must partial-agg map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"flag join must stay an equi-join:\n$p")
+    // windows must partition on doc_id (bounded by doc length), never on
+    // the shingle hash
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"island windows must partition per doc:\n$p")
+  }
+
   test("p6 robots gate: map-only pre-parse scan, pruned to (url, html, lang)") {
     val p = plan("p6_robots")
     assert(!p.contains("Join"), s"policy gate must not join:\n$p")

@@ -540,6 +540,23 @@ class OpsSpec extends AnyFunSuite {
     assert(expectNi > 0, "plant condition must fire for some urls")
   }
 
+  // ---------- duplicated spans ----------
+
+  test("dupSpans: shared and repeated 3-grams merge into maximal spans") {
+    val df = Dedup.dupSpans(docsDf(
+      // docs 0/1 share "a b c d e" -> positions 0..2 flagged in both,
+      // merging into one span [0, 5)
+      0L -> "a b c d e x y z",
+      1L -> "a b c d e q r s",
+      // doc 2 repeats "u v w" within itself at 0 and 5 -> two spans
+      2L -> "u v w k m u v w",
+      3L -> "nothing shared here at all"
+    ), n = 3).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"), r.getAs[Int]("span_end"), r.getAs[Long]("n_pos")))
+    assert(df.toSeq == Seq(
+      (0L, 0, 5, 3L), (1L, 0, 5, 3L), (2L, 0, 3, 1L), (2L, 5, 8, 1L)))
+  }
+
   // ---------- image near-dup pairs ----------
 
   test("aHashPairs: planted one-byte-nudged duplicates surface as pairs") {
