@@ -59,6 +59,18 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_vmilli"))
 
+  /** Stream-static enrichment join: each micro-batch of the event stream
+    * joins a STATIC dimension (slowly-changing user/host metadata),
+    * broadcast-hinted so at 10^12-event rates the stream side never
+    * shuffles — only the dimension ships to executors, and Spark re-reads
+    * it per batch so out-of-band dimension updates surface without
+    * restarting the query. Left join: events without dimension rows pass
+    * through with nulls (an inner join would silently drop them).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup over a document stream: first-seen wins within
     * the watermark horizon. `dropDuplicatesWithinWatermark` bounds the
     * dedup state by the watermark (an unbounded-horizon streaming dedup is

@@ -65,6 +65,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("stream-static enrichment join: broadcast dim, left-join pass-through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streams.enrichStream(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    mem.addData(
+      EventRow(1, tsAt(10, 0), 1, "click", 1.0),
+      EventRow(2, tsAt(10, 1), 2, "view", 2.0),
+      EventRow(3, tsAt(10, 2), 99, "click", 3.0)) // no dim row -> null tier
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT event_id, tier FROM enr").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    // the batch shape of the same join must be a broadcast hash join
+    val p = Streams.enrichStream(
+      Seq(EventRow(1, tsAt(10, 0), 1, "click", 1.0)).toDS().toDF(), dim)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
   test("streaming dedup drops duplicate texts within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
