@@ -44,8 +44,9 @@ object Pipeline {
     */
   def extractDoc(url: String, html: Array[Byte], lang: String, buckets: Int): DocOut = {
     val t0 = System.nanoTime()
-    val page = new String(html, java.nio.charset.StandardCharsets.UTF_8)
-    val ann = Lineizer.lineizeStream(page, url)
+    // byte-level scan: the whole-page String conversion (~html-sized
+    // allocation per doc) never happens on the hot path
+    val ann = Lineizer.lineizeStreamBytes(html, url)
     val sample = DocBuilder.build(ann)
     val d = DocBuilder.decodeSample(sample)
     DocOut(

@@ -106,6 +106,42 @@ object HtmlParser {
     html.substring(start, end).toLowerCase
   }
 
+  /** Byte-level twin of [[tagNameOf]] for the streaming scanner: ASCII
+    * names intern through the same table; non-ASCII names decode and
+    * lowercase exactly like the String form.
+    */
+  private[html] def tagNameOfBytes(b: Array[Byte], start: Int, end: Int): String = {
+    val len = end - start
+    if (len > 0) {
+      var ascii = true
+      var k = start
+      while (ascii && k < end) { if ((b(k) & 0xFF) >= 0x80) ascii = false; k += 1 }
+      if (!ascii)
+        return new String(b, start, len, java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+      val c0 = Character.toLowerCase((b(start) & 0xFF).toChar)
+      CommonTags.get((len, c0)) match {
+        case Some(cands) =>
+          var ci = 0
+          while (ci < cands.length) {
+            val cand = cands(ci)
+            var m = 0
+            var ok = true
+            while (ok && m < len) {
+              if (Character.toLowerCase((b(start + m) & 0xFF).toChar) != cand.charAt(m)) ok = false
+              m += 1
+            }
+            if (ok) return cand
+            ci += 1
+          }
+        case None => ()
+      }
+      val sb = new java.lang.StringBuilder(len)
+      var m = 0
+      while (m < len) { sb.append(Character.toLowerCase((b(start + m) & 0xFF).toChar)); m += 1 }
+      sb.toString
+    } else ""
+  }
+
   private[html] def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
     var i = math.max(0, from)
     val max = s.length - target.length

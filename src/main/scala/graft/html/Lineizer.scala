@@ -111,6 +111,62 @@ object Lineizer {
     else None
   }
 
+  /** Byte twin of the region [[parseStyleBox]]: keys, digits, and "px" are
+    * ASCII, and UTF-8 continuation bytes can never alias them, so the scan
+    * runs on the raw bytes.
+    */
+  private def parseStyleBoxB(b: Array[Byte], from: Int, until: Int): Option[Vector[Int]] = {
+    @inline def u(x: Int): Int = b(x) & 0xFF
+    def startsWith(lit: String, at: Int): Boolean = {
+      if (at + lit.length > until) return false
+      var k = 0
+      while (k < lit.length) { if (u(at + k) != lit.charAt(k)) return false; k += 1 }
+      true
+    }
+    var l, t, w, h = Integer.MIN_VALUE
+    val n = until
+    var i = from
+    while (i < n) {
+      var matched = false
+      var ki = 0
+      while (!matched && ki < 4) {
+        val k = styleKeys(ki)
+        if (startsWith(k, i)) {
+          var j = i + k.length
+          while (j < n && isAsciiSpace(u(j).toChar)) j += 1
+          if (j < n && u(j) == ':') {
+            j += 1
+            while (j < n && isAsciiSpace(u(j).toChar)) j += 1
+            var neg = false
+            if (j < n && u(j) == '-') { neg = true; j += 1 }
+            val ds = j
+            while (j < n && u(j) >= '0' && u(j) <= '9') j += 1
+            if (j > ds && j - ds <= 9 && startsWith("px", j)) {
+              var v = 0
+              var p = ds
+              while (p < j) { v = v * 10 + (u(p) - '0'); p += 1 }
+              if (neg) v = -v
+              ki match {
+                case 0 => l = v
+                case 1 => t = v
+                case 2 => w = v
+                case _ => h = v
+              }
+              i = j + 2
+              matched = true
+            }
+          }
+        }
+        ki += 1
+      }
+      if (!matched) i += 1
+    }
+    if (l != Integer.MIN_VALUE && t != Integer.MIN_VALUE &&
+      w != Integer.MIN_VALUE && h != Integer.MIN_VALUE)
+      Some(Vector(l, t, l + w, t + h))
+    else None
+  }
+
   private val navTags = Set("nav", "footer", "aside", "header")
   private val cellTags = Set("dt", "dd", "th", "td", "label", "output")
   private val headerTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
@@ -318,9 +374,105 @@ object Lineizer {
     * and the parity spec asserts equality over the corpus and adversarial
     * snippets.
     */
-  def lineizeStream(html: String, uid: String): AnnDoc = {
+  def lineizeStream(html: String, uid: String): AnnDoc =
+    lineizeStreamBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8), uid)
+
+  /** UTF-8 codepoint classification at a byte offset, for the two places
+    * the scanner needs a CHARACTER class on non-ASCII input (tag-name
+    * letters, attribute whitespace). Returns (len << 21) | cp; invalid,
+    * overlong, surrogate-range, and supplementary (> BMP) sequences come
+    * back as one-byte U+FFFD — exactly what the old decode-the-whole-page
+    * path produced (Java's decoder replaces invalid input; supplementary
+    * chars became surrogate CHARS, which classify as neither letter nor
+    * whitespace).
+    */
+  @inline private def cpAndLen(b: Array[Byte], j: Int, n: Int): Int = {
+    val c0 = b(j) & 0xFF
+    def bad = (1 << 21) | 0xFFFD
+    if (c0 < 0x80) (1 << 21) | c0
+    else if (c0 < 0xC2) bad // continuation or overlong-2 lead
+    else if (c0 < 0xE0) {
+      if (j + 1 >= n || (b(j + 1) & 0xC0) != 0x80) bad
+      else (2 << 21) | ((c0 & 0x1F) << 6) | (b(j + 1) & 0x3F)
+    } else if (c0 < 0xF0) {
+      if (j + 2 >= n || (b(j + 1) & 0xC0) != 0x80 || (b(j + 2) & 0xC0) != 0x80) bad
+      else {
+        val cp = ((c0 & 0x0F) << 12) | ((b(j + 1) & 0x3F) << 6) | (b(j + 2) & 0x3F)
+        if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) bad else (3 << 21) | cp
+      }
+    } else bad // 4-byte (supplementary) and invalid leads classify as FFFD
+  }
+
+  /** Byte-level scanner body. All STRUCTURE characters of html are ASCII
+    * and UTF-8 continuation bytes never collide with them, so the scan
+    * works on the raw bytes and only text runs / attr values are decoded —
+    * the whole-page `new String(bytes)` cost (~a third of the lineize
+    * stage's allocation) disappears. Parity with the tree parser is pinned
+    * by RoundTripSpec over the corpus (incl. multibyte zh/ja docs),
+    * adversarial snippets, and the seeded fuzz.
+    */
+  def lineizeStreamBytes(b: Array[Byte], uid: String): AnnDoc = {
     import HtmlParser._
     val blocks = mutable.ArrayBuffer.empty[Block]
+    val n = b.length
+
+    @inline def u(x: Int): Int = b(x) & 0xFF
+    def bIndexOf(ch: Int, from: Int): Int = {
+      var k = from
+      while (k < n && u(k) != ch) k += 1
+      if (k < n) k else -1
+    }
+    def bStartsWith(lit: String, at: Int): Boolean = {
+      if (at + lit.length > n) return false
+      var k = 0
+      while (k < lit.length) { if (u(at + k) != lit.charAt(k)) return false; k += 1 }
+      true
+    }
+    def bIndexOfStr(lit: String, from: Int): Int = {
+      var k = math.max(0, from)
+      val max = n - lit.length
+      while (k <= max) { if (bStartsWith(lit, k)) return k; k += 1 }
+      -1
+    }
+    def bIndexOfCI(lit: String, from: Int): Int = {
+      var k = math.max(0, from)
+      val max = n - lit.length
+      while (k <= max) {
+        var m = 0
+        var ok = true
+        while (ok && m < lit.length) {
+          if (Character.toLowerCase(u(k + m).toChar) != Character.toLowerCase(lit.charAt(m))) ok = false
+          m += 1
+        }
+        if (ok) return k
+        k += 1
+      }
+      -1
+    }
+    def bRegionMatchesCI(at: Int, lit: String): Boolean = {
+      if (at + lit.length > n) return false
+      var k = 0
+      while (k < lit.length) {
+        if (Character.toLowerCase(u(at + k).toChar) != lit.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    def decodeRange(from: Int, until: Int): String =
+      new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+    @inline def tagNameOfB(start: Int, end: Int): String =
+      tagNameOfBytes(b, start, end)
+    // whitespace byte-length at j (0 = not whitespace); multibyte BMP
+    // whitespace (U+3000 etc.) classifies like the old char-based scan
+    def wsLen(j: Int): Int = {
+      val c = u(j)
+      if (c < 0x80) { if (Character.isWhitespace(c.toChar)) 1 else 0 }
+      else {
+        val pl = cpAndLen(b, j, n)
+        val cp = pl & 0x1FFFFF
+        if (Character.isWhitespace(cp.toChar)) pl >>> 21 else 0
+      }
+    }
 
     // frame stack as parallel primitive arrays (one [[SFrame]]-shaped record
     // per open element; an object per element measured ~8 KB/doc of churn).
@@ -396,20 +548,20 @@ object Lineizer {
 
     def keyKind(ks: Int, ke: Int): Int = {
       val kl = ke - ks
-      if (kl == 5 && html.regionMatches(true, ks, "style", 0, 5)) 1
-      else if (kl == 2 && html.regionMatches(true, ks, "id", 0, 2)) 2
-      else if (kl == 3 && html.regionMatches(true, ks, "for", 0, 3)) 3
-      else if (kl == 6 && html.regionMatches(true, ks, "data-w", 0, 6)) 4
-      else if (kl == 6 && html.regionMatches(true, ks, "data-h", 0, 6)) 5
+      if (kl == 5 && bRegionMatchesCI(ks, "style")) 1
+      else if (kl == 2 && bRegionMatchesCI(ks, "id")) 2
+      else if (kl == 3 && bRegionMatchesCI(ks, "for")) 3
+      else if (kl == 6 && bRegionMatchesCI(ks, "data-w")) 4
+      else if (kl == 6 && bRegionMatchesCI(ks, "data-h")) 5
       else 0
     }
 
-    /** '&' occurs in html[from, until)? Bounded scan — indexOf would run
-      * to the end of the document on entity-free pages (O(n^2) overall).
+    /** '&' occurs in b[from, until)? Bounded scan — continuation bytes can
+      * never read as 0x26, so the byte test is exact.
       */
     def hasAmp(from: Int, until: Int): Boolean = {
       var k = from
-      while (k < until && html.charAt(k) != '&') k += 1
+      while (k < until && u(k) != '&') k += 1
       k < until
     }
 
@@ -419,7 +571,7 @@ object Lineizer {
     def matVal(vs: Int, ve: Int): String =
       if (vs < 0) null
       else {
-        val raw = html.substring(vs, ve)
+        val raw = decodeRange(vs, ve)
         if (hasAmp(vs, ve)) decodeEntities(raw) else raw
       }
 
@@ -441,47 +593,58 @@ object Lineizer {
       if ((bits & 2) != 0) emitBlock()
     }
 
-    /** Text run [from, until): appended only while a block is open; the
-      * substring+entity-decode is skipped entirely when no '&' occurs.
+    /** Text run [from, until): appended only while a block is open; link
+      * density counts decoded CHARS (same as the char-based scan).
       */
     def flushText(from: Int, until: Int): Unit =
       if (blockOpen && until > from) {
         val before = bSb.length
-        if (!hasAmp(from, until)) bSb.append(html, from, until)
-        else bSb.append(decodeEntities(html.substring(from, until)))
+        val run = decodeRange(from, until)
+        if (!hasAmp(from, until)) bSb.append(run)
+        else bSb.append(decodeEntities(run))
         if (aDepth > 0) bLink += bSb.length - before
       }
 
-    val n = html.length
     var i = 0
     while (i < n) {
-      val lt = html.indexOf('<', i)
+      val lt = bIndexOf('<', i)
       if (lt < 0) { flushText(i, n); i = n }
       else {
         if (lt > i) flushText(i, lt)
         if (lt + 1 >= n) { i = n }
-        else if (html.startsWith("<!--", lt)) {
-          val end = html.indexOf("-->", lt + 4)
+        else if (bStartsWith("<!--", lt)) {
+          val end = bIndexOfStr("-->", lt + 4)
           i = if (end < 0) n else end + 3
-        } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
-          val end = html.indexOf('>', lt + 1)
+        } else if (u(lt + 1) == '!' || u(lt + 1) == '?') {
+          val end = bIndexOf('>', lt + 1)
           i = if (end < 0) n else end + 1
-        } else if (html.charAt(lt + 1) == '/') {
-          val end = html.indexOf('>', lt + 1)
-          // trimmed [ns, ne) name bounds; tagNameOf interns common tags
+        } else if (u(lt + 1) == '/') {
+          val end = bIndexOf('>', lt + 1)
+          // trimmed [ns, ne) name bounds; tagNameOfB interns common tags
           var ns = lt + 2
           var ne = if (end < 0) n else end
-          while (ns < ne && html.charAt(ns) <= ' ') ns += 1
-          while (ne > ns && html.charAt(ne - 1) <= ' ') ne -= 1
-          val name = tagNameOf(html, ns, ne)
+          while (ns < ne && u(ns) <= ' ') ns += 1
+          while (ne > ns && u(ne - 1) <= ' ') ne -= 1
+          val name = tagNameOfB(ns, ne)
           var idx = fLen - 1
           while (idx >= 0 && fTag(idx) != name) idx -= 1
           if (idx > 0) while (fLen > idx) closeFrame()
           i = if (end < 0) n else end + 1
         } else {
           var j = lt + 1
-          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
-          val name = tagNameOf(html, lt + 1, j)
+          var nameDone = false
+          while (!nameDone && j < n) {
+            val c = u(j)
+            if (c < 0x80) {
+              if (Character.isLetterOrDigit(c.toChar)) j += 1 else nameDone = true
+            } else {
+              val pl = cpAndLen(b, j, n)
+              val cp = pl & 0x1FFFFF
+              if (Character.isLetterOrDigit(cp.toChar)) j += (pl >>> 21)
+              else nameDone = true
+            }
+          }
+          val name = tagNameOfB(lt + 1, j)
           if (name.isEmpty) { flushText(lt, lt + 1); i = lt + 1 }
           else {
             // reset doc-scoped attr bounds for this element
@@ -489,30 +652,45 @@ object Lineizer {
             selfClose = false
             var done = false
             while (!done && j < n) {
-              while (j < n && html.charAt(j).isWhitespace) j += 1
-              if (j < n && html.charAt(j) == '>') { done = true; j += 1 }
-              else if (j + 1 < n && html.charAt(j) == '/' && html.charAt(j + 1) == '>') {
+              while (j < n && { val w = wsLen(j); if (w > 0) { j += w; true } else false }) ()
+              if (j < n && u(j) == '>') { done = true; j += 1 }
+              else if (j + 1 < n && u(j) == '/' && u(j + 1) == '>') {
                 selfClose = true; done = true; j += 2
-              } else if (html.charAt(j) == '/') {
+              } else if (j < n && u(j) == '/') {
                 j += 1 // stray '/' not followed by '>' is tag-soup noise
               } else if (j < n) {
                 val ks = j
-                while (j < n && html.charAt(j) != '=' && html.charAt(j) != '>' &&
-                  html.charAt(j) != '/' && !html.charAt(j).isWhitespace) j += 1
+                var keyDone = false
+                while (!keyDone && j < n) {
+                  val c = u(j)
+                  if (c == '=' || c == '>' || c == '/') keyDone = true
+                  else if (c < 0x80) {
+                    if (Character.isWhitespace(c.toChar)) keyDone = true else j += 1
+                  } else if (wsLen(j) > 0) keyDone = true
+                  else j += 1
+                }
                 val kind = if (j > ks) keyKind(ks, j) else 0
-                while (j < n && html.charAt(j).isWhitespace) j += 1
-                if (j < n && html.charAt(j) == '=') {
+                while (j < n && { val w = wsLen(j); if (w > 0) { j += w; true } else false }) ()
+                if (j < n && u(j) == '=') {
                   j += 1
-                  while (j < n && html.charAt(j).isWhitespace) j += 1
-                  if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
-                    val q = html.charAt(j)
+                  while (j < n && { val w = wsLen(j); if (w > 0) { j += w; true } else false }) ()
+                  if (j < n && (u(j) == '"' || u(j) == '\'')) {
+                    val q = u(j)
                     val vs = j + 1
-                    val ve = html.indexOf(q, vs)
+                    val ve = bIndexOf(q, vs)
                     retainAttr(kind, vs, if (ve < 0) n else ve)
                     j = if (ve < 0) n else ve + 1
                   } else {
                     val vs = j
-                    while (j < n && html.charAt(j) != '>' && !html.charAt(j).isWhitespace) j += 1
+                    var vDone = false
+                    while (!vDone && j < n) {
+                      val c = u(j)
+                      if (c == '>') vDone = true
+                      else if (c < 0x80) {
+                        if (Character.isWhitespace(c.toChar)) vDone = true else j += 1
+                      } else if (wsLen(j) > 0) vDone = true
+                      else j += 1
+                    }
                     retainAttr(kind, vs, j)
                   }
                 } else retainAttr(kind, ks, ks) // key with no value -> empty
@@ -523,8 +701,8 @@ object Lineizer {
             val isVoidLike = VoidTags.contains(name) || selfClose || isRaw
             if (isRaw) {
               val close = "</" + name
-              val end = indexOfIgnoreCase(html, close, i)
-              val endGt = if (end < 0) n else html.indexOf('>', end)
+              val end = bIndexOfCI(close, i)
+              val endGt = if (end < 0) n else bIndexOf('>', end)
               i = if (end < 0) n else (if (endGt < 0) n else endGt + 1)
             }
             if (dimW < 0 && dwVs >= 0 && dhVs >= 0) {
@@ -552,20 +730,21 @@ object Lineizer {
               val cell2 = if (cellTags.contains(name)) name else fCell(t)
               val dl2 = if (name == "dl") myRef else fDl(t)
               val tr2 = if (name == "tr") myRef else fTr(t)
-              // style parsed in place over the raw region; entity-bearing
-              // styles (never in practice) fall back to the decoded string
+              // style parsed in place over the raw byte region; entity-
+              // bearing styles (never in practice) fall back to the decoded
+              // string
               val box =
                 if (styleVs < 0) None
                 else if (hasAmp(styleVs, styleVe))
-                  parseStyleBox(decodeEntities(html.substring(styleVs, styleVe)))
-                else parseStyleBox(html, styleVs, styleVe)
+                  parseStyleBox(decodeEntities(decodeRange(styleVs, styleVe)))
+                else parseStyleBoxB(b, styleVs, styleVe)
               box match {
-                case Some(b) =>
+                case Some(bx) =>
                   bTag = name; bParentRef = fRef(t)
                   bDlRef = dl2; bTrRef = tr2
                   bId = Option(matVal(idVs, idVe)).filter(_.nonEmpty)
                   bFor = Option(matVal(forVs, forVe)).filter(_.nonEmpty)
-                  bNav = nav2; bHdr = hdr2; bCell = cell2; bBox = b
+                  bNav = nav2; bHdr = hdr2; bCell = cell2; bBox = bx
                   bSb.setLength(0); bLink = 0
                   if (isVoidLike) { blockOpen = true; emitBlock() } // childless
                   else {
@@ -593,9 +772,6 @@ object Lineizer {
     * document. The single per-document function the Spark engine maps over
     * partitions (pred path: mutual-best assignment).
     */
-  def extract(uid: String, htmlBytes: Array[Byte]): DecodedDoc = {
-    val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
-    val ann = lineizeStream(html, uid)
-    DocBuilder.decodeSample(DocBuilder.build(ann))
-  }
+  def extract(uid: String, htmlBytes: Array[Byte]): DecodedDoc =
+    DocBuilder.decodeSample(DocBuilder.build(lineizeStreamBytes(htmlBytes, uid)))
 }

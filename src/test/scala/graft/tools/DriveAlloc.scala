@@ -46,13 +46,18 @@ object DriveAlloc {
     }
     stage("lineizeStream") { i =>
       val p = pages(i % pages.length)
-      graft.html.Lineizer.lineizeStream(
-        new String(p.html, java.nio.charset.StandardCharsets.UTF_8), p.url)
+      graft.html.Lineizer.lineizeStreamBytes(p.html, p.url)
     }
-    val anns = pages.map { p =>
-      graft.html.Lineizer.lineizeStream(
-        new String(p.html, java.nio.charset.StandardCharsets.UTF_8), p.url)
+    val htmlStrs = pages.map(p => new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+    stage("  ls:string conv") { i =>
+      val p = pages(i % pages.length)
+      new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
     }
+    stage("  ls:via-string") { i =>
+      graft.html.Lineizer.lineizeStream(htmlStrs(i % htmlStrs.length),
+        pages(i % pages.length).url)
+    }
+    val anns = pages.map(p => graft.html.Lineizer.lineizeStreamBytes(p.html, p.url))
     stage("build only") { i =>
       graft.core.DocBuilder.build(anns(i % anns.length))
     }
