@@ -82,7 +82,13 @@ class RoundTripSpec extends AnyFunSuite {
       s"""<div style="$bx"/><label style="$by" for="f1">L</label>""",
       s"""<main data-w="800" data-h="600"><div style="$bx">t</div></main>""",
       s"""<a style="$bx">self link text</a>""",
-      s"""<div style="$bx">open never closed<p style="$by">second"""
+      s"""<div style="$bx">open never closed<p style="$by">second""",
+      // multibyte edges for the byte-level scanner: CJK text with entities,
+      // a non-ASCII (BMP letter) tag name, U+3000 as attribute whitespace,
+      // and a supplementary (non-BMP) char terminating a tag name
+      s"""<div style="$bx">東京&amp;項目</div><木>t</木>""",
+      s"""<div　style="$bx">　sp　</div>""",
+      s"""<p😀 style="$bx">emoji-cut</p😀><div style="$by">ok</div>"""
     )
     snippets.zipWithIndex.foreach { case (h, i) =>
       val html = s"<html><body>$h</body></html>"
