@@ -59,6 +59,33 @@ object Streams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_vmilli"))
 
+  /** Watermarked stream-stream interval join: each probe event matched to
+    * the same user's quote events within the trailing `lagMinutes` window
+    * (attribution: which views led to this click). BOTH sides carry
+    * watermarks and the join condition bounds the event-time range, so
+    * Spark can GC buffered state on both sides — the requirements for an
+    * unbounded-input stream-stream join to hold at 10^12-event rates. The
+    * quote watermark trails by the interval width (a quote must stay
+    * buffered until no in-range probe can still arrive).
+    */
+  def intervalJoinStream(probes: DataFrame, quotes: DataFrame,
+      lagMinutes: Int = 10, delayMinutes: Int = 5): DataFrame = {
+    val p = probes
+      .select(col("event_id").as("probe_id"), col("user_id").as("p_user"),
+        col("ts").as("probe_ts"))
+      .withWatermark("probe_ts", s"$delayMinutes minutes")
+    val q = quotes
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("ts").as("quote_ts"))
+      .withWatermark("quote_ts", s"${delayMinutes + lagMinutes} minutes")
+    p.join(q, expr(
+      s"""p_user = q_user AND
+         |quote_ts >= probe_ts - INTERVAL $lagMinutes MINUTES AND
+         |quote_ts <= probe_ts""".stripMargin))
+      .select(col("probe_id"), col("quote_id"), col("p_user").as("user_id"),
+        col("probe_ts"), col("quote_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of the event stream
     * joins a STATIC dimension (slowly-changing user/host metadata),
     * broadcast-hinted so at 10^12-event rates the stream side never

@@ -65,6 +65,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("stream-stream interval join: in-window quotes matched, out-of-window dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[EventRow]
+    val quotes = MemoryStream[EventRow]
+    val q = Streams.intervalJoinStream(probes.toDF(), quotes.toDF(), lagMinutes = 10)
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    quotes.addData(
+      EventRow(10, tsAt(10, 0), 1, "view", 0.0),  // 5 min before probe: in window
+      EventRow(11, tsAt(9, 50), 1, "view", 0.0),  // 15 min before: out of window
+      EventRow(12, tsAt(10, 6), 1, "view", 0.0),  // 1 min AFTER probe: out
+      EventRow(13, tsAt(10, 1), 2, "view", 0.0))  // other user
+    probes.addData(EventRow(1, tsAt(10, 5), 1, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT probe_id, quote_id FROM ivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("stream-static enrichment join: broadcast dim, left-join pass-through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
