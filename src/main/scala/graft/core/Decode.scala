@@ -67,7 +67,100 @@ object Decode {
     val groupHead: IntIntOrdered =
       if (decodeGt) Spots.collapseFirst(Spots.parseMulti(groupHeadSpots, triuMode = true, scoreThresh))
       else Spots.parseTop(groupHeadSpots, triuMode = true, scoreThresh)
+    val entTail = Spots.parseMulti(entTailSpots, triuMode = true, scoreThresh)
 
+    decodeCore(text, bbox, lineExtraction, groupTail, groupHead, entTail,
+      emit => entHeadSpots.foreach { sp =>
+        if (sp.tag != 0 && sp.score >= scoreThresh) {
+          if (sp.tag == 2) emit(sp.j, sp.i) else emit(sp.i, sp.j)
+        }
+      })
+  }
+
+  /** Fast path over CANONICAL packed channels ([[Spots.canonicalizePackedRaw]]
+    * output: sorted unique cells, implicit score 1.0) — byte-identical to
+    * `decode` over `Spots.canonicalize`'s Vector[Spot] but with no Spot
+    * materialization. The engine runs THIS; the golden oracle path keeps
+    * the Vector form, so the x1/x2 golden compares double as a standing
+    * two-path parity gate (plus the CoreSpec equivalence property).
+    */
+  def decodeCanonical(
+      text: IndexedSeq[String],
+      lineExtractionC: Array[Long],
+      entHeadC: Array[Long],
+      entTailC: Array[Long],
+      groupHeadC: Array[Long],
+      groupTailC: Array[Long],
+      bbox: IndexedSeq[Vector[Int]],
+      decodeGt: Boolean = false
+  ): DecodedDoc = {
+    @inline def iAt(l: Long): Int = (l >>> 40).toInt
+    @inline def jAt(l: Long): Int = ((l >>> 20) & 0xFFFFFL).toInt
+    // replicas of parseTop/parseMulti over the packed cells (same iteration
+    // order as the Vector[Spot] form; canonical scores are all 1.0 and the
+    // decodeSample scoreThresh is 0, so every cell passes)
+    def top(c: Array[Long], triu: Boolean): IntIntOrdered = {
+      val perHead = new IntBestOrdered
+      var k = 0
+      while (k < c.length) {
+        val l = c(k)
+        val swap = triu && (l & 3L) == 2L
+        perHead.putIfBetter(if (swap) jAt(l) else iAt(l),
+          if (swap) iAt(l) else jAt(l), 1.0)
+        k += 1
+      }
+      val perTail = new IntBestOrdered
+      perHead.foreachEntry((h, t, sc) => perTail.putIfBetter(t, h, sc))
+      val out = new IntIntOrdered
+      perTail.foreachEntry((t, h, _) => out.put(h, t))
+      out
+    }
+    def multi(c: Array[Long], triu: Boolean): IntMultiOrdered = {
+      val m = new IntMultiOrdered
+      var k = 0
+      while (k < c.length) {
+        val l = c(k)
+        val swap = triu && (l & 3L) == 2L
+        m.append(if (swap) jAt(l) else iAt(l), if (swap) iAt(l) else jAt(l))
+        k += 1
+      }
+      m
+    }
+    val lineExtraction =
+      if (decodeGt) Spots.collapseFirst(multi(lineExtractionC, triu = false))
+      else top(lineExtractionC, triu = false)
+    val groupTail =
+      if (decodeGt) Spots.collapseFirst(multi(groupTailC, triu = true))
+      else top(groupTailC, triu = true)
+    val groupHead =
+      if (decodeGt) Spots.collapseFirst(multi(groupHeadC, triu = true))
+      else top(groupHeadC, triu = true)
+    val entTail = multi(entTailC, triu = true)
+
+    decodeCore(text, bbox, lineExtraction, groupTail, groupHead, entTail,
+      emit => {
+        var k = 0
+        while (k < entHeadC.length) {
+          val l = entHeadC(k)
+          if ((l & 3L) == 2L) emit(jAt(l), iAt(l)) else emit(iAt(l), jAt(l))
+          k += 1
+        }
+      })
+  }
+
+  /** Shared decode body: channel maps in, DecodedDoc out. `entHeadIter`
+    * abstracts the ent-head channel iteration as (keyHead, valueHead)
+    * emissions so both the Spot and the packed forms drive one kernel.
+    */
+  private def decodeCore(
+      text: IndexedSeq[String],
+      bbox: IndexedSeq[Vector[Int]],
+      lineExtraction: IntIntOrdered,
+      groupTail: IntIntOrdered,
+      groupHead: IntIntOrdered,
+      entTail: IntMultiOrdered,
+      entHeadIter: ((Int, Int) => Unit) => Unit
+  ): DecodedDoc = {
     @inline def sliceText(s: Int, eIncl: Int): String = {
       val sb = new java.lang.StringBuilder
       var k = s
@@ -82,9 +175,6 @@ object Decode {
     lineExtraction.foreachPair { (s, e) =>
       lines += DecodedLine(sliceText(s, e), sliceBox(s, e))
     }
-
-    // --- entity tail multimap (decode.py:217-222) ---
-    val entTail = Spots.parseMulti(entTailSpots, triuMode = true, scoreThresh)
 
     // one chain walk (identical for key and value, decode.py:248-350):
     // follow grouping_head; accept a step only if line-extraction's tail for
@@ -147,29 +237,25 @@ object Decode {
     // --- entity-linking heads drive KV emission (decode.py:223-368) ---
     val entHead = new IntMultiOrdered
     val kvPairs = Vector.newBuilder[KvPair]
-    entHeadSpots.foreach { sp =>
-      if (sp.tag != 0 && sp.score >= scoreThresh) {
-        val (keyHead, valueHead) =
-          if (sp.tag == 2) (sp.j, sp.i) else (sp.i, sp.j)
-        entHead.append(keyHead, valueHead)
+    entHeadIter { (keyHead, valueHead) =>
+      entHead.append(keyHead, valueHead)
 
-        val keyFirstTail = lineExtraction.getOrMinus1(keyHead)
-        val valueFirstTail = lineExtraction.getOrMinus1(valueHead)
-        if (keyFirstTail != -1 && valueFirstTail != -1) {
-          val kw = walkChain(keyHead, keyFirstTail)
-          val vw = walkChain(valueHead, valueFirstTail)
-          // validation: value chain tail must be a registered ent-tail of
-          // the key chain tail (decode.py:352-359)
-          if (entTail.containsValue(kw.currTail, vw.currTail)) {
-            kvPairs += KvPair(
-              key = TextNorm.pyStrip(kw.sb.toString),
-              value = TextNorm.pyStrip(vw.sb.toString),
-              keyBox = kw.box,
-              valueBox = vw.box
-            )
-          }
-        } // else: head not in line-extraction map: skip (decode.py:236-243)
-      }
+      val keyFirstTail = lineExtraction.getOrMinus1(keyHead)
+      val valueFirstTail = lineExtraction.getOrMinus1(valueHead)
+      if (keyFirstTail != -1 && valueFirstTail != -1) {
+        val kw = walkChain(keyHead, keyFirstTail)
+        val vw = walkChain(valueHead, valueFirstTail)
+        // validation: value chain tail must be a registered ent-tail of
+        // the key chain tail (decode.py:352-359)
+        if (entTail.containsValue(kw.currTail, vw.currTail)) {
+          kvPairs += KvPair(
+            key = TextNorm.pyStrip(kw.sb.toString),
+            value = TextNorm.pyStrip(vw.sb.toString),
+            keyBox = kw.box,
+            valueBox = vw.box
+          )
+        }
+      } // else: head not in line-extraction map: skip (decode.py:236-243)
     }
 
     DecodedDoc(

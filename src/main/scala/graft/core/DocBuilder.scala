@@ -318,6 +318,24 @@ object DocBuilder {
   /** Canonicalize + decode one sample: the shared kernel body used by the
     * oracle and the engine (pred path: mutual-best; gt path: first-wins).
     */
+  /** Engine hot path: canonicalize + decode without Spot materialization
+    * ([[Decode.decodeCanonical]]). The golden oracle path keeps
+    * [[decodeSample]]'s Vector[Spot] route, so the x1/x2 golden compares
+    * double as an end-to-end two-path parity gate (CoreSpec also pins
+    * equivalence directly over the corpus).
+    */
+  def decodeSampleFast(sample: DocSample, decodeGt: Boolean = false): DecodedDoc =
+    Decode.decodeCanonical(
+      text = sample.tokens,
+      lineExtractionC = Spots.canonicalizePackedRaw(sample.lineExtractionSpots),
+      entHeadC = Spots.canonicalizePackedRaw(sample.entHeadSpots),
+      entTailC = Spots.canonicalizePackedRaw(sample.entTailSpots),
+      groupHeadC = Spots.canonicalizePackedRaw(sample.groupHeadSpots),
+      groupTailC = Spots.canonicalizePackedRaw(sample.groupTailSpots),
+      bbox = sample.origBbox,
+      decodeGt = decodeGt
+    )
+
   def decodeSample(sample: DocSample, decodeGt: Boolean = false): DecodedDoc =
     Decode.decode(
       text = sample.tokens,

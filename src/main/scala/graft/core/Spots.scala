@@ -68,6 +68,28 @@ object Spots {
     scanPacked(java.util.Arrays.copyOf(spots, spots.length))
   }
 
+  /** Canonical cells as packed `(i<<40 | j<<20 | tag)` longs — the same
+    * cells in the same order as [[canonicalizePacked]], without the Spot
+    * materialization (the decode fast path iterates these directly).
+    */
+  def canonicalizePackedRaw(spots: Array[Long]): Array[Long] = {
+    if (spots.isEmpty) return Array.emptyLongArray
+    val arr = java.util.Arrays.copyOf(spots, spots.length)
+    java.util.Arrays.sort(arr)
+    val out = new Array[Long](arr.length)
+    var m = 0
+    var idx = 0
+    while (idx < arr.length) {
+      val cellKey = arr(idx) >>> 20
+      var last = arr(idx)
+      idx += 1
+      while (idx < arr.length && (arr(idx) >>> 20) == cellKey) { last = arr(idx); idx += 1 }
+      val tag = last & 3L
+      if (tag != 0L) { out(m) = (cellKey << 20) | tag; m += 1 }
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** Sorts `arr` in place and reads back (i, j) cells last-wins. */
   private def scanPacked(arr: Array[Long]): Vector[Spot] = {
     java.util.Arrays.sort(arr)

@@ -48,7 +48,7 @@ object Pipeline {
     // allocation per doc) never happens on the hot path
     val ann = Lineizer.lineizeStreamBytes(html, url)
     val sample = DocBuilder.build(ann)
-    val d = DocBuilder.decodeSample(sample)
+    val d = DocBuilder.decodeSampleFast(sample)
     DocOut(
       url = url,
       host = hostOf(url),

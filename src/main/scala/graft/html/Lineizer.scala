@@ -773,5 +773,5 @@ object Lineizer {
     * partitions (pred path: mutual-best assignment).
     */
   def extract(uid: String, htmlBytes: Array[Byte]): DecodedDoc =
-    DocBuilder.decodeSample(DocBuilder.build(lineizeStreamBytes(htmlBytes, uid)))
+    DocBuilder.decodeSampleFast(DocBuilder.build(lineizeStreamBytes(htmlBytes, uid)))
 }

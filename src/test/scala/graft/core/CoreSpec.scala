@@ -262,6 +262,16 @@ class QuadCorpusSpec extends AnyFunSuite {
     }
     assert(quads > 20, s"corpus must exercise the 8-coord path (got $quads quad lines)")
   }
+
+  test("decodeSampleFast == decodeSample over the corpus, pred and gt paths") {
+    (0L until 120L).foreach { i =>
+      val sample = DocBuilder.build(graft.synth.CorpusGen.annFor(i).ann)
+      assert(DocBuilder.decodeSampleFast(sample) == DocBuilder.decodeSample(sample),
+        s"doc $i pred")
+      assert(DocBuilder.decodeSampleFast(sample, decodeGt = true) ==
+        DocBuilder.decodeSample(sample, decodeGt = true), s"doc $i gt")
+    }
+  }
 }
 
 class PairMetricsSpec extends AnyFunSuite {

@@ -103,5 +103,8 @@ object DriveAlloc {
     stage("decodeSample") { i =>
       graft.core.DocBuilder.decodeSample(samples(i % samples.length))
     }
+    stage("decodeSampleFast") { i =>
+      graft.core.DocBuilder.decodeSampleFast(samples(i % samples.length))
+    }
   }
 }
