@@ -102,7 +102,8 @@ class RoundTripSpec extends AnyFunSuite {
     val rng = new java.util.Random(20260816L)
     val tags = Array("div", "p", "span", "dl", "dt", "dd", "table", "tr", "th",
       "td", "a", "nav", "h2", "label", "output", "b", "script", "img", "br", "zz")
-    val words = Array("x", "A&amp;B", "t&lt;u", "&#65;", "key:", "v", " ", "–", "ｘ")
+    val words = Array("x", "A&amp;B", "t&lt;u", "&#65;", "key:", "v", " ", "–", "ｘ",
+      "東京", "😀", "　")
     def soup(): String = {
       val sb = new StringBuilder("<html><body>")
       var depth = 0
@@ -125,7 +126,7 @@ class RoundTripSpec extends AnyFunSuite {
           case 3 => sb ++= words(rng.nextInt(words.length))
           case 4 => sb ++= s"<!-- c ${rng.nextInt(9)} -->"
           case 5 => sb ++= words(rng.nextInt(words.length)) + words(rng.nextInt(words.length))
-          case _ => sb ++= s"<${words(rng.nextInt(3))}" // garbage after '<'
+          case _ => sb ++= s"<${words(rng.nextInt(words.length))}" // garbage after '<'
         }
       }
       sb ++= "</body></html>"

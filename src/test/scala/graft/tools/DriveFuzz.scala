@@ -10,7 +10,8 @@ object DriveFuzz {
     val rng = new java.util.Random(20260816L)
     val tags = Array("div", "p", "span", "dl", "dt", "dd", "table", "tr", "th",
       "td", "a", "nav", "h2", "label", "output", "b", "script", "img", "br", "zz")
-    val words = Array("x", "A&amp;B", "t&lt;u", "&#65;", "key:", "v", " ", "–", "ｘ")
+    val words = Array("x", "A&amp;B", "t&lt;u", "&#65;", "key:", "v", " ", "–", "ｘ",
+      "東京", "😀", "　")
     def soup(): String = {
       val sb = new StringBuilder("<html><body>")
       (0 until 5 + rng.nextInt(60)).foreach { _ =>
@@ -28,7 +29,7 @@ object DriveFuzz {
           case 3 => sb ++= words(rng.nextInt(words.length))
           case 4 => sb ++= s"<!-- c ${rng.nextInt(9)} -->"
           case 5 => sb ++= words(rng.nextInt(words.length)) + words(rng.nextInt(words.length))
-          case _ => sb ++= s"<${words(rng.nextInt(3))}"
+          case _ => sb ++= s"<${words(rng.nextInt(words.length))}"
         }
       }
       sb ++= "</body></html>"
@@ -49,7 +50,13 @@ object DriveFuzz {
       // splice 0-3 nasty fragments at random positions
       val sb = new StringBuilder(base)
       (0 until rng.nextInt(4)).foreach { _ =>
-        sb.insert(rng.nextInt(sb.length), nasty(rng.nextInt(nasty.length)))
+        // never split a surrogate pair: a lone surrogate cannot survive the
+        // UTF-8 round trip (encodes as '?'), so tree-vs-bytes comparison on
+        // such a String is meaningless — real inputs are (valid-or-not)
+        // BYTES, where the byte scanner is the ground truth
+        var pos = rng.nextInt(sb.length)
+        if (pos > 0 && Character.isLowSurrogate(sb.charAt(pos))) pos -= 1
+        sb.insert(pos, nasty(rng.nextInt(nasty.length)))
       }
       val html = sb.toString
       if (t % 1000 == 0) { println(s"[$t]"); Console.flush() }
