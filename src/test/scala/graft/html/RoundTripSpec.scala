@@ -137,6 +137,11 @@ class RoundTripSpec extends AnyFunSuite {
       val tree = Lineizer.lineize(HtmlParser.parse(html), "u")
       val stream = Lineizer.lineizeStream(html, "u")
       assert(stream == tree, s"soup $t diverged:\n$html")
+      // the packed decode fast path must agree with the Spot path on
+      // whatever degenerate structures the soup produced
+      val sample = DocBuilder.build(stream)
+      assert(DocBuilder.decodeSampleFast(sample) == DocBuilder.decodeSample(sample),
+        s"soup $t decode paths diverged:\n$html")
     }
   }
 

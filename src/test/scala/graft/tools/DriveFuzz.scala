@@ -65,6 +65,13 @@ object DriveFuzz {
       if (stream != tree) {
         diverged += 1
         println(s"DIVERGED at $t:\n$html")
+      } else {
+        val sample = graft.core.DocBuilder.build(stream)
+        if (graft.core.DocBuilder.decodeSampleFast(sample) !=
+            graft.core.DocBuilder.decodeSample(sample)) {
+          diverged += 1
+          println(s"DECODE DIVERGED at $t:\n$html")
+        }
       }
     }
     println(s"done diverged=$diverged")
