@@ -249,6 +249,10 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       Prep.hostCap(s.read.parquet(Corpus.pagesPath(dir)))
     }),
+    "p7_crawl_freshness" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      Prep.crawlFreshness(s.read.parquet(Corpus.pagesPath(dir)))
+    }),
     "p6_robots" -> ((s, dir) => {
       Corpus.ensure(s, dir)
       Prep.robotsGate(s.read.parquet(Corpus.pagesPath(dir)))
@@ -398,6 +402,7 @@ object SparkEntry {
     "p4_pack" -> Prep.packChunksSql("documents"),
     "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p6_robots" -> Prep.robotsGateSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p7_crawl_freshness" -> Prep.crawlFreshnessSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "q9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |  COALESCE(l_linestatus, 'ALL') AS status,

@@ -285,6 +285,33 @@ object Prep {
        |    FROM read_parquet('$pagesGlob', hive_partitioning=1)))
        |WHERE rn <= $k ORDER BY host, rn""".stripMargin
 
+  /** Per-host crawl freshness audit — the recency signal a re-crawl
+    * scheduler and a training-data cutoff both need: page count, crawl-time
+    * span, and newest/oldest capture per host. One narrow projection +
+    * one aggregate over (url, warc_ts); completes input-schema coverage
+    * (every column of the pages table is now exercised by some operator).
+    */
+  def crawlFreshness(pages: DataFrame): DataFrame =
+    pages
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        col("warc_ts").cast("timestamp").as("ts"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        min(col("ts")).as("oldest"),
+        max(col("ts")).as("newest"),
+        ((unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))) / 86400000L)
+          .cast("long").as("span_days"))
+      .orderBy("host")
+
+  def crawlFreshnessSql(pagesGlob: String): String =
+    s"""SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |  CAST(count(*) AS BIGINT) AS n_pages,
+       |  min(warc_ts) AS oldest, max(warc_ts) AS newest,
+       |  CAST((epoch_ms(max(warc_ts)) - epoch_ms(min(warc_ts))) // 86400000 AS BIGINT)
+       |    AS span_days
+       |FROM read_parquet('$pagesGlob', hive_partitioning=1)
+       |GROUP BY host ORDER BY host""".stripMargin
+
   /** Concat-and-chunk token packing — how a training run turns a filtered
     * corpus into fixed-budget sequences: within each (lang, shard) stream,
     * docs are laid end-to-end in doc_id order and cut every `budget`

@@ -557,6 +557,11 @@ class OpsSpec extends AnyFunSuite {
       (0L, 0, 5, 3L), (1L, 0, 5, 3L), (2L, 0, 3, 1L), (2L, 5, 8, 1L)))
   }
 
+  test("dupSpans: docs shorter than n emit nothing") {
+    val out = Dedup.dupSpans(docsDf(0L -> "a b", 1L -> "a b"), n = 3).collect()
+    assert(out.isEmpty)
+  }
+
   // ---------- image near-dup pairs ----------
 
   test("aHashPairs: planted one-byte-nudged duplicates surface as pairs") {
