@@ -219,6 +219,10 @@ object SparkEntry {
       import s.implicits._
       Media.aHashPairs(media(s, dir).as[Media.MediaRow])
     }),
+    "m6_resize" -> ((s, dir) => {
+      import s.implicits._
+      Media.resize(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -415,6 +419,7 @@ object SparkEntry {
     "m3_frame_sample" -> Media.frameSampleSql(M),
     "m4_image_ahash" -> Media.aHashSql(M),
     "m5_ahash_pairs" -> Media.aHashPairsSql(M),
+    "m6_resize" -> Media.resizeSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

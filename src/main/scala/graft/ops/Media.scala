@@ -211,6 +211,49 @@ object Media {
       }
       (w, h, hi, lo)
     }
+
+    /** Block-average grayscale downsample of the decoded pixel grid to an
+      * (gw x gh) target — the "resize" step of an image feature pipeline,
+      * integer-exact: cell value = sum(gray) / count (floor division, both
+      * engines agree for nonnegative sums). Cells not covered by the image
+      * (w or h smaller than the grid) are omitted; emission order is
+      * row-major (gy, gx) over covered cells.
+      */
+    def resizeGray(b: Array[Byte], gw: Int, gh: Int): String = {
+      val parsed = decodeBmp(b)
+      val w = parsed.width
+      val h = parsed.height
+      val off = rdLe32(b, 10)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val cells = gw * gh
+      val bs = new Array[Long](cells)
+      val bc = new Array[Long](cells)
+      var row = 0
+      while (row < h) {
+        val base = off + row * rowSize
+        val gy = row * gh / h
+        var c = 0
+        while (c < w) {
+          val i = base + c * 3
+          val gray = (b(i) & 0xFF) + (b(i + 1) & 0xFF) + (b(i + 2) & 0xFF)
+          val blk = gy * gw + c * gw / w
+          bs(blk) += gray
+          bc(blk) += 1
+          c += 1
+        }
+        row += 1
+      }
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < cells) {
+        if (bc(k) > 0) {
+          if (sb.length > 0) sb.append(',')
+          sb.append(bs(k) / bc(k))
+        }
+        k += 1
+      }
+      sb.toString
+    }
   }
 
   final case class AHashRow(doc_id: Long, width: Int, height: Int,
@@ -326,6 +369,37 @@ object Media {
        |  ELSE '' END AS frames
        |FROM read_parquet('$parquetGlob')
        |ORDER BY doc_id""".stripMargin
+
+  final case class ResizeRow(doc_id: Long, gray: String)
+
+  /** Image resize (block-average grayscale downsample) through the typed
+    * kernel — the multimodal "resize" op: each image reduced to a gw x gh
+    * grid of integer gray levels, emitted as a comma-joined string so the
+    * DuckDB oracle (recomputing from the write-side pixel truth) compares
+    * bit-exactly. Map-only.
+    */
+  def resize(media: Dataset[MediaRow], gw: Int = 8, gh: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { r =>
+      ResizeRow(r.doc_id, MediaKernel.resizeGray(r.media, gw, gh))
+    }).toDF().orderBy("doc_id")
+  }
+
+  def resizeSql(parquetGlob: String, gw: Int = 8, gh: Int = 8): String =
+    s"""WITH img AS (SELECT doc_id, payload, meta.width AS w, meta.height AS h,
+       |    ((3 * meta.width + 3) // 4) * 4 AS rowsize
+       |  FROM read_parquet('$parquetGlob') WHERE kind = 'image'),
+       |pxg AS (SELECT doc_id,
+       |    (q // w) * $gh // h AS gy, (q % w) * $gw // w AS gx,
+       |    ord(substring(payload, (q // w) * rowsize + (q % w) * 3 + 1, 1))
+       |      + ord(substring(payload, (q // w) * rowsize + (q % w) * 3 + 2, 1))
+       |      + ord(substring(payload, (q // w) * rowsize + (q % w) * 3 + 3, 1)) AS gray
+       |  FROM (SELECT doc_id, payload, w, h, rowsize, unnest(range(w * h)) AS q FROM img)),
+       |cells AS (SELECT doc_id, gy * $gw + gx AS idx,
+       |    sum(gray) // count(*) AS v
+       |  FROM pxg GROUP BY doc_id, gy, gx)
+       |SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY idx) AS gray
+       |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Image near-dup pairs over the perceptual hash: band the 64-bit ahash
     * into eight 8-bit bands (pigeonhole: any pair within hamming distance 7

@@ -578,6 +578,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeGray: block averages over the decoded grid, padding excluded") {
+    // 4x2 image, left half 'a' (gray 291), right half 'p' (gray 336);
+    // 2x2 grid -> each cell averages one uniform 2x1 block
+    val w = 4; val h = 2
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val px = Array.tabulate(rowSize * h) { i =>
+      (if ((i % rowSize) / 3 < 2) 'a' else 'p').toByte
+    }
+    val out = Media.MediaKernel.resizeGray(Media.bmpBytes(w, h, px), 2, 2)
+    assert(out == "291,336,291,336")
+  }
+
   // ---------- token packing ----------
 
   test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
