@@ -287,6 +287,13 @@ class PlanSpec extends AnyFunSuite {
       s"island windows must partition per doc:\n$p")
   }
 
+  test("p7 crawl freshness: no joins, scan pruned to (url, warc_ts)") {
+    val p = plan("p7_crawl_freshness")
+    assert(!p.contains("Join"), s"freshness audit must not join:\n$p")
+    assert(!p.contains("html") && !p.contains("ReadSchema: struct<url:string,warc_ts:timestamp_ntz,html"),
+      s"unused wide columns must not be read:\n$p")
+  }
+
   test("p6 robots gate: map-only pre-parse scan, pruned to (url, html, lang)") {
     val p = plan("p6_robots")
     assert(!p.contains("Join"), s"policy gate must not join:\n$p")

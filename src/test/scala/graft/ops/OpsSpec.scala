@@ -520,6 +520,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(_._1 == "hot.example") == 3, "hot host must be capped at k")
   }
 
+  test("crawlFreshness: span and bounds per host") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val pages = Seq(
+      ("https://a.example/1", t("2024-01-01 00:00:00")),
+      ("https://a.example/2", t("2024-01-04 12:00:00")),
+      ("https://b.example/1", t("2024-02-01 00:00:00"))
+    ).toDF("url", "warc_ts")
+    val out = Prep.crawlFreshness(pages).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_pages"), r.getAs[Long]("span_days")))
+    assert(out.toSeq == Seq(("a.example", 2L, 3L), ("b.example", 1L, 0L)))
+  }
+
   // ---------- robots gate ----------
 
   test("robotsGate: planted noindex pages counted out per lang") {
