@@ -145,6 +145,30 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("byte scanner survives invalid UTF-8 in crawl bytes (replacement, no crash)") {
+    // real crawl data contains broken encodings; structure chars are ASCII
+    // so the scan proceeds, and text decodes with U+FFFD replacements
+    val bx = "left:1px;top:2px;width:30px;height:4px"
+    val good = s"""<html><body><div style="$bx">ok _ tail</div></body></html>"""
+      .getBytes("UTF-8")
+    // corrupt the text run: lone continuation byte, truncated 3-byte lead,
+    // and a stray 0xFF
+    val bad = good.clone()
+    val at = new String(good, "UTF-8").indexOf('_')
+    bad(at - 1) = 0x85.toByte
+    bad(at) = 0xE3.toByte
+    bad(at + 1) = 0xFF.toByte
+    val doc = Lineizer.extract("u", bad)
+    assert(doc.lines.nonEmpty, "block must still be extracted")
+    val text = doc.lines.head.text
+    assert(text.startsWith("ok") && text.contains('�'),
+      s"invalid bytes must decode to replacements, got: $text")
+    // truncated multibyte at end-of-buffer must not crash either
+    val cut = java.util.Arrays.copyOf(good, good.length - 20)
+    cut(cut.length - 1) = 0xE4.toByte
+    Lineizer.extract("u", cut) // no exception = pass
+  }
+
   test("style box parse: unicode whitespace and overlong digit runs are not matches") {
     def lineTexts(html: String): Vector[String] =
       Lineizer.lineize(HtmlParser.parse(html), "u").entities.flatMap(_.lines.map(_.text))
