@@ -156,7 +156,57 @@ object SparkEntry {
     }),
     "q8_asof" -> ((s, dir) =>
       graft.ops.AsOf.asOfJoin(s.read.parquet(s"$dir/events.parquet"))),
+    "q10_region_rev" -> ((s, dir) => {
+      // classic star-chain rollup (TPC-H Q5 shape): fact joined through a
+      // BROADCAST dimension chain customer -> nation -> region; at 10^12
+      // rows only the fact ever shuffles (for the final agg) — the dims
+      // ship to executors
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("r_name")
+    }),
+    "q11_props_json" -> ((s, dir) =>
+      // semi-structured column: per-event JSON props parsed in place
+      // (get_json_object is codegen); aggregated per event type
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+    "q12_part_value" -> ((s, dir) => {
+      // fact + two broadcast dims on DIFFERENT keys (part, supplier)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          countDistinct(col("s_nationkey")).as("n_supp_nations"))
+        .orderBy("p_brand")
+    }),
     // --- text analysis (training-data pipeline ops) ---
+    "t8_source_mix" -> ((s, dir) =>
+      // mixture audit over the corpus provenance column: docs and token
+      // mass per (source, lang) — the table a data-mixing run reads before
+      // setting p2's sampling rates
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1))).cast("long").as("sum_tokens"))
+        .orderBy("source", "lang")),
     "t1_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "t2_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "t3_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -372,6 +422,32 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q8_asof" -> graft.ops.AsOf.asOfJoinSql("events"),
+    "q10_region_rev" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q11_props_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_part_value" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_supp_nations
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "t8_source_mix" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "t1_langid" -> TextAnalysis.langIdSql("documents"),
     "t2_quality" -> TextAnalysis.qualitySql("documents"),
     "t3_token_counts" -> TextAnalysis.tokenCountsSql("documents"),

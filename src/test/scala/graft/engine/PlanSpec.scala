@@ -245,6 +245,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"p3 must stay codegen:\n$p")
   }
 
+  test("q10/q12 star chains: every dimension joins as a broadcast (fact never shuffles for joins)") {
+    Seq("q10_region_rev" -> 3, "q12_part_value" -> 2).foreach { case (q, dims) =>
+      val p = plan(q)
+      val bhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).length
+      assert(bhj == dims, s"$q expected $dims broadcast joins, got $bhj:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must not shuffle the fact for a join:\n$p")
+    }
+  }
+
+  test("q11 json extraction stays codegen (no interpreted UDF)") {
+    val p = plan("q11_props_json")
+    assert(p.contains("get_json_object"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("lambdafunction"), p)
+  }
+
   test("q9 rollup: all granularities from ONE scan via Expand (no union of aggregates)") {
     val p = plan("q9_rollup")
     assert(p.contains("Expand"), s"rollup must plan as Expand + single agg:\n$p")
