@@ -158,6 +158,16 @@ object Media {
       MediaParsed(-1L, "audio", 0, 0, sampleRate, dataLen)
     }
 
+    /** A lying BITMAPINFOHEADER (dimensions larger than the buffer, or a
+      * negative/top-down height) would send the pixel walkers out of
+      * bounds on an executor — fail loudly, like the RIFF chunk guard.
+      */
+    @inline private def requirePixelBounds(b: Array[Byte], off: Int,
+        rowSize: Int, w: Int, h: Int): Unit =
+      require(w >= 0 && h >= 0 && off >= 0 &&
+        off.toLong + rowSize.toLong * h <= b.length,
+        s"corrupt BMP: ${w}x$h pixels at offset $off exceed ${b.length} bytes")
+
     def decode(kind: String, media: Array[Byte]): MediaParsed =
       if (kind == "image") decodeBmp(media) else decodeWav(media)
 
@@ -180,6 +190,7 @@ object Media {
       val h = parsed.height
       val off = rdLe32(b, 10)
       val rowSize = ((3 * w + 3) / 4) * 4
+      requirePixelBounds(b, off, rowSize, w, h)
       val bs = new Array[Long](64)
       val bc = new Array[Long](64)
       var total = 0L
@@ -225,6 +236,7 @@ object Media {
       val h = parsed.height
       val off = rdLe32(b, 10)
       val rowSize = ((3 * w + 3) / 4) * 4
+      requirePixelBounds(b, off, rowSize, w, h)
       val cells = gw * gh
       val bs = new Array[Long](cells)
       val bc = new Array[Long](cells)

@@ -592,6 +592,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ahash/resize refuse a lying BMP header instead of reading out of bounds") {
+    // honest 4x2 image, then the header's height field inflated to 999
+    val w = 4; val h = 2
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val bmp = Media.bmpBytes(w, h, Array.fill(rowSize * h)('a'.toByte))
+    bmp(22) = 0xE7.toByte; bmp(23) = 0x03.toByte // biHeight = 999
+    intercept[IllegalArgumentException](Media.MediaKernel.ahash(bmp))
+    intercept[IllegalArgumentException](Media.MediaKernel.resizeGray(bmp, 8, 8))
+  }
+
   test("resizeGray: block averages over the decoded grid, padding excluded") {
     // 4x2 image, left half 'a' (gray 291), right half 'p' (gray 336);
     // 2x2 grid -> each cell averages one uniform 2x1 block
