@@ -26,11 +26,22 @@ import ColFns._
   */
 object Dedup {
 
-  /** Exact dedup: every doc mapped to the minimum doc_id sharing its md5. */
+  /** Exact dedup: every doc mapped to the minimum doc_id sharing its md5.
+    *
+    * Deliberately agg+join, NOT a window over the content hash: the most
+    * duplicated text in a web corpus (an empty page, a CDN error page) has
+    * 10^7-10^8 exact copies, and `min() OVER (PARTITION BY md5(text))`
+    * would funnel every one of them into a single window task. The
+    * aggregate collapses the hot hash map-side (partial min), and the join
+    * back is an equi-join AQE's skew handling splits automatically — the
+    * same shape as [[lineDedup]]. Only (doc_id, 16-byte hash) ever
+    * shuffles; the text never leaves the scan.
+    */
   def exact(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col("text")))
-    docs.select(col("doc_id"), min(col("doc_id")).over(w).as("canonical"))
+    val hashed = docs.select(col("doc_id"), unhex(md5(col("text"))).as("th"))
+    val firsts = hashed.groupBy(col("th")).agg(min(col("doc_id")).as("canonical"))
+    hashed.join(firsts, "th")
+      .select(col("doc_id"), col("canonical"))
       .orderBy("doc_id")
   }
 
@@ -73,16 +84,64 @@ object Dedup {
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: band the signature (rows=2), bucket-join on the
-    * band key, emit distinct (id_a < id_b) pairs.
+  /** Deterministic per-band-bucket cap — the guard that keeps every LSH
+    * band join linear at corpus scale: a cluster of m identical documents
+    * shares every band, so an uncapped bucket join goes m²/2 on that one
+    * key. Buckets keep only the `cap` members with the smallest
+    * h32(doc_id ':bcap') priority — hash-priority, so the kept set is
+    * reproducible and independent of partition layout (the
+    * [[Prep.stratifiedSample]] rule). The documented recall trade: a doc
+    * evicted from every bucket it shares with a true near-dup loses that
+    * pair (and, downstream, its membership in the d6 component). This is
+    * the right trade at corpus scale because the mass that overflows a
+    * bucket is dominated by EXACT-duplicate clusters — which belong to the
+    * cheaper exact-dedup pass run FIRST (the p8 composition order) — and
+    * by boilerplate collisions, where linear cost is the priority. An
+    * orthogonal sub-bucket split (the s1 cellCap device) cannot guard this
+    * join: identical signatures sub-bucket identically.
+    *
+    * Skew shape: the two-stage top-k idiom ([[Prep.hostCap]]) — stage 1
+    * caps per (bkey, doc_id-sub-bucket) so the hot bucket never sorts in
+    * one task (Spark 4 plans WindowGroupLimit = map-side partial top-k),
+    * stage 2 re-ranks the <= nSub*cap survivors. Provably equal to the
+    * single-window cap the DuckDB mirrors use.
     */
-  def lshCandidatePairs(docs: DataFrame, k: Int = 8, n: Int = 4): DataFrame = {
+  private[ops] def capBuckets(banded: DataFrame, cap: Int, nSub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = Window
+      .partitionBy(col("bkey"), pmod(col("doc_id"), lit(nSub.toLong)))
+      .orderBy(col("pri"), col("doc_id"))
+    val w = Window.partitionBy(col("bkey")).orderBy(col("pri"), col("doc_id"))
+    banded
+      .withColumn("pri", h32(concat(col("doc_id").cast("string"), lit(":bcap"))))
+      .withColumn("rn1", row_number().over(sub)).filter(col("rn1") <= cap)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .drop("pri", "rn1", "rn")
+  }
+
+  /** DuckDB mirror of [[capBuckets]]: the semantically-equal single-window
+    * cap over a `bands(doc_id, ..., bkey)` CTE named `bandsCte`.
+    */
+  private def sqlCapBuckets(bandsCte: String, cols: String, cap: Int): String =
+    s"""(SELECT $cols, bkey FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bkey
+       |      ORDER BY ${sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")}, doc_id) AS rn
+       |    FROM $bandsCte) WHERE rn <= $cap)""".stripMargin
+
+  /** LSH candidate pairs: band the signature (rows=2), cap each band
+    * bucket ([[capBuckets]] — a mass of exact duplicates otherwise goes
+    * quadratic in one bucket), bucket-join on the band key, emit distinct
+    * (id_a < id_b) pairs.
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 8, n: Int = 4,
+                        bucketCap: Int = 10): DataFrame = {
     val sigs = minhashSignatures(docs, k, n)
     val bandKeys = (0 until k / 2).map(b =>
       md5(concat(lit(b.toString), lit(":"),
         col(s"m${2 * b}").cast("string"), lit(","),
         col(s"m${2 * b + 1}").cast("string"))))
-    val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey"))
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey")), bucketCap)
     val a = banded.as("a")
     val bb = banded.as("b")
     a.join(bb, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -91,7 +150,8 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  def lshCandidatePairsSql(table: String, k: Int = 8, n: Int = 4): String = {
+  def lshCandidatePairsSql(table: String, k: Int = 8, n: Int = 4,
+                           bucketCap: Int = 10): String = {
     val w = sqlWords("text")
     val sh = sqlShingles("w", n)
     val slotHash = sqlH32("h || '|' || s")
@@ -101,9 +161,10 @@ object Dedup {
        |    h -> list_min(list_transform(shingles, s -> $slotHash))) AS mh
        |  FROM sh WHERE len(shingles) > 0),
        |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
-       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b))
+       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b)),
+       |capped AS ${sqlCapBuckets("bands", "doc_id", bucketCap)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -137,43 +198,85 @@ object Dedup {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit
-    * bands (pigeonhole: any pair within hamming distance 3 shares at least
-    * one exact band), bucket-join on the band, verify with
-    * bit_count(xor) <= maxHamming. The standard scalable simhash join —
-    * candidates are linear in near-dup mass, never all-pairs.
+  /** 64-bit SimHash as two independent 32-bit halves (lo from h32(w), hi
+    * from h32('x|' w) — a literal 1<<63 overflows BIGINT in both engines,
+    * so the signature never lives in one column), computed in ONE pass
+    * over the exploded words: 64 codegen'd sign-sums with map-side partial
+    * aggregation.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val sig = simhash(docs)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          concat(lit(s"$b:"), shiftright(col("simhash"), 8 * b)
-            .bitwiseAND(lit(255L)).cast("string"))): _*)).as("bkey"))
+  private[ops] def simhash64(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), h32(col("w")).as("h"),
+        h32(concat(lit("x|"), col("w"))).as("g"))
+    val sums =
+      (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b")) ++
+      (0 until 32).map(b =>
+        sum(shiftright(col("g"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"t$b"))
+    val grouped = ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    def sig(pfx: String) = (0 until 32)
+      .map(b => when(col(s"$pfx$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("doc_id"), sig("s").as("sim_lo"), sig("t").as("sim_hi"))
+  }
+
+  /** SimHash near-dup pairs, Manku-style: 64-bit signature banded into
+    * four 16-bit bands (pigeonhole: any pair within hamming distance 3
+    * shares at least one exact band — so recall is EXACT for the default
+    * maxHamming), capped band buckets ([[capBuckets]]), bucket-join,
+    * verify with the summed bit_count over both halves. A 32-bit hash
+    * with 8-bit bands would make the join O(N²/1024) BY CONSTRUCTION
+    * (only 1,024 possible band keys); 16-bit bands give 65,536 keys per
+    * band and the cap bounds whatever still collides.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2,
+                   bucketCap: Int = 20): DataFrame = {
+    val sig = simhash64(docs)
+    val bandKeys =
+      (0 until 2).map(b => concat(lit(s"l$b:"), shiftright(col("sim_lo"), 16 * b)
+        .bitwiseAND(lit(65535L)).cast("string"))) ++
+      (0 until 2).map(b => concat(lit(s"h$b:"), shiftright(col("sim_hi"), 16 * b)
+        .bitwiseAND(lit(65535L)).cast("string")))
+    val banded = capBuckets(
+      sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        explode(array(bandKeys: _*)).as("bkey")), bucketCap)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
-  def simhashPairsSql(table: String, maxHamming: Int = 2): String = {
-    val sums = (0 until 32)
-      .map(b => s"sum(((h >> $b) & 1)*2 - 1) AS s$b").mkString(", ")
-    val sig = (0 until 32)
-      .map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+  def simhashPairsSql(table: String, maxHamming: Int = 2,
+                      bucketCap: Int = 20): String = {
+    val sums = ((0 until 32)
+      .map(b => s"sum(((h >> $b) & 1)*2 - 1) AS s$b") ++
+      (0 until 32).map(b => s"sum(((g >> $b) & 1)*2 - 1) AS t$b")).mkString(", ")
+    def sig(pfx: String) = (0 until 32)
+      .map(b => s"(CASE WHEN $pfx$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val bands =
+      (0 until 2).map(b => s"'l$b:' || ((sim_lo >> ${16 * b}) & 65535)") ++
+      (0 until 2).map(b => s"'h$b:' || ((sim_hi >> ${16 * b}) & 65535)")
     s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS word FROM $table),
-       |h AS (SELECT doc_id, ${sqlH32("word")} AS h FROM w),
+       |h AS (SELECT doc_id, ${sqlH32("word")} AS h, ${sqlH32("'x|' || word")} AS g FROM w),
        |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s),
-       |bands AS (SELECT doc_id, simhash, b || ':' || ((simhash >> (8*b)) & 255) AS bkey
-       |  FROM sig, generate_series(0,3) AS t(b))
+       |sig AS (SELECT doc_id, CAST(${sig("s")} AS BIGINT) AS sim_lo,
+       |    CAST(${sig("t")} AS BIGINT) AS sim_hi FROM s),
+       |bands AS (SELECT doc_id, sim_lo, sim_hi,
+       |    unnest([${bands.mkString(", ")}]) AS bkey FROM sig),
+       |capped AS ${sqlCapBuckets("bands", "doc_id, sim_lo, sim_hi", bucketCap)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+       |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+       |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+       |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -240,10 +343,12 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
-  def dedupComponentsSql(table: String, k: Int = 8, n: Int = 4): String = {
-    // candidate pairs exactly as lshCandidatePairsSql, then undirected
-    // min-reachable-id per node via a recursive CTE (UNION dedups -> the
-    // recursion terminates at the transitive closure)
+  def dedupComponentsSql(table: String, k: Int = 8, n: Int = 4,
+                         bucketCap: Int = 10): String = {
+    // candidate pairs exactly as lshCandidatePairsSql (incl. the band
+    // bucket cap), then undirected min-reachable-id per node via a
+    // recursive CTE (UNION dedups -> the recursion terminates at the
+    // transitive closure)
     val w = sqlWords("text")
     val sh = sqlShingles("w", n)
     val slotHash = sqlH32("h || '|' || s")
@@ -254,8 +359,9 @@ object Dedup {
        |  FROM sh WHERE len(shingles) > 0),
        |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
        |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b)),
+       |capped AS ${sqlCapBuckets("bands", "doc_id", bucketCap)},
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |reach(node, lbl) AS (
@@ -328,14 +434,17 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
                    thresh: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = shingleRows(docs, n, distinct = true)
-    // df filter via a count window over the same shuffle the join needs
-    // (one pass; no separate groupBy + join-back branch)
-    val rare = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    // df filter as agg+join, NOT a count window over the shingle key: a
+    // boilerplate shingle present in most of the corpus would land every
+    // occurrence in one window task. The aggregate collapses hot shingles
+    // map-side (partial count); the join back drops them entirely (only
+    // rare shingles survive the df filter), and AQE splits whatever skew
+    // remains on the shuffle.
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfMax)
-      .select(col("doc_id"), col("s"))
+      .select(col("s"))
+    val rare = ex.join(dfs, "s").select(col("doc_id"), col("s"))
     val a = rare.as("a")
     val b = rare.as("b")
     val cand = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

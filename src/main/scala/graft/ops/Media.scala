@@ -414,22 +414,28 @@ object Media {
        |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Image near-dup pairs over the perceptual hash: band the 64-bit ahash
-    * into eight 8-bit bands (pigeonhole: any pair within hamming distance 7
-    * shares at least one exact band), bucket-join, verify with the summed
+    * into four 16-bit bands (pigeonhole: any pair within hamming distance
+    * 3 shares at least one exact band; pairs at hamming 4 are found iff
+    * they share a band — mirrored recall, documented), capped band buckets
+    * ([[graft.ops.Dedup.capBuckets]]), bucket-join, verify with the summed
     * bit_count over both halves — the visual analogue of the simhash text
-    * join (H3b). At corpus scale hot bands (e.g. flat images hashing to 0)
-    * get the same df-cap treatment as text stop-shingles; the fixture's
-    * planted one-byte-nudged duplicates give the join real positives.
+    * join (H3b). Eight 8-bit bands would give only 2,048 possible band
+    * keys — a join that is O(N²/bands) by construction, made worse by real
+    * image corpora concentrating on near-black/near-white hashes; 16-bit
+    * bands give 65,536 keys per band and the cap bounds the rest (a
+    * corpus-scale run of flat images all hashing to 0 stays linear).
     */
-  def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 4): DataFrame = {
+  def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+                 bucketCap: Int = 40): DataFrame = {
     val h = aHash(media)
     val bandKeys =
-      (0 until 4).map(b => concat(lit(s"h$b:"),
-        shiftright(col("ahash_hi"), 8 * b).bitwiseAND(lit(255L)).cast("string"))) ++
-      (0 until 4).map(b => concat(lit(s"l$b:"),
-        shiftright(col("ahash_lo"), 8 * b).bitwiseAND(lit(255L)).cast("string")))
-    val banded = h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
-      explode(array(bandKeys: _*)).as("bkey"))
+      (0 until 2).map(b => concat(lit(s"h$b:"),
+        shiftright(col("ahash_hi"), 16 * b).bitwiseAND(lit(65535L)).cast("string"))) ++
+      (0 until 2).map(b => concat(lit(s"l$b:"),
+        shiftright(col("ahash_lo"), 16 * b).bitwiseAND(lit(65535L)).cast("string")))
+    val banded = Dedup.capBuckets(
+      h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(array(bandKeys: _*)).as("bkey")), bucketCap)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -441,17 +447,23 @@ object Media {
       .orderBy("id_a", "id_b")
   }
 
-  def aHashPairsSql(parquetGlob: String, maxHamming: Int = 4): String = {
+  def aHashPairsSql(parquetGlob: String, maxHamming: Int = 4,
+                    bucketCap: Int = 40): String = {
     val bands =
-      (0 until 4).map(b => s"'h$b:' || ((ahash_hi >> ${8 * b}) & 255)") ++
-      (0 until 4).map(b => s"'l$b:' || ((ahash_lo >> ${8 * b}) & 255)")
+      (0 until 2).map(b => s"'h$b:' || ((ahash_hi >> ${16 * b}) & 65535)") ++
+      (0 until 2).map(b => s"'l$b:' || ((ahash_lo >> ${16 * b}) & 65535)")
+    val pri = graft.ops.ColFns.sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")
     s"""${aHashCte(parquetGlob)},
        |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
-       |    unnest([${bands.mkString(", ")}]) AS bkey FROM ah)
+       |    unnest([${bands.mkString(", ")}]) AS bkey FROM ah),
+       |capped AS (SELECT doc_id, ahash_hi, ahash_lo, bkey FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bkey
+       |      ORDER BY $pri, doc_id) AS rn
+       |    FROM bands) WHERE rn <= $bucketCap)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
        |     + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
-       |FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin

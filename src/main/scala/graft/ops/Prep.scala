@@ -17,16 +17,23 @@ object Prep {
     * and surviving token mass.
     */
   def funnel(docs: DataFrame, lang: String = "en", minScoreMicro: Long = 250000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Single pass: all gate expressions are computed in one projection and
-    // the dedup canonical rides one window over md5(text) — no self-joins.
-    // At 10^12 docs this is exactly one shuffle (the window) plus the final
-    // tiny partial+final aggregate, instead of four shuffles of joins.
+    // Two partial-aggregating branches + one tiny per-lang join. NOT a
+    // window over md5(text): the most-duplicated text in a web corpus (an
+    // empty page, a CDN error page) has 10^7-10^8 exact copies and a
+    // `min() OVER (PARTITION BY text_h)` would sort every one of them in a
+    // single window task. Here neither branch ever shuffles full rows:
+    //  - the per-lang gate counts collapse map-side (partial sums);
+    //  - the survivor branch collapses each text_h map-side via
+    //    min(struct(doc_id, lang, n_words)) — struct min orders by the
+    //    leading field, so this is the argmin row, partial-aggregable —
+    //    then re-aggregates the (tiny) one-row-per-distinct-text frame.
+    // The cost is scanning/scoring the corpus twice (two plan branches);
+    // at 10^12 docs two narrow map passes beat one hot-key window task.
     // The canonical is the min doc_id AMONG GATE-PASSERS of the same text
     // (a failed-gate copy must not shadow its passing duplicates — if the
     // min-id copy fails lang/quality, the next passing copy survives).
-    val joined = docs
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_h"),
+    val base = docs
+      .select(col("doc_id"), col("lang"), unhex(md5(col("text"))).as("text_h"),
         TextAnalysis.statsCol(col("text")).as("st"))
       .select(col("doc_id"), col("lang"), col("text_h"),
         col("st").getField("n_words").as("n_words"),
@@ -34,17 +41,21 @@ object Prep {
         TextAnalysis.qualityScoreMicroFromStats(col("st")).as("score_micro"))
       .withColumn("lang_ok", (col("lang_pred") === lang).cast("int"))
       .withColumn("qual_ok", (col("lang_pred") === lang && col("score_micro") >= minScoreMicro).cast("int"))
-      .withColumn("canonical",
-        min(when(col("qual_ok") === 1, col("doc_id")))
-          .over(Window.partitionBy(col("text_h"))))
-      .withColumn("survivor",
-        (col("qual_ok") === 1 && col("canonical") === col("doc_id")).cast("int"))
-    joined.groupBy(col("lang"))
+    val gates = base.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("lang_ok")).cast("long").as("n_lang_ok"),
-        sum(col("qual_ok")).cast("long").as("n_qual_ok"),
-        sum(col("survivor")).cast("long").as("n_survivors"),
-        sum(col("survivor") * col("n_words")).cast("long").as("survivor_words"))
+        sum(col("qual_ok")).cast("long").as("n_qual_ok"))
+    val survivors = base
+      .filter(col("qual_ok") === 1)
+      .groupBy(col("text_h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_words"))).as("c"))
+      .groupBy(col("c.lang").as("lang"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("c.n_words")).cast("long").as("survivor_words"))
+    gates.join(survivors, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_lang_ok"), col("n_qual_ok"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("survivor_words"), lit(0L)).as("survivor_words"))
       .orderBy("lang")
   }
 

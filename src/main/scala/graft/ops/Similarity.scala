@@ -157,11 +157,25 @@ object Similarity {
        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
   }
 
-  private def topK(joined: DataFrame, k: Int): DataFrame = {
+  /** Skew-safe per-query top-k: the two-stage idiom ([[Prep.hostCap]]).
+    * A single `row_number() OVER (PARTITION BY q_id)` would shuffle the
+    * ENTIRE corpus × nQueries into nQueries tasks; stage 1 takes the
+    * per-(q_id, candidate-sub-bucket) top-k over `nSub` hash sub-buckets
+    * (bounded partitions; Spark 4 plans WindowGroupLimit = map-side
+    * partial top-k), stage 2 re-ranks the <= nSub*k survivors per query.
+    * Top-k of a union is contained in the union of per-bucket top-k's, so
+    * this is EXACTLY the single-window answer (which is what the DuckDB
+    * oracles compute).
+    */
+  private def topK(joined: DataFrame, k: Int, nSub: Int = 16): DataFrame = {
+    val sub = Window
+      .partitionBy(col("q_id"), pmod(col("n_id"), lit(nSub.toLong)))
+      .orderBy(col("cos").desc, col("n_id").asc)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    joined
+      .withColumn("rn1", row_number().over(sub)).filter(col("rn1") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), micro(col("cos")).as("cos_micro"))
       .orderBy("q_id", "rank")
   }

@@ -56,6 +56,36 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$p")
   }
 
+  test("s2/s3: per-query top-k is the two-stage shape, never one window per q_id") {
+    Seq("s2_ann_brute", "s3_ann_ivf").foreach { q =>
+      val p = plan(q)
+      // a single window over q_id would shuffle the whole corpus into
+      // nQueries tasks; the staged form caps each task map-side
+      val windows = "\\(\\d+\\) Window(?!GroupLimit)".r.findAllIn(p).length
+      assert(windows == 2, s"$q expected the two-stage top-k, got $windows windows:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q row_number filter must push a map-side group limit:\n$p")
+      assert(p.contains("pmod"), s"$q stage-1 must sub-bucket by pmod:\n$p")
+    }
+  }
+
+  test("d2/d5/m5 band joins: buckets capped via the staged group-limit (never uncapped self-join)") {
+    Seq("d2_minhash_lsh", "d5_simhash_pairs", "m5_ahash_pairs").foreach { q =>
+      val p = plan(q)
+      // the capped band frame feeds BOTH legs of the self-join, so the
+      // two-stage cap shows up once (reused exchange) or twice (2 or 4
+      // windows) — an odd count or >4 means the staged shape regressed
+      val windows = "\\(\\d+\\) Window(?!GroupLimit)".r.findAllIn(p).length
+      assert(windows == 2 || windows == 4,
+        s"$q expected the two-stage bucket cap per leg, got $windows windows:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q bucket cap must push a map-side group limit:\n$p")
+      assert(p.contains("pmod"), s"$q stage-1 must sub-bucket by pmod:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q band join must stay an equi-join:\n$p")
+    }
+  }
+
   test("t-block text analysis ops are shuffle-free narrow projections") {
     Seq("t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
         "t6_repetition", "t7_redact").foreach { q =>
@@ -190,12 +220,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"p2 must stay codegen:\n$p")
   }
 
-  test("p1 funnel plan has no joins: one window shuffle + aggregate") {
+  test("p1 funnel: no window over the content hash; both branches partial-agg") {
     val p = plan("p1_prep_funnel")
-    assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
-    // count physical nodes via the formatted detail headers "(n) Exchange"
-    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
-    assert(exchanges <= 3, s"window + agg + output sort only, got $exchanges:\n$p")
+    // the hot duplicated text must collapse map-side, never sort in one
+    // window task (same rule as d1/d8)
+    assert(!p.contains("Window"), s"no window over md5(text):\n$p")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"survivor argmin must partial-aggregate:\n$p")
+    // the only join is the per-lang merge of two aggregated branches
+    val joins = "\\(\\d+\\) [A-Za-z]*Join".r.findAllIn(p).length
+    assert(joins == 1, s"one tiny per-lang join only, got $joins:\n$p")
+  }
+
+  test("d1 exact dedup: agg+join on the hash, no window over the content key") {
+    val p = plan("d1_dedup_exact")
+    assert(!p.contains("Window"),
+      s"hot duplicated text must collapse map-side, not sort in one window task:\n$p")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"canonical-id min must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"join-back must stay an equi-join:\n$p")
+  }
+
+  test("d4 jaccard: df count is agg+join, never a count window over the shingle key") {
+    val p = plan("d4_jaccard")
+    assert(!p.contains("Window"),
+      s"hot shingles must collapse map-side, not land in one window task:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"df must partial-aggregate:\n$p")
   }
 
   test("driver entry smoke: flagship query returns rows") {

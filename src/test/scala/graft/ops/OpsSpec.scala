@@ -616,6 +616,35 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- token packing ----------
 
+  test("capBuckets: two-stage cap equals the single-window cap on a hot bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one 60-member hot bucket (exact-duplicate-cluster shape) + a tail
+    val banded = ((0 until 60).map(i => (i.toLong, "HOT")) ++
+      (0 until 20).map(i => (100L + i, s"tail${i % 7}"))).toDF("doc_id", "bkey")
+    val got = Dedup.capBuckets(banded, cap = 8, nSub = 4)
+      .select("doc_id", "bkey").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ref = banded
+      .withColumn("pri", ColFns.h32(concat(col("doc_id").cast("string"), lit(":bcap"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkey")).orderBy(col("pri"), col("doc_id"))))
+      .filter(col("rn") <= 8)
+      .select("doc_id", "bkey").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ref)
+    assert(got.count(_._2 == "HOT") == 8, "hot bucket must be capped")
+    assert(got.count(_._2.startsWith("tail")) == 20, "under-cap buckets keep all members")
+  }
+
+  test("lshCandidatePairs: a mass of exact duplicates stays bounded by the bucket cap") {
+    import spark.implicits._
+    // 50 byte-identical docs: every band bucket would hold all 50 ->
+    // 4*50²/2 candidate rows uncapped; the cap bounds pairs at cap·(cap-1)/2
+    val dupes = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
+      Seq((900L, "totally different words entirely here now"))
+    val pairs = Dedup.lshCandidatePairs(dupes.toDF("doc_id", "text"), bucketCap = 10).collect()
+    assert(pairs.length == 10 * 9 / 2, s"expected capped pair count, got ${pairs.length}")
+  }
+
   test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
     import spark.implicits._
     val docs = Seq(
