@@ -156,6 +156,15 @@ object SparkEntry {
     }),
     "q8_asof" -> ((s, dir) =>
       graft.ops.AsOf.asOfJoin(s.read.parquet(s"$dir/events.parquet"))),
+    "q13_interval_join" -> ((s, dir) =>
+      // one-shot batch surface of the stream-stream interval join (H20c):
+      // same condition builder as Streams.intervalJoinStream, checked
+      // against a DuckDB inequality join — the last join family moves from
+      // spec-only to oracle-checked
+      // lag=240min: wide enough that the range condition matches a
+      // substantive row set at the correctness sf (10min -> only 6 rows)
+      graft.streaming.Streams.intervalJoinOneShot(
+        s.read.parquet(s"$dir/events.parquet"), lagMinutes = 240)),
     "q10_region_rev" -> ((s, dir) => {
       // classic star-chain rollup (TPC-H Q5 shape): fact joined through a
       // BROADCAST dimension chain customer -> nation -> region; at 10^12
@@ -298,7 +307,17 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       Prep.urlHostStats(s.read.parquet(Corpus.pagesPath(dir)))
     }),
-    "p4_pack" -> ((s, dir) => Prep.packChunks(docs(s, dir))),
+    "p4_pack" -> ((s, dir) =>
+      // auto-sized shard count (shardsFor): the oracle embeds the same
+      // sizing rule, so the scale claim is itself under the hard gate
+      Prep.packChunksAuto(docs(s, dir))),
+    "p8_end_to_end" -> ((s, dir) =>
+      // the composed flagship prep chain: exact dedup -> LSH components ->
+      // per-source cap -> stratified sample -> token packing, one oracle
+      // (capPerSource=15 < the 25-doc sources, so the cap stage does real
+      // work at the correctness sf)
+      Prep.endToEnd(docs(s, dir), SampleRates, defaultRate = 0.35,
+        capPerSource = 15)),
     "p5_host_cap" -> ((s, dir) => {
       Corpus.ensure(s, dir)
       Prep.hostCap(s.read.parquet(Corpus.pagesPath(dir)))
@@ -422,6 +441,8 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q8_asof" -> graft.ops.AsOf.asOfJoinSql("events"),
+    "q13_interval_join" ->
+      graft.streaming.Streams.intervalJoinOneShotSql("events", lagMinutes = 240),
     "q10_region_rev" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -479,7 +500,9 @@ object SparkEntry {
     "p1_prep_funnel" -> Prep.funnelSql("documents"),
     "p2_sample" -> Prep.stratifiedSampleSql("documents", SampleRates, defaultRate = 0.35),
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
-    "p4_pack" -> Prep.packChunksSql("documents"),
+    "p4_pack" -> Prep.packChunksAutoSql("documents"),
+    "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,
+      defaultRate = 0.35, capPerSource = 15),
     "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p6_robots" -> Prep.robotsGateSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p7_crawl_freshness" -> Prep.crawlFreshnessSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),

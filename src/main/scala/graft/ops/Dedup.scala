@@ -106,12 +106,13 @@ object Dedup {
     * stage 2 re-ranks the <= nSub*cap survivors. Provably equal to the
     * single-window cap the DuckDB mirrors use.
     */
-  private[ops] def capBuckets(banded: DataFrame, cap: Int, nSub: Int = 16): DataFrame = {
+  private[ops] def capBuckets(banded: DataFrame, cap: Int, nSub: Int = 16,
+                              key: String = "bkey"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sub = Window
-      .partitionBy(col("bkey"), pmod(col("doc_id"), lit(nSub.toLong)))
+      .partitionBy(col(key), pmod(col("doc_id"), lit(nSub.toLong)))
       .orderBy(col("pri"), col("doc_id"))
-    val w = Window.partitionBy(col("bkey")).orderBy(col("pri"), col("doc_id"))
+    val w = Window.partitionBy(col(key)).orderBy(col("pri"), col("doc_id"))
     banded
       .withColumn("pri", h32(concat(col("doc_id").cast("string"), lit(":bcap"))))
       .withColumn("rn1", row_number().over(sub)).filter(col("rn1") <= cap)

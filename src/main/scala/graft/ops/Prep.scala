@@ -67,17 +67,23 @@ object Prep {
     * projection + filter; zero shuffles. Unlisted languages fall back to
     * `defaultRate`; expected stratum size = rate · |stratum|.
     */
-  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Double)],
-      defaultRate: Double = 0.5, salt: String = "mix1"): DataFrame = {
+  /** The keep-predicate of [[stratifiedSample]] as a reusable codegen
+    * Column (shared with the composed pipeline p8).
+    */
+  private[ops] def sampleKeep(rates: Seq[(String, Double)],
+      defaultRate: Double, salt: String): org.apache.spark.sql.Column = {
     val gate = h32(concat(col("doc_id").cast("string"), lit(":" + salt))) % 1000000L
     val rateCol = rates.foldRight(lit((defaultRate * 1e6).toLong)) { case ((l, r), acc) =>
       when(col("lang") === l, lit((r * 1e6).toLong)).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("lang"), gate.as("g"), rateCol.as("rate_micro"))
-      .filter(col("g") < col("rate_micro"))
+    gate < rateCol
+  }
+
+  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Double)],
+      defaultRate: Double = 0.5, salt: String = "mix1"): DataFrame =
+    docs.filter(sampleKeep(rates, defaultRate, salt))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
-  }
 
   def stratifiedSampleSql(table: String, rates: Seq[(String, Double)],
       defaultRate: Double = 0.5, salt: String = "mix1"): String = {
@@ -323,14 +329,54 @@ object Prep {
        |FROM read_parquet('$pagesGlob', hive_partitioning=1)
        |GROUP BY host ORDER BY host""".stripMargin
 
+  /** Shard-count sizing rule for [[packChunks]]: enough shards that ONE
+    * (lang, shard) running-sum partition holds at most ~`targetPerShard`
+    * docs — the invariant that keeps the per-shard sort bounded as the
+    * corpus grows (a fixed nShards=8 would put ≈N/8 of a language in one
+    * window task at 10^12 docs). Shard count changes chunk boundaries,
+    * which is fine — chunking is per-shard by definition; what must not
+    * change with scale is the width of any single sort partition.
+    */
+  def shardsFor(nDocs: Long, targetPerShard: Long = 1000000L): Int =
+    math.max(8L, (nDocs + targetPerShard - 1) / targetPerShard).toInt
+
+  /** [[packChunks]] with the shard count derived from the corpus size via
+    * [[shardsFor]] (one cheap metadata count; the DuckDB mirror embeds the
+    * same rule as a scalar subquery).
+    */
+  def packChunksAuto(docs: DataFrame, budget: Long = 256L,
+      targetPerShard: Long = 1000000L): DataFrame =
+    packChunks(docs, budget, shardsFor(docs.count(), targetPerShard))
+
+  def packChunksAutoSql(table: String, budget: Long = 256L,
+      targetPerShard: Long = 1000000L): String = {
+    val nShards = s"(SELECT GREATEST(8, CAST(ceil(count(*) / $targetPerShard.0) AS BIGINT)) FROM $table)"
+    s"""WITH t AS (SELECT doc_id, lang, doc_id % $nShards AS shard,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $table),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT lang, CAST(shard AS INT) AS shard,
+       |  CAST(floor((cum - n_tokens) / $budget) AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard, chunk_id
+       |ORDER BY lang, shard, chunk_id""".stripMargin
+  }
+
   /** Concat-and-chunk token packing — how a training run turns a filtered
     * corpus into fixed-budget sequences: within each (lang, shard) stream,
     * docs are laid end-to-end in doc_id order and cut every `budget`
-    * tokens; a doc belongs to the chunk where it STARTS. Shards keep the
-    * window partitions narrow at 10^12 docs (a per-lang global order would
-    * funnel a whole language through one sort partition); the per-shard
-    * running sum is the only shuffle, and chunk stats ride the same
-    * partitioning into a partial-agg.
+    * tokens; a doc belongs to the chunk where it STARTS. A per-lang global
+    * order would funnel a whole language through one sort partition;
+    * shards bound that width ONLY if nShards scales with the corpus — use
+    * [[shardsFor]]/[[packChunksAuto]], which size shards to a fixed
+    * per-partition doc target. The per-shard running sum is the only
+    * shuffle, and chunk stats ride the same partitioning into a
+    * partial-agg.
     */
   def packChunks(docs: DataFrame, budget: Long = 256L, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -348,6 +394,104 @@ object Prep {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang", "shard", "chunk_id")
+  }
+
+  /** The flagship LLM-prep composition (p8): exact dedup -> MinHash-LSH
+    * near-dup components -> per-source contribution cap -> stratified
+    * mixture sample -> token packing, as ONE query over the documents
+    * table — the chain a corpus run applies on day one, proving the
+    * oracle-checked operators actually compose. Every stage is the
+    * already-gated operator:
+    *
+    *  - exact survivors: [[Dedup.exact]] (agg+join on md5, no hot-key window),
+    *  - near-dup canonical per cluster: [[Dedup.dedupComponents]] over the
+    *    survivors (capped band buckets, min-label propagation),
+    *  - per-source cap: [[Dedup.capBuckets]] keyed on `source` (two-stage
+    *    group-limit — the hostCap idiom on the provenance column),
+    *  - sample: the [[stratifiedSample]] hash gate (zero shuffles),
+    *  - pack: [[packChunks]] (per-(lang, shard) running sum).
+    *
+    * Output is the packed chunk table; chunk boundaries depend on every
+    * upstream survivor decision, so the single oracle pins the whole chain.
+    */
+  def endToEnd(docs: DataFrame, rates: Seq[(String, Double)],
+      defaultRate: Double = 0.35, capPerSource: Int = 30,
+      budget: Long = 256L, nShards: Int = 8,
+      k: Int = 8, n: Int = 4): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val exactSurv = base.join(
+      Dedup.exact(base).filter(col("doc_id") === col("canonical")).select("doc_id"),
+      "doc_id")
+    val comp = Dedup.dedupComponents(exactSurv, k, n)
+    val canon = exactSurv.join(
+      comp.filter(col("doc_id") === col("component")).select("doc_id"), "doc_id")
+    val capped = Dedup.capBuckets(canon, capPerSource, key = "source")
+    val sampled = capped.filter(sampleKeep(rates, defaultRate, "mix1"))
+    packChunks(sampled.select(col("doc_id"), col("lang"), col("text")),
+      budget, nShards)
+  }
+
+  /** DuckDB mirror of [[endToEnd]]: the same five stages as CTEs, with the
+    * components stage as the d6 recursive transitive closure (incl. the
+    * band bucket cap) restricted to the exact-dedup survivors.
+    */
+  def endToEndSql(table: String, rates: Seq[(String, Double)],
+      defaultRate: Double = 0.35, capPerSource: Int = 30,
+      budget: Long = 256L, nShards: Int = 8,
+      k: Int = 8, n: Int = 4, bucketCap: Int = 10): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("w", n)
+    val slotHash = sqlH32("h || '|' || s")
+    val bpri = sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")
+    val rateCase = rates.map { case (l, r) => s"WHEN lang = '$l' THEN ${(r * 1e6).toLong}" }
+      .mkString("CASE ", " ", s" ELSE ${(defaultRate * 1e6).toLong} END")
+    s"""WITH RECURSIVE
+       |firsts AS (SELECT md5(text) AS th, min(doc_id) AS canonical
+       |  FROM $table GROUP BY 1),
+       |exsurv AS (SELECT d.doc_id, d.lang, d.source, d.text
+       |  FROM $table d JOIN firsts f ON md5(d.text) = f.th AND d.doc_id = f.canonical),
+       |docs0 AS (SELECT doc_id, $w AS w FROM exsurv),
+       |sh AS (SELECT doc_id, $sh AS shingles FROM docs0),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0,${k - 1}),
+       |    h -> list_min(list_transform(shingles, s -> $slotHash))) AS mh
+       |  FROM sh WHERE len(shingles) > 0),
+       |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
+       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b)),
+       |cappedb AS (SELECT doc_id, bkey FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bkey ORDER BY $bpri, doc_id) AS rn
+       |    FROM bands) WHERE rn <= $bucketCap),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cappedb a JOIN cappedb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM exsurv
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS component
+       |  FROM reach GROUP BY node),
+       |canon AS (SELECT e.* FROM exsurv e
+       |  JOIN comp c ON e.doc_id = c.doc_id WHERE c.component = e.doc_id),
+       |scap AS (SELECT doc_id, lang, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY $bpri, doc_id) AS rn
+       |    FROM canon) WHERE rn <= $capPerSource),
+       |samp AS (SELECT doc_id, lang, text FROM scap
+       |  WHERE ${sqlH32("CAST(doc_id AS VARCHAR) || ':mix1'")} % 1000000
+       |    < ($rateCase)),
+       |t AS (SELECT doc_id, lang, doc_id % $nShards AS shard,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM samp),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT lang, CAST(shard AS INT) AS shard,
+       |  CAST(floor((cum - n_tokens) / $budget) AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard, chunk_id
+       |ORDER BY lang, shard, chunk_id""".stripMargin
   }
 
   def packChunksSql(table: String, budget: Long = 256L, nShards: Int = 8): String =

@@ -78,13 +78,53 @@ object Streams {
       .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
         col("ts").as("quote_ts"))
       .withWatermark("quote_ts", s"${delayMinutes + lagMinutes} minutes")
+    intervalJoinOn(p, q, lagMinutes)
+  }
+
+  /** The join condition + output projection shared by the streaming and
+    * one-shot batch paths — ONE definition, so the DuckDB inequality-join
+    * oracle on the batch surface (q13) checks exactly the semantics the
+    * stream runs.
+    */
+  private def intervalJoinOn(p: DataFrame, q: DataFrame, lagMinutes: Int): DataFrame =
     p.join(q, expr(
       s"""p_user = q_user AND
          |quote_ts >= probe_ts - INTERVAL $lagMinutes MINUTES AND
          |quote_ts <= probe_ts""".stripMargin))
       .select(col("probe_id"), col("quote_id"), col("p_user").as("user_id"),
         col("probe_ts"), col("quote_ts"))
+
+  /** One-shot batch surface of [[intervalJoinStream]]: the SAME projection
+    * and range condition, minus the watermarks (batch buffers no state).
+    * Scale shape: an equi-join on user_id with the time range as a join
+    * residual — the key bounds the match set per user, so nothing
+    * resembling a time-cross-product ever materializes; AQE splits user
+    * skew. This is the oracle-checkable face of the interval-join family
+    * (CORRECTNESS q13).
+    */
+  def intervalJoinOneShot(events: DataFrame, probeType: String = "click",
+      quoteType: String = "view", lagMinutes: Int = 10): DataFrame = {
+    val ev = events.select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"))
+    val p = ev.filter(col("event_type") === probeType)
+      .select(col("event_id").as("probe_id"), col("user_id").as("p_user"),
+        col("ts").as("probe_ts"))
+    val q = ev.filter(col("event_type") === quoteType)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("ts").as("quote_ts"))
+    intervalJoinOn(p, q, lagMinutes).orderBy("probe_id", "quote_id")
   }
+
+  def intervalJoinOneShotSql(table: String, probeType: String = "click",
+      quoteType: String = "view", lagMinutes: Int = 10): String =
+    s"""SELECT p.event_id AS probe_id, q.event_id AS quote_id,
+       |  p.user_id AS user_id, p.ts AS probe_ts, q.ts AS quote_ts
+       |FROM $table p JOIN $table q
+       |  ON p.user_id = q.user_id
+       |  AND q.ts >= p.ts - INTERVAL $lagMinutes MINUTE
+       |  AND q.ts <= p.ts
+       |WHERE p.event_type = '$probeType' AND q.event_type = '$quoteType'
+       |ORDER BY probe_id, quote_id""".stripMargin
 
   /** Stream-static enrichment join: each micro-batch of the event stream
     * joins a STATIC dimension (slowly-changing user/host metadata),

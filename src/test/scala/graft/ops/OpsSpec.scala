@@ -616,6 +616,27 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- token packing ----------
 
+  test("shardsFor: bounds every (lang, shard) partition at the doc target") {
+    import spark.implicits._
+    assert(Prep.shardsFor(500L) == 8, "small corpora keep the floor")
+    assert(Prep.shardsFor(1000L * 1000 * 1000, 1000000L) == 1000)
+    assert(Prep.shardsFor(999999L, 1000000L) == 8)
+    // a deliberately fat single-lang corpus: 120 docs, target 10/shard
+    val docs = (0 until 120).map(i => (i.toLong, "en", "w " * (i % 5 + 1)))
+      .toDF("doc_id", "lang", "text")
+    val nShards = Prep.shardsFor(120L, targetPerShard = 10L)
+    assert(nShards == 12)
+    val out = Prep.packChunks(docs, budget = 16L, nShards = nShards)
+    // every (lang, shard) stream holds <= ceil(120/12) docs — no partition
+    // ever exceeds the sizing target (pmod spreads sequential ids evenly)
+    val perShard = out.groupBy("lang", "shard")
+      .agg(sum("n_docs").as("docs")).collect().map(_.getAs[Long]("docs"))
+    assert(perShard.forall(_ <= 10L), s"fat shard: ${perShard.mkString(",")}")
+    // and the auto form equals the explicit form at the derived count
+    val auto = Prep.packChunksAuto(docs, budget = 16L, targetPerShard = 10L)
+    assert(auto.collect().toSeq == out.collect().toSeq)
+  }
+
   test("capBuckets: two-stage cap equals the single-window cap on a hot bucket") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
