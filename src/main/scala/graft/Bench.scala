@@ -133,15 +133,66 @@ object Bench {
     def loadavg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+    // --- ambient-load self-defense (round-3 lesson: the official driver
+    // capture recorded 95 s totals and superlinear 1.42 "efficiency"
+    // because OTHER jobs were fighting for the box during the legs). A
+    // 32-thread fixed-work hash probe measures how much of the machine a
+    // timed leg would actually get — loadavg alone can't attribute a spike
+    // to us vs. neighbors, and a 1-thread probe can't see core stealing on
+    // a 32-core box. Each leg is probed first; a slow probe gets one 2 s
+    // backoff + re-probe, and the leg is marked contended if still slow.
+    // Per-level medians then prefer clean runs; any level forced to use
+    // contended runs flags the whole record.
+    val ContendedRatio = 1.5
+    def cpuProbe(): Double = {
+      val nT = 32
+      val t0 = System.nanoTime()
+      val ts = (0 until nT).map { t =>
+        new Thread(new Runnable {
+          def run(): Unit = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val buf = new Array[Byte](1024)
+            var i = 0
+            var acc = 0
+            // ~60 ms of aggregate work: long enough that scheduler noise
+            // can't fake a 1.5x ratio, short enough to probe every leg
+            while (i < 12000) {
+              buf(0) = ((i + t) & 0xFF).toByte
+              acc += md.digest(buf)(0)
+              i += 1
+            }
+            if (acc == Int.MinValue) System.err.print("")
+          }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuProbe(); cpuProbe() // JIT warm
+    val probeBase = (1 to 3).map(_ => cpuProbe()).min
+    def probeLeg(): Boolean = {
+      var r = cpuProbe() / probeBase
+      if (r > ContendedRatio) { Thread.sleep(2000); r = math.min(r, cpuProbe() / probeBase) }
+      r > ContendedRatio
+    }
+    final case class RunRec(level: Int, sec: Double, contended: Boolean)
+    // median over clean runs when enough exist; else all runs + a flag
+    def levelMedian(rs: Seq[RunRec], lvl: Int, minClean: Int): (Double, Boolean) = {
+      val all = rs.filter(_.level == lvl)
+      val clean = all.filter(!_.contended)
+      if (clean.size >= minClean) (median(clean.map(_.sec)), false)
+      else (median(all.map(_.sec)), all.exists(_.contended))
+    }
+
     // N -> 4N pair: ALTERNATE levels (1,4,1,4,...) and take the median of 5,
     // so a monotonic drift (heap growth, thermal) biases both levels equally
     // instead of penalizing whichever ran first (round 1's 1.75 artifact).
     val effRuns = 5
     val pairTimes = (1 to effRuns).flatMap { _ =>
-      Seq(1 -> oneRun(1, multEff), 4 -> oneRun(4, multEff))
+      Seq(1, 4).map(lvl => { val c = probeLeg(); RunRec(lvl, oneRun(lvl, multEff), c) })
     }
-    val sec1 = median(pairTimes.collect { case (1, s) => s })
-    val sec4 = median(pairTimes.collect { case (4, s) => s })
+    val (sec1, cont1) = levelMedian(pairTimes, 1, 3)
+    val (sec4, cont4) = levelMedian(pairTimes, 4, 3)
     val thr1 = baseDocs * multEff / sec1
     val thr4 = baseDocs * multEff / sec4
     val efficiency = (thr4 / thr1) / 4.0
@@ -151,14 +202,14 @@ object Bench {
     // sampled around each run so the ambient-load context is recorded.
     val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
     val peakTimes = (1 to effRuns).flatMap { _ =>
-      val r = Seq(8 -> oneRun(8, multPeak), 32 -> oneRun(32, multPeak))
+      val r = Seq(8, 32).map(lvl => { val c = probeLeg(); RunRec(lvl, oneRun(lvl, multPeak), c) })
       loadSamples += loadavg()
       r
     }
-    val sec8 = median(peakTimes.collect { case (8, s) => s })
-    val sec32 = median(peakTimes.collect { case (32, s) => s })
-    val sec8Best = peakTimes.collect { case (8, s) => s }.min
-    val sec32Best = peakTimes.collect { case (32, s) => s }.min
+    val (sec8, cont8) = levelMedian(peakTimes, 8, 3)
+    val (sec32, cont32) = levelMedian(peakTimes, 32, 3)
+    val sec8Best = peakTimes.collect { case RunRec(8, s, _) => s }.min
+    val sec32Best = peakTimes.collect { case RunRec(32, s, _) => s }.min
     val thr8 = baseDocs * multPeak / sec8
     val thr32 = baseDocs * multPeak / sec32
     val thr8Best = baseDocs * multPeak / sec8Best
@@ -210,18 +261,37 @@ object Bench {
     // The cluster pair follows the same alternating median-of-3 protocol as
     // the thread pairs: it was the last single-sample metric, and one
     // ambient-load spike during its one timed run skewed the whole round's
-    // gate number. A failed level (env can't launch executors) stays -1.
+    // gate number. A failed level (env can't launch executors) stays -1;
+    // each leg is CPU-probed like the thread legs.
     val multC = math.max(1L, math.min(24L, 40000L / math.max(1L, baseDocs)))
     val clusterRuns = (1 to 3).flatMap { _ =>
-      Seq(1 -> clusterThroughput(1, multC), 4 -> clusterThroughput(4, multC * 4))
+      Seq(1 -> 1L, 4 -> 4L).map { case (lvl, m) =>
+        val c = probeLeg()
+        (lvl, clusterThroughput(lvl, multC * m), c)
+      }
     }
-    def medianPos(xs: Seq[Double]): Double = {
-      val ok = xs.filter(_ > 0)
-      if (ok.isEmpty) -1.0 else median(ok)
+    def medianPos(rs: Seq[(Int, Double, Boolean)], lvl: Int): (Double, Boolean) = {
+      val all = rs.collect { case (`lvl`, t, c) if t > 0 => (t, c) }
+      val clean = all.collect { case (t, false) => t }
+      if (clean.size >= 2) (median(clean), false)
+      else if (all.nonEmpty) (median(all.map(_._1)), all.exists(_._2))
+      else (-1.0, false)
     }
-    val thrC1 = medianPos(clusterRuns.collect { case (1, t) => t })
-    val thrC4 = medianPos(clusterRuns.collect { case (4, t) => t })
+    val (thrC1, contC1) = medianPos(clusterRuns, 1)
+    val (thrC4, contC4) = medianPos(clusterRuns, 4)
     val effC = if (thrC1 > 0 && thrC4 > 0) (thrC4 / thrC1) / 4.0 else -1.0
+    // a gate number > 1.0 is physically implausible for a scaling
+    // efficiency — it means the smaller leg ran under external load.
+    // Every efficiency key carries an explicit ok/flagged verdict so the
+    // official record can never present contention as evidence.
+    val anyContended = cont1 || cont4 || cont8 || cont32 || contC1 || contC4
+    def effFlag(x: Double, legsContended: Boolean): String =
+      if (x > 1.0) "superlinear_contended_not_evidence"
+      else if (legsContended) "legs_contended"
+      else "ok"
+    val flag14 = effFlag(efficiency, cont1 || cont4)
+    val flag832 = effFlag(efficiency8to32, cont8 || cont32)
+    val flagC = effFlag(effC, contC1 || contC4)
 
     // compact number formatting: milli-precision is plenty for seconds and
     // efficiency ratios; whole docs/sec. Keeps the stdout line small.
@@ -232,21 +302,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // bench_schema 3: BOTH peak pairs now use alternating median-of-5 with
-    // loadavg context. scaling_efficiency_1_4 is the N->4N gate evidence;
-    // scaling_efficiency_8_32 stays informational (single-box DRAM-bus
-    // artifact). full_run keys carry their doc counts.
+    // bench_schema 4: every leg is CPU-probed against a start-of-bench
+    // baseline; per-level medians prefer clean runs; every scaling key
+    // carries an explicit ok/flagged verdict (superlinear => flagged, so
+    // contention can never read as evidence in the official record).
     val extraction =
-      s"""{"bench_schema":3,"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
+      s"""{"bench_schema":4,"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
         s""""docs_per_sec_1":${r0(thr1)},"docs_per_sec_4":${r0(thr4)},"docs_per_sec_8":${r0(thr8)},"docs_per_sec_32":${r0(thr32)},""" +
         s""""sec8_best":${r3(sec8Best)},"sec32_best":${r3(sec32Best)},""" +
         s""""docs_per_sec_8_best":${r0(thr8Best)},"docs_per_sec_32_best":${r0(thr32Best)},""" +
-        s""""scaling_efficiency_1_4":${r3(efficiency)},"scaling_pair":"local[1]->local[4]",""" +
+        s""""scaling_efficiency_1_4":${r3(efficiency)},"scaling_flag_1_4":"$flag14","scaling_pair":"local[1]->local[4]",""" +
         s""""scaling_efficiency":${r3(efficiency)},""" +
-        s""""scaling_efficiency_8_32":${r3(efficiency8to32)},""" +
+        s""""scaling_efficiency_8_32":${r3(efficiency8to32)},"scaling_flag_8_32":"$flag832",""" +
         s""""loadavg_min":${r3(loadMin)},"loadavg_max":${r3(loadMax)},""" +
+        s""""probe_base_sec":${r3(probeBase)},"contended_runs":${(pairTimes ++ peakTimes).count(_.contended) + clusterRuns.count(_._3)},"contended":$anyContended,""" +
         s""""cluster_docs_per_sec_1":${r0(thrC1)},"cluster_docs_per_sec_4":${r0(thrC4)},""" +
-        s""""cluster_scaling_efficiency_1_4":${r3(effC)},"cluster_mode":"local-cluster[n,1,1536] separate executor JVMs",""" +
+        s""""cluster_scaling_efficiency_1_4":${r3(effC)},"cluster_scaling_flag":"$flagC","cluster_mode":"local-cluster[n,1,1536] separate executor JVMs",""" +
         s""""full_run_docs":${baseDocs * multEff},""" +
         s""""full_run_sec8":${r3(full8Sec)},"full_run_sec":${r3(full32Sec)},""" +
         s""""full_docs_per_sec_8":${r0(full8Thr)},"full_docs_per_sec":${r0(full32Thr)}}"""
@@ -265,10 +336,10 @@ object Bench {
     val compactExtraction =
       s"""{"docs":$nDocsPeak,"docs_per_sec_8":${r0(thr8)},"docs_per_sec_32":${r0(thr32)},""" +
         s""""docs_per_sec_32_best":${r0(thr32Best)},""" +
-        s""""scaling_efficiency_1_4":${r3(efficiency)},"scaling_efficiency":${r3(efficiency)},""" +
-        s""""scaling_efficiency_8_32":${r3(efficiency8to32)},""" +
-        s""""cluster_scaling_efficiency_1_4":${r3(effC)},""" +
-        s""""full_docs_per_sec":${r0(full32Thr)},""" +
+        s""""scaling_efficiency_1_4":${r3(efficiency)},"scaling_flag_1_4":"$flag14","scaling_efficiency":${r3(efficiency)},""" +
+        s""""scaling_efficiency_8_32":${r3(efficiency8to32)},"scaling_flag_8_32":"$flag832",""" +
+        s""""cluster_scaling_efficiency_1_4":${r3(effC)},"cluster_scaling_flag":"$flagC",""" +
+        s""""full_docs_per_sec":${r0(full32Thr)},"contended":$anyContended,""" +
         s""""loadavg_min":${r3(loadMin)},"loadavg_max":${r3(loadMax)}}"""
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +

@@ -174,6 +174,13 @@ object Streams {
     t
   }
 
+  /** NOTE on the one-shot surface: in batch execution Spark hands this
+    * fold ALL of one user's rows in a single call, so `rows.toVector.sortBy`
+    * buffers one user's full history in memory. That is acceptable for the
+    * oracle surface only (per-user history is human-scale); the STREAMING
+    * path sorts per micro-batch, which the watermark bounds — the scale
+    * claim belongs to that path.
+    */
   private def sessionUpdate(gapMs: Long, streaming: Boolean)(
       userId: Long, rows: Iterator[EventRow],
       state: GroupState[SessionState]): Iterator[SessionOut] = {

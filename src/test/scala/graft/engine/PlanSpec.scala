@@ -369,6 +369,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("warc_ts"), s"unused columns must not be read:\n$p")
   }
 
+  test("q13 interval join: equi-join on the user key with the range as residual, no cartesian") {
+    val p = plan("q13_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the range condition must ride the user equi-key, never a cross product:\n$p")
+    assert(p.contains("Join") && p.contains("p_user"), s"expected the keyed join:\n$p")
+  }
+
+  test("p8 composed prep: no window over a content hash anywhere in the chain") {
+    val p = plan("p8_end_to_end")
+    // every window in the composition must be a capped/group-limited or
+    // per-shard construction — the content-hash stages are agg+join
+    assert(!p.contains("windowspecdefinition(th"), s"exact-dedup stage must stay agg+join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"cap stages must push map-side group limits:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no stage may cross-join:\n$p")
+  }
+
   test("p4 packing: no joins; shard window then chunk agg") {
     val p = plan("p4_pack")
     assert(!p.contains("Join"), s"packing must not join:\n$p")

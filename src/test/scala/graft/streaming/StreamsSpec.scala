@@ -153,6 +153,93 @@ class StreamsSpec extends AnyFunSuite {
     assert(first.getAs[Timestamp]("session_end") == tsAt(10, 5))
   }
 
+  test("hourly agg, multi-batch: a genuinely late row is dropped and finalized windows never change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streams.hourlyEventCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hwlate").outputMode("append").start()
+    // batch 1: two clicks inside [10:00, 11:00)
+    mem.addData(
+      EventRow(1, tsAt(10, 5), 1, "click", 1.0),
+      EventRow(2, tsAt(10, 40), 2, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: an 11:30 event -> watermark advances to 11:20, past the
+    // 10:00 window's end -> that window finalizes and emits with n=2
+    mem.addData(EventRow(3, tsAt(11, 30), 1, "click", 4.0))
+    q.processAllAvailable()
+    // batch 3: a LATE click at 10:20 (event time far below the 11:20
+    // watermark) -> the watermark drops it; the emitted window must not
+    // change (append mode cannot retract)
+    mem.addData(EventRow(4, tsAt(10, 20), 3, "click", 8.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val rows = spark.sql("SELECT * FROM hwlate ORDER BY hour, event_type").collect()
+    assert(rows.length == 1, s"only the finalized 10:00 window emits: ${rows.mkString}")
+    assert(rows(0).getAs[Timestamp]("hour") == tsAt(10, 0))
+    assert(rows(0).getAs[Long]("n_events") == 2L, "the late row must NOT be counted")
+    assert(rows(0).getAs[Long]("sum_vmilli") == 3000L)
+    assert(dropped >= 1L, s"the watermark must report the dropped late row, got $dropped")
+  }
+
+  test("streaming dedup, multi-batch: late dup dropped, state evicted past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.dedupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("ddlate").outputMode("append").start()
+    mem.addData((1L, tsAt(10, 0), "A"))              // batch 1: emits
+    q.processAllAvailable()
+    mem.addData((2L, tsAt(11, 0), "B"))              // batch 2: watermark -> 10:50,
+    q.processAllAvailable()                           // "A"@10:00 state (horizon 10:10) evicted
+    mem.addData((3L, tsAt(10, 5), "A"))              // batch 3: LATE (< 10:50) -> dropped
+    q.processAllAvailable()
+    mem.addData((4L, tsAt(11, 5), "A"))              // batch 4: fresh "A", state gone -> emits
+    q.processAllAvailable()
+    val state = q.lastProgress.stateOperators
+    val rowsInState = if (state.isEmpty) -1L else state.map(_.numRowsTotal).sum
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM ddlate ORDER BY doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 4L),
+      s"late dup dropped, re-seen text past the horizon re-emits (state bounded): $ids")
+    assert(rowsInState >= 0 && rowsInState <= 2,
+      s"dedup state must hold only in-horizon keys, got $rowsInState")
+  }
+
+  test("interval join, multi-batch: expired probe state is GC'd and a late quote never matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[EventRow]
+    val quotes = MemoryStream[EventRow]
+    val q = Streams.intervalJoinStream(probes.toDF(), quotes.toDF(),
+        lagMinutes = 10, delayMinutes = 5)
+      .writeStream.format("memory").queryName("ivjlate").outputMode("append").start()
+    // batch 1: an unmatched probe at 11:00, plus 13:00 traffic on another
+    // user that advances both watermarks (probe wm -> 12:55, quote wm -> 12:45)
+    probes.addData(
+      EventRow(1, tsAt(11, 0), 1, "click", 0.0),
+      EventRow(2, tsAt(13, 0), 2, "click", 0.0))
+    quotes.addData(EventRow(20, tsAt(13, 0), 2, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: a quote at 10:58 — inside probe 1's event-time range, but
+    // far below the quote watermark: the join must NOT emit a pair (probe 1
+    // was GC'd and the quote is dropped as late)
+    quotes.addData(EventRow(10, tsAt(10, 58), 1, "view", 0.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val pairs = spark.sql("SELECT probe_id, quote_id FROM ivjlate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 20L)),
+      s"late quote must not resurrect an expired probe: $pairs")
+    assert(dropped >= 1L, s"the late quote must be dropped by the watermark, got $dropped")
+  }
+
   test("one-shot batch sessionize replays the same fold and closes all real sessions") {
     import spark.implicits._
     // user 7: two sessions (gap 115 min); user 8: one single-event session
