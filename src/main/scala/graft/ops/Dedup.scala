@@ -143,10 +143,28 @@ object Dedup {
         col(s"m${2 * b + 1}").cast("string"))))
     val banded = capBuckets(
       sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey")), bucketCap)
-    val a = banded.as("a")
-    val bb = banded.as("b")
-    a.join(bb, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // pairs WITHOUT a self-join: collect each capped bucket's members (<=
+    // bucketCap by construction, so the list is bounded) and emit pairs in
+    // a typed kernel. A self-join would recompute the whole signature
+    // pipeline on BOTH legs (no exchange reuse under a broadcast plan) and
+    // shuffle the banded frame twice; this computes signatures once and the
+    // bucket agg rides the partitioning the cap window already produced.
+    // Singleton buckets (the overwhelming majority at corpus scale) are
+    // dropped by a codegen size filter BEFORE the object boundary.
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.groupBy(col("bkey")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val arr = ids.toArray
+        java.util.Arrays.sort(arr)
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1 until arr.length).iterator
+        } yield (arr(i), arr(j))
+      }
+      .toDF("id_a", "id_b")
       .distinct()
       .orderBy("id_a", "id_b")
   }
@@ -243,12 +261,25 @@ object Dedup {
     val banded = capBuckets(
       sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array(bandKeys: _*)).as("bkey")), bucketCap)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
-          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).cast("int").as("hamming"))
+    // same no-self-join construction as [[lshCandidatePairs]]: capped
+    // buckets collect (bounded lists), pairs + hamming emitted in a typed
+    // kernel — signatures computed ONCE (Long.bitCount == bit_count(xor))
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.groupBy(col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(col("ms")).as[Seq[(Long, Long, Long)]]
+      .flatMap { ms =>
+        val arr = ms.toArray.sortBy(_._1)
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1 until arr.length).iterator
+        } yield (arr(i)._1, arr(j)._1,
+          java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) +
+            java.lang.Long.bitCount(arr(i)._3 ^ arr(j)._3))
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")

@@ -436,12 +436,25 @@ object Media {
     val banded = Dedup.capBuckets(
       h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
         explode(array(bandKeys: _*)).as("bkey")), bucketCap)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) +
-          bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo")))).cast("int").as("hamming"))
+    // no-self-join pair generation (the Dedup.simhashPairs construction):
+    // capped buckets collect into bounded lists, pairs + hamming emitted
+    // in a typed kernel — the hash pipeline runs ONCE, nothing broadcast
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.groupBy(col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("ahash_hi"), col("ahash_lo"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(col("ms")).as[Seq[(Long, Long, Long)]]
+      .flatMap { ms =>
+        val arr = ms.toArray.sortBy(_._1)
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1 until arr.length).iterator
+        } yield (arr(i)._1, arr(j)._1,
+          java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) +
+            java.lang.Long.bitCount(arr(i)._3 ^ arr(j)._3))
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
