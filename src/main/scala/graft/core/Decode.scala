@@ -39,6 +39,48 @@ final case class DecodedDoc(
   */
 object Decode {
 
+  /** Token content + per-token box view the decode kernel reads — backed
+    * either by materialized per-token Vectors (golden/spec path) or by the
+    * compact offset arrays [[DocSample]] stores (engine path: token text
+    * appends as (CharSequence, start, end) regions of the kept line
+    * strings, so no per-token String ever materializes). Both backends are
+    * exercised end-to-end by the decodeSampleFast == decodeSample parity
+    * gates.
+    */
+  sealed trait TokView {
+    def append(sb: java.lang.StringBuilder, k: Int): Unit
+    def bL(k: Int): Int
+    def bT(k: Int): Int
+    def bR(k: Int): Int
+    def bB(k: Int): Int
+  }
+
+  final class SeqTokView(text: IndexedSeq[String], bbox: IndexedSeq[Vector[Int]])
+      extends TokView {
+    def append(sb: java.lang.StringBuilder, k: Int): Unit = sb.append(text(k))
+    def bL(k: Int): Int = bbox(k)(0)
+    def bT(k: Int): Int = bbox(k)(1)
+    def bR(k: Int): Int = bbox(k)(2)
+    def bB(k: Int): Int = bbox(k)(3)
+  }
+
+  /** @param lineTexts kept-line text buffer; @param sLineText per-sorted-line
+    * index into it; @param boxO flat 4-per-sorted-line original boxes;
+    * @param tokSLine/@param tokStart/@param tokEnd per-token (sorted line,
+    * char range) triple.
+    */
+  final class CompactTokView(
+      lineTexts: Array[String], sLineText: Array[Int], boxO: Array[Int],
+      tokSLine: Array[Int], tokStart: Array[Int], tokEnd: Array[Int]
+  ) extends TokView {
+    def append(sb: java.lang.StringBuilder, k: Int): Unit =
+      sb.append(lineTexts(sLineText(tokSLine(k))), tokStart(k), tokEnd(k))
+    def bL(k: Int): Int = boxO(tokSLine(k) * 4)
+    def bT(k: Int): Int = boxO(tokSLine(k) * 4 + 1)
+    def bR(k: Int): Int = boxO(tokSLine(k) * 4 + 2)
+    def bB(k: Int): Int = boxO(tokSLine(k) * 4 + 3)
+  }
+
   /** @param text      token-parallel fetched substrings; `"".join` slices of
     *                  it reconstruct source text byte-identically
     * @param bbox      token-parallel boxes (orig_bbox in the reference)
@@ -69,7 +111,7 @@ object Decode {
       else Spots.parseTop(groupHeadSpots, triuMode = true, scoreThresh)
     val entTail = Spots.parseMulti(entTailSpots, triuMode = true, scoreThresh)
 
-    decodeCore(text, bbox, lineExtraction, groupTail, groupHead, entTail,
+    decodeCore(new SeqTokView(text, bbox), lineExtraction, groupTail, groupHead, entTail,
       emit => entHeadSpots.foreach { sp =>
         if (sp.tag != 0 && sp.score >= scoreThresh) {
           if (sp.tag == 2) emit(sp.j, sp.i) else emit(sp.i, sp.j)
@@ -85,38 +127,41 @@ object Decode {
     * two-path parity gate (plus the CoreSpec equivalence property).
     */
   def decodeCanonical(
-      text: IndexedSeq[String],
+      view: TokView,
       lineExtractionC: Array[Long],
       entHeadC: Array[Long],
       entTailC: Array[Long],
       groupHeadC: Array[Long],
       groupTailC: Array[Long],
-      bbox: IndexedSeq[Vector[Int]],
       decodeGt: Boolean = false
   ): DecodedDoc = {
     @inline def iAt(l: Long): Int = (l >>> 40).toInt
     @inline def jAt(l: Long): Int = ((l >>> 20) & 0xFFFFFL).toInt
     // replicas of parseTop/parseMulti over the packed cells (same iteration
-    // order as the Vector[Spot] form; canonical scores are all 1.0 and the
-    // decodeSample scoreThresh is 0, so every cell passes)
+    // order as the Vector[Spot] form; canonical scores are all 1.0, so
+    // putIfBetter degenerates to first-write-wins == putIfAbsent — no
+    // Double score arrays on this path — and the decodeSample scoreThresh
+    // is 0, so every cell passes). Maps are capacity-hinted to the channel
+    // length: the default-capacity growth chain re-allocated each map's
+    // arrays ~2x over on every decode (measured ~1/3 of decode allocation).
     def top(c: Array[Long], triu: Boolean): IntIntOrdered = {
-      val perHead = new IntBestOrdered
+      val perHead = new IntIntOrdered(c.length)
       var k = 0
       while (k < c.length) {
         val l = c(k)
         val swap = triu && (l & 3L) == 2L
-        perHead.putIfBetter(if (swap) jAt(l) else iAt(l),
-          if (swap) iAt(l) else jAt(l), 1.0)
+        perHead.putIfAbsent(if (swap) jAt(l) else iAt(l),
+          if (swap) iAt(l) else jAt(l))
         k += 1
       }
-      val perTail = new IntBestOrdered
-      perHead.foreachEntry((h, t, sc) => perTail.putIfBetter(t, h, sc))
-      val out = new IntIntOrdered
-      perTail.foreachEntry((t, h, _) => out.put(h, t))
+      val perTail = new IntIntOrdered(perHead.size)
+      perHead.foreachPair((h, t) => perTail.putIfAbsent(t, h))
+      val out = new IntIntOrdered(perTail.size)
+      perTail.foreachPair((t, h) => out.put(h, t))
       out
     }
     def multi(c: Array[Long], triu: Boolean): IntMultiOrdered = {
-      val m = new IntMultiOrdered
+      val m = new IntMultiOrdered(c.length)
       var k = 0
       while (k < c.length) {
         val l = c(k)
@@ -137,7 +182,7 @@ object Decode {
       else top(groupHeadC, triu = true)
     val entTail = multi(entTailC, triu = true)
 
-    decodeCore(text, bbox, lineExtraction, groupTail, groupHead, entTail,
+    decodeCore(view, lineExtraction, groupTail, groupHead, entTail,
       emit => {
         var k = 0
         while (k < entHeadC.length) {
@@ -153,8 +198,7 @@ object Decode {
     * emissions so both the Spot and the packed forms drive one kernel.
     */
   private def decodeCore(
-      text: IndexedSeq[String],
-      bbox: IndexedSeq[Vector[Int]],
+      view: TokView,
       lineExtraction: IntIntOrdered,
       groupTail: IntIntOrdered,
       groupHead: IntIntOrdered,
@@ -164,11 +208,22 @@ object Decode {
     @inline def sliceText(s: Int, eIncl: Int): String = {
       val sb = new java.lang.StringBuilder
       var k = s
-      while (k <= eIncl) { sb.append(text(k)); k += 1 }
+      while (k <= eIncl) { view.append(sb, k); k += 1 }
       sb.toString
     }
-    @inline def sliceBox(s: Int, eIncl: Int): Vector[Int] =
-      Boxes.mergeBboxRange(bbox, s, eIncl)
+    @inline def sliceBox(s: Int, eIncl: Int): Vector[Int] = {
+      var minX, minY = Int.MaxValue
+      var maxX, maxY = Int.MinValue
+      var k = s
+      while (k <= eIncl) {
+        if (view.bL(k) < minX) minX = view.bL(k)
+        if (view.bT(k) < minY) minY = view.bT(k)
+        if (view.bR(k) > maxX) maxX = view.bR(k)
+        if (view.bB(k) > maxY) maxY = view.bB(k)
+        k += 1
+      }
+      Vector(minX, minY, maxX, maxY)
+    }
 
     // --- line assembly (decode.py:205-212) ---
     val lines = Vector.newBuilder[DecodedLine]
@@ -197,12 +252,11 @@ object Decode {
       def addSegment(s: Int, eIncl: Int): Unit = {
         var k = s
         while (k <= eIncl) {
-          sb.append(text(k))
-          val bx = bbox(k)
-          if (bx(0) < minX) minX = bx(0)
-          if (bx(1) < minY) minY = bx(1)
-          if (bx(2) > maxX) maxX = bx(2)
-          if (bx(3) > maxY) maxY = bx(3)
+          view.append(sb, k)
+          if (view.bL(k) < minX) minX = view.bL(k)
+          if (view.bT(k) < minY) minY = view.bT(k)
+          if (view.bR(k) > maxX) maxX = view.bR(k)
+          if (view.bB(k) > maxY) maxY = view.bB(k)
           k += 1
         }
       }

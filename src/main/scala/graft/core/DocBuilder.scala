@@ -6,24 +6,94 @@ import scala.collection.mutable
   * label-generation stages (B/C blocks of SURVEY.md §2), mirroring the dict
   * returned by /root/reference/data/datasets/sibr.py:447-460.
   *
-  * Token-parallel invariant: tokens.length == bbox.length == origBbox.length.
-  * Spot channels carry [[Spots.pack]]ed (i, j, seq, tag) longs in emission
-  * order (boxed tuples cost ~80 B/spot on the hot path); canonicalization
-  * (dense round-trip order, score 1.0) happens at decode time and
-  * [[Spots.unpack]] recovers the tuple view for specs/fixtures.
+  * Storage is COMPACT: tokens are (line, start, end) offset triples into the
+  * kept line-text buffer (the fetcher-identity contract makes tokens
+  * contiguous slices of their line — see [[Tokenizer.tokenizeEnds]]), and
+  * boxes are flat 4-int-per-sorted-line arrays shared by all of a line's
+  * tokens — per-token Strings and box Vectors (~10 KB/doc at the corpus
+  * token mix) never materialize on the engine path, which reads these
+  * arrays through [[Decode.CompactTokView]]. The lazy `tokens` / `bbox` /
+  * `origBbox` vals materialize the reference's per-token view for specs,
+  * fixtures, and the golden oracle path — whose decodeSample ==
+  * decodeSampleFast parity gates pin both representations to the same
+  * output.
+  *
+  * Token-parallel invariant: tokSLine.length == tokStart.length ==
+  * tokEnd.length. Spot channels carry [[Spots.pack]]ed (i, j, seq, tag)
+  * longs in emission order; canonicalization (dense round-trip order,
+  * score 1.0) happens at decode time and [[Spots.unpack]] recovers the
+  * tuple view for specs/fixtures.
   */
-final case class DocSample(
-    uid: String,
-    tokens: Vector[String],
-    bbox: Vector[Vector[Int]],
-    origBbox: Vector[Vector[Int]],
-    relations: Vector[(String, String)],
-    lineExtractionSpots: Array[Long],
-    entHeadSpots: Array[Long],
-    entTailSpots: Array[Long],
-    groupHeadSpots: Array[Long],
-    groupTailSpots: Array[Long]
-)
+final class DocSample(
+    val uid: String,
+    private[core] val lineTextArr: Array[String],
+    private[core] val sLineText: Array[Int],
+    private[core] val sLineBoxN: Array[Int],
+    private[core] val sLineBoxO: Array[Int],
+    private[core] val tokSLine: Array[Int],
+    private[core] val tokStart: Array[Int],
+    private[core] val tokEnd: Array[Int],
+    // 4 ints per gt relation: (qStart, qEnd, aStart, aEnd) line-buffer
+    // slices — the relation strings themselves are spec/golden-only and
+    // materialize lazily below
+    private[core] val relSlices: Array[Int],
+    val lineExtractionSpots: Array[Long],
+    val entHeadSpots: Array[Long],
+    val entTailSpots: Array[Long],
+    val groupHeadSpots: Array[Long],
+    val groupTailSpots: Array[Long]
+) {
+  def nTokens: Int = tokSLine.length
+
+  /** Auxiliary gt relations (sibr.py:410-425) — entity-text pairs. Only
+    * specs and fixtures read these; the engine path never pays for the
+    * string assembly.
+    */
+  lazy val relations: Vector[(String, String)] = {
+    def textOf(st: Int, en: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var k = st
+      while (k < en) { sb.append(lineTextArr(k)); k += 1 }
+      sb.toString
+    }
+    val b = Vector.newBuilder[(String, String)]
+    var i = 0
+    while (i < relSlices.length) {
+      b += ((textOf(relSlices(i), relSlices(i + 1)),
+        textOf(relSlices(i + 2), relSlices(i + 3))))
+      i += 4
+    }
+    b.result()
+  }
+
+  lazy val tokens: Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var k = 0
+    while (k < nTokens) {
+      b += lineTextArr(sLineText(tokSLine(k))).substring(tokStart(k), tokEnd(k))
+      k += 1
+    }
+    b.result()
+  }
+
+  lazy val bbox: Vector[Vector[Int]] = boxView(sLineBoxN)
+  lazy val origBbox: Vector[Vector[Int]] = boxView(sLineBoxO)
+
+  private def boxView(flat: Array[Int]): Vector[Vector[Int]] = {
+    // one Vector per line, shared by its tokens — the shape the old
+    // materialized form had
+    val perLine = new Array[Vector[Int]](sLineText.length)
+    var i = 0
+    while (i < perLine.length) {
+      perLine(i) = Vector(flat(4 * i), flat(4 * i + 1), flat(4 * i + 2), flat(4 * i + 3))
+      i += 1
+    }
+    val b = Vector.newBuilder[Vector[Int]]
+    var k = 0
+    while (k < nTokens) { b += perLine(tokSLine(k)); k += 1 }
+    b.result()
+  }
+}
 
 /** Exact port of the dataset pre-processing pipeline
   * (/root/reference/data/datasets/sibr.py:90-460): tokenize + fetch,
@@ -46,7 +116,9 @@ object DocBuilder {
 
   private final class LineInfo(
       val coords: Vector[Int],
-      val tokens: Vector[String],
+      val text: String,
+      val ends: Array[Int], // token END offsets into text (Tokenizer.tokenizeEnds)
+      val textIdx: Int,     // index of text in the kept line-text buffer
       val category: String,
       val origEntityId: Int,
       val origLineId: Int
@@ -55,6 +127,16 @@ object DocBuilder {
     // of Some() allocations — the trace re-wraps them as Options
     var sortedStartToken: Int = -1
     var sortedEndToken: Int = -1
+    /** Materialized token list — trace/spec path only. */
+    def tokens: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var k = 0
+      while (k < ends.length) {
+        b += text.substring(if (k == 0) 0 else ends(k - 1), ends(k))
+        k += 1
+      }
+      b.result()
+    }
   }
 
   /** One sorted line's bookkeeping, exposed for the executed-reference
@@ -112,20 +194,26 @@ object DocBuilder {
 
   private def buildImpl(doc: AnnDoc, maxTokenLen: Int,
       wantTrace: Boolean): (DocSample, Option[BuildTrace]) = {
-    val allOrigLines = mutable.ArrayBuffer.empty[LineInfo]
-    val allOrigBoxes = mutable.ArrayBuffer.empty[Vector[Int]]
+    // capacity hints: the default-capacity growth chain re-allocated every
+    // map's arrays ~2x over per document (geometric churn); line/entity
+    // counts are known up front from the annotation
+    val nEnt = doc.entities.length
+    var nLines = 0
+    doc.entities.foreach(e => nLines += e.lines.length)
+    val allOrigLines = new mutable.ArrayBuffer[LineInfo](math.max(8, nLines))
+    val allOrigBoxes = new mutable.ArrayBuffer[Vector[Int]](math.max(8, nLines))
     // open-addressing primitive maps (value 1 = set membership): the boxed
     // HashMap/HashSet versions cost an entry object + boxed key per put on
     // the per-doc hot path (-1 is the maps' empty sentinel, hence the
     // nonnegative-id requirement — the reference's ids are list indices)
-    val emptyLine = new IntIntOrdered()
-    val emptyEntity = new IntIntOrdered()
+    val emptyLine = new IntIntOrdered(nLines)
+    val emptyEntity = new IntIntOrdered(nEnt)
     // entity text is a SLICE of the global kept-line text buffer, built
     // lazily: eagerly mkString-ing every entity cost ~6 KB/doc and only
     // relation endpoints (and the trace) ever read the text
-    val lineTexts = mutable.ArrayBuffer.empty[String]
-    val entityTextStart = new IntIntOrdered()
-    val entityTextEnd = new IntIntOrdered()
+    val lineTexts = new mutable.ArrayBuffer[String](math.max(8, nLines))
+    val entityTextStart = new IntIntOrdered(nEnt)
+    val entityTextEnd = new IntIntOrdered(nEnt)
     def entityTextOf(id: Int): String = {
       val st = entityTextStart.getOrMinus1(id)
       val en = entityTextEnd.getOrMinus1(id)
@@ -137,9 +225,9 @@ object DocBuilder {
         sb.toString
       }
     }
-    val entityFirstLine = new IntIntOrdered()
-    val entityLastLine = new IntIntOrdered()
-    val lineIdToEntityId = new IntIntOrdered()
+    val entityFirstLine = new IntIntOrdered(nEnt)
+    val entityLastLine = new IntIntOrdered(nEnt)
+    val lineIdToEntityId = new IntIntOrdered(nLines)
 
     doc.entities.foreach { entity =>
       var firstLineFlag = true
@@ -148,13 +236,16 @@ object DocBuilder {
       entity.lines.foreach { line =>
         require(line.id >= 0, s"negative line id ${line.id}")
         val lineText = normalizeLineText(line.text)
-        val lineTokens = Tokenizer.tokenize(lineText)
-        if (lineTokens.isEmpty) {
+        // offset tokenization: per-token Strings never materialize on the
+        // hot path (tokens are contiguous slices — Tokenizer.tokenizeEnds)
+        val ends = Tokenizer.tokenizeEnds(lineText)
+        if (ends.isEmpty) {
           emptyLine.put(line.id, 1)
         } else {
+          val tIdx = lineTexts.length
           lineTexts += lineText
           val b = Boxes.boxTwoPointConvert(line.bbox)
-          allOrigLines += new LineInfo(b, lineTokens, entity.label, entity.id, line.id)
+          allOrigLines += new LineInfo(b, lineText, ends, tIdx, entity.label, entity.id, line.id)
           allOrigBoxes += b
           if (firstLineFlag) entityFirstLine.put(entity.id, line.id)
           firstLineFlag = false
@@ -175,9 +266,15 @@ object DocBuilder {
     val sortedIdx = Boxes.sortBoxes(allOrigBoxes)
     val sortedLines: Vector[LineInfo] = sortedIdx.map(allOrigLines(_))
 
-    val texts = Vector.newBuilder[String]
-    val bbox = Vector.newBuilder[Vector[Int]]
-    val origBbox = Vector.newBuilder[Vector[Int]]
+    // compact sample storage: per-sorted-line (textIdx, norm box, orig box)
+    // + per-token (sorted line, char range) — no per-token objects
+    val sLineTextB = mutable.ArrayBuilder.make[Int]
+    val sLineBoxNB = mutable.ArrayBuilder.make[Int]
+    val sLineBoxOB = mutable.ArrayBuilder.make[Int]
+    val tokSLineB = mutable.ArrayBuilder.make[Int]
+    val tokStartB = mutable.ArrayBuilder.make[Int]
+    val tokEndB = mutable.ArrayBuilder.make[Int]
+    var nSLines = 0
     val lineExtractionSpots = new SpotsBuilder
     val entHeadSpots = new SpotsBuilder
     val entTailSpots = new SpotsBuilder
@@ -185,25 +282,36 @@ object DocBuilder {
     val groupTailSpots = new SpotsBuilder
 
     var currTokenIdx = 0
-    val lineOrigToSorted = new IntIntOrdered()
-    val inScopeEntityId = new IntIntOrdered()
-    val inScopeLineId = new IntIntOrdered()
+    val lineOrigToSorted = new IntIntOrdered(nLines)
+    val inScopeEntityId = new IntIntOrdered(nEnt)
+    val inScopeLineId = new IntIntOrdered(nLines)
 
     var sortedLineIdx = 0
     var truncated = false
     while (sortedLineIdx < sortedLines.length && !truncated) {
       val ln = sortedLines(sortedLineIdx)
       lineOrigToSorted.put(ln.origLineId, sortedLineIdx)
-      val lineTokenLen = ln.tokens.length
+      val lineTokenLen = ln.ends.length
       if (currTokenIdx + lineTokenLen >= maxTokenLen) {
         truncated = true // dataset-side `>=` rule (sibr.py:233)
       } else {
         inScopeEntityId.put(ln.origEntityId, 1)
         inScopeLineId.put(ln.origLineId, 1)
         val norm = Boxes.normalizeBbox(ln.coords, doc.width, doc.height)
+        val sIdx = nSLines
+        sLineTextB += ln.textIdx
+        sLineBoxNB += norm(0); sLineBoxNB += norm(1)
+        sLineBoxNB += norm(2); sLineBoxNB += norm(3)
+        sLineBoxOB += ln.coords(0); sLineBoxOB += ln.coords(1)
+        sLineBoxOB += ln.coords(2); sLineBoxOB += ln.coords(3)
+        nSLines += 1
         var k = 0
-        while (k < lineTokenLen) { origBbox += ln.coords; bbox += norm; k += 1 }
-        texts ++= ln.tokens
+        while (k < lineTokenLen) {
+          tokSLineB += sIdx
+          tokStartB += (if (k == 0) 0 else ln.ends(k - 1))
+          tokEndB += ln.ends(k)
+          k += 1
+        }
         val start = currTokenIdx
         ln.sortedStartToken = start
         currTokenIdx += lineTokenLen
@@ -274,7 +382,10 @@ object DocBuilder {
     }
 
     // --- auxiliary gt relations list (sibr.py:410-425) ---
-    val relations = Vector.newBuilder[(String, String)]
+    // stored as line-buffer slice indices; the strings materialize lazily
+    // in DocSample.relations (spec/golden consumers only — the engine path
+    // never builds them)
+    val relSlicesB = mutable.ArrayBuilder.make[Int]
     doc.kvEntity.foreach { rel =>
       val qId = rel.fromId
       val aId = rel.toId
@@ -282,15 +393,24 @@ object DocBuilder {
         entityTextStart.contains(qId) && entityTextStart.contains(aId) &&
           !emptyEntity.contains(qId) && !emptyEntity.contains(aId) &&
           inScopeEntityId.contains(qId) && inScopeEntityId.contains(aId)
-      if (ok) relations += ((entityTextOf(qId), entityTextOf(aId)))
+      if (ok) {
+        relSlicesB += entityTextStart.getOrMinus1(qId)
+        relSlicesB += entityTextEnd.getOrMinus1(qId)
+        relSlicesB += entityTextStart.getOrMinus1(aId)
+        relSlicesB += entityTextEnd.getOrMinus1(aId)
+      }
     }
 
-    val sample = DocSample(
+    val sample = new DocSample(
       uid = doc.uid,
-      tokens = texts.result(),
-      bbox = bbox.result(),
-      origBbox = origBbox.result(),
-      relations = relations.result(),
+      lineTextArr = lineTexts.toArray,
+      sLineText = sLineTextB.result(),
+      sLineBoxN = sLineBoxNB.result(),
+      sLineBoxO = sLineBoxOB.result(),
+      tokSLine = tokSLineB.result(),
+      tokStart = tokStartB.result(),
+      tokEnd = tokEndB.result(),
+      relSlices = relSlicesB.result(),
       lineExtractionSpots = lineExtractionSpots.result(),
       entHeadSpots = entHeadSpots.result(),
       entTailSpots = entTailSpots.result(),
@@ -326,13 +446,13 @@ object DocBuilder {
     */
   def decodeSampleFast(sample: DocSample, decodeGt: Boolean = false): DecodedDoc =
     Decode.decodeCanonical(
-      text = sample.tokens,
+      view = new Decode.CompactTokView(sample.lineTextArr, sample.sLineText,
+        sample.sLineBoxO, sample.tokSLine, sample.tokStart, sample.tokEnd),
       lineExtractionC = Spots.canonicalizePackedRaw(sample.lineExtractionSpots),
       entHeadC = Spots.canonicalizePackedRaw(sample.entHeadSpots),
       entTailC = Spots.canonicalizePackedRaw(sample.entTailSpots),
       groupHeadC = Spots.canonicalizePackedRaw(sample.groupHeadSpots),
       groupTailC = Spots.canonicalizePackedRaw(sample.groupTailSpots),
-      bbox = sample.origBbox,
       decodeGt = decodeGt
     )
 

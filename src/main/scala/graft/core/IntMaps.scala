@@ -62,6 +62,20 @@ final class IntIntOrdered(initCap: Int = 8) {
     } else slotVal(s) = v
   }
 
+  /** Insert only if absent (first write wins) — the canonical-score
+    * degenerate of [[IntBestOrdered.putIfBetter]] (all scores equal, ties
+    * keep the first), with no Double array on the decode hot path.
+    */
+  def putIfAbsent(k: Int, v: Int): Unit = {
+    val s = slotOf(k)
+    if (slotKey(s) == -1) {
+      slotKey(s) = k; slotVal(s) = v
+      if (n == order.length) order = java.util.Arrays.copyOf(order, n * 2)
+      order(n) = k; n += 1
+      if (n * 4 > cap * 3) grow()
+    }
+  }
+
   /** Value for k, or -1 when absent. */
   def getOrMinus1(k: Int): Int = {
     val s = slotOf(k)

@@ -30,6 +30,50 @@ object Tokenizer {
 
   @inline private def isSpaceChar(c: Char): Boolean = TextNorm.pyIsSpace(c)
 
+  /** Offset form of [[tokenize]]: token END positions into `text`. Tokens
+    * are contiguous and cover the string (token k spans
+    * [ends(k-1), ends(k)) with ends(-1) = 0; the last end == text.length by
+    * the trailing-whitespace-attach rule), so the end array IS the token
+    * list — no per-token String materializes. Empty iff the line has no
+    * non-space char. Equivalence with [[tokenize]] is property-tested.
+    */
+  def tokenizeEnds(text: String): Array[Int] = {
+    val n = text.length
+    var count = 0
+    // first pass: count tokens (cores)
+    var i = 0
+    while (i < n) {
+      if (isSpaceChar(text.charAt(i))) i += 1
+      else {
+        var end = i + 1
+        if (isCoreWordChar(text.charAt(i))) {
+          while (end < n && isCoreWordChar(text.charAt(end))) end += 1
+        }
+        count += 1
+        i = end
+      }
+    }
+    if (count == 0) return Array.emptyIntArray
+    val ends = new Array[Int](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (isSpaceChar(text.charAt(i))) i += 1
+      else {
+        var end = i + 1
+        if (isCoreWordChar(text.charAt(i))) {
+          while (end < n && isCoreWordChar(text.charAt(end))) end += 1
+        }
+        ends(k) = end
+        k += 1
+        i = end
+      }
+    }
+    // trailing whitespace attaches to the last token
+    ends(count - 1) = n
+    ends
+  }
+
   def tokenize(text: String): Vector[String] = {
     val n = text.length
     val out = Vector.newBuilder[String]

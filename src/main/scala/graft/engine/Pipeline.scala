@@ -54,7 +54,7 @@ object Pipeline {
       host = hostOf(url),
       lang = lang,
       bucket = bucketOf(url, buckets),
-      nTokens = sample.tokens.length,
+      nTokens = sample.nTokens,
       nLines = d.lines.length,
       nKv = d.kvPairs.length,
       kernelUs = (System.nanoTime() - t0) / 1000L,

@@ -27,6 +27,19 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizeEnds: end-offset form derives exactly tokenize over random lines") {
+    val rng = new java.util.Random(20260817L)
+    (0 until 2000).foreach { _ =>
+      val text = TextNorm.specialReplace(randomLine(rng))
+      val toks = Tokenizer.tokenize(text)
+      val ends = Tokenizer.tokenizeEnds(text)
+      val derived = ends.indices.map(k =>
+        text.substring(if (k == 0) 0 else ends(k - 1), ends(k))).toVector
+      assert(derived == toks, s"text=${text.map(_.toInt)}")
+      if (ends.nonEmpty) assert(ends.last == text.length)
+    }
+  }
+
   test("empty and whitespace-only lines tokenize to empty (empty-line filter input)") {
     assert(Tokenizer.tokenize("") == Vector.empty)
     assert(Tokenizer.tokenize("   \t ") == Vector.empty)
