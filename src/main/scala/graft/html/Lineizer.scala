@@ -32,8 +32,8 @@ object Lineizer {
       parentRef: Int,
       dlRef: Int,
       trRef: Int,
-      idAttr: Option[String],
-      forAttr: Option[String],
+      idAttr: String, // null = absent (an Option per block cost ~0.5 KB/doc)
+      forAttr: String, // null = absent
       navLike: Boolean,
       headerLike: Boolean,
       cellTag: String, // nearest dt/dd/th/td/label/output ancestor-or-self tag, or ""
@@ -204,8 +204,8 @@ object Lineizer {
             parentRef = parentRef,
             dlRef = dl2,
             trRef = tr2,
-            idAttr = e.attr("id").filter(_.nonEmpty),
-            forAttr = e.attr("for").filter(_.nonEmpty),
+            idAttr = e.attr("id").filter(_.nonEmpty).orNull,
+            forAttr = e.attr("for").filter(_.nonEmpty).orNull,
             navLike = nav2,
             headerLike = hdr2,
             cellTag = cell2,
@@ -253,7 +253,7 @@ object Lineizer {
   ): AnnDoc = {
     // ids referenced by any label[for]: their blocks are answers
     val referencedIds: Set[String] =
-      blocks.iterator.flatMap(_.forAttr).toSet
+      blocks.iterator.map(_.forAttr).filter(_ != null).toSet
 
     def category(b: Block): String = {
       if (b.headerLike) AnnLabels.Header
@@ -261,7 +261,7 @@ object Lineizer {
         AnnLabels.Question
       else if (b.cellTag == "dd" || b.cellTag == "td" || b.cellTag == "output")
         AnnLabels.Answer
-      else if (b.idAttr.exists(referencedIds.contains)) AnnLabels.Answer
+      else if (b.idAttr != null && referencedIds.contains(b.idAttr)) AnnLabels.Answer
       else if (b.navLike || b.linkDensity > LinkDensityThreshold) AnnLabels.Other
       else AnnLabels.Answer // main content
     }
@@ -348,10 +348,10 @@ object Lineizer {
 
     // label[for] -> id idiom
     val idToBlock: Map[String, Int] =
-      blocks.iterator.flatMap(b => b.idAttr.map(_ -> b.docOrder)).toMap
+      blocks.iterator.filter(_.idAttr != null).map(b => b.idAttr -> b.docOrder).toMap
     blocks.indices.foreach { i =>
       val b = blocks(i)
-      if (b.cellTag == "label") b.forAttr.flatMap(idToBlock.get).foreach { tgt =>
+      if (b.cellTag == "label" && b.forAttr != null) idToBlock.get(b.forAttr).foreach { tgt =>
         link(entityOf(i), entityOf(tgt))
       }
     }
@@ -518,12 +518,13 @@ object Lineizer {
     var blockOpen = false
     var bTag: String = null
     var bParentRef, bDlRef, bTrRef = 0
-    var bId: Option[String] = None
-    var bFor: Option[String] = None
+    var bId: String = null
+    var bFor: String = null
     var bNav, bHdr = false
     var bCell = ""
     var bBox: Vector[Int] = null
     val bSb = new java.lang.StringBuilder
+    var bFirst: String = null // first text run of the open block (fast path)
     var bLink = 0
     var aDepth = 0
 
@@ -576,7 +577,9 @@ object Lineizer {
       }
 
     def emitBlock(): Unit = {
-      val text = bSb.toString
+      // single-run fast path: most leaf blocks see exactly one text run —
+      // its decoded String IS the block text, no builder round-trip
+      val text = if (bFirst != null) bFirst else bSb.toString
       val ld = if (text.isEmpty) 0.0 else bLink.toDouble / text.length
       blocks += Block(
         docOrder = blocks.length, tag = bTag, parentRef = bParentRef,
@@ -584,6 +587,7 @@ object Lineizer {
         navLike = bNav, headerLike = bHdr, cellTag = bCell,
         text = text, bbox = bBox, linkDensity = ld)
       blockOpen = false
+      bFirst = null
     }
 
     def closeFrame(): Unit = {
@@ -594,15 +598,20 @@ object Lineizer {
     }
 
     /** Text run [from, until): appended only while a block is open; link
-      * density counts decoded CHARS (same as the char-based scan).
+      * density counts decoded CHARS (same as the char-based scan). The
+      * first run of a block is held as-is ([[emitBlock]]'s fast path); the
+      * builder only engages from the second run on.
       */
     def flushText(from: Int, until: Int): Unit =
       if (blockOpen && until > from) {
-        val before = bSb.length
-        val run = decodeRange(from, until)
-        if (!hasAmp(from, until)) bSb.append(run)
-        else bSb.append(decodeEntities(run))
-        if (aDepth > 0) bLink += bSb.length - before
+        val raw = decodeRange(from, until)
+        val run = if (!hasAmp(from, until)) raw else decodeEntities(raw)
+        if (bFirst == null && bSb.length == 0) bFirst = run
+        else {
+          if (bFirst != null) { bSb.append(bFirst); bFirst = null }
+          bSb.append(run)
+        }
+        if (aDepth > 0) bLink += run.length
       }
 
     var i = 0
@@ -742,10 +751,10 @@ object Lineizer {
                 case Some(bx) =>
                   bTag = name; bParentRef = fRef(t)
                   bDlRef = dl2; bTrRef = tr2
-                  bId = Option(matVal(idVs, idVe)).filter(_.nonEmpty)
-                  bFor = Option(matVal(forVs, forVe)).filter(_.nonEmpty)
+                  bId = { val v = matVal(idVs, idVe); if (v != null && v.nonEmpty) v else null }
+                  bFor = { val v = matVal(forVs, forVe); if (v != null && v.nonEmpty) v else null }
                   bNav = nav2; bHdr = hdr2; bCell = cell2; bBox = bx
-                  bSb.setLength(0); bLink = 0
+                  bSb.setLength(0); bFirst = null; bLink = 0
                   if (isVoidLike) { blockOpen = true; emitBlock() } // childless
                   else {
                     blockOpen = true
