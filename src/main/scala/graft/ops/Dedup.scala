@@ -466,20 +466,26 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
                    thresh: Double = 0.5): DataFrame = {
+    // the inverted index keys on the 16-byte md5 of the shingle, projected
+    // BEFORE any shuffle — a word 4-gram averages ~25-30 bytes and crosses
+    // the wire three times (df agg, df join, pair join); the hash halves
+    // that traffic at corpus scale (collisions are the usual 2^-64
+    // content-dedup risk, and the rescore stage is exact anyway)
     val ex = shingleRows(docs, n, distinct = true)
+      .select(col("doc_id"), unhex(md5(col("s"))).as("sh"))
     // df filter as agg+join, NOT a count window over the shingle key: a
     // boilerplate shingle present in most of the corpus would land every
     // occurrence in one window task. The aggregate collapses hot shingles
     // map-side (partial count); the join back drops them entirely (only
     // rare shingles survive the df filter), and AQE splits whatever skew
     // remains on the shuffle.
-    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfMax)
-      .select(col("s"))
-    val rare = ex.join(dfs, "s").select(col("doc_id"), col("s"))
+      .select(col("sh"))
+    val rare = ex.join(dfs, "sh").select(col("doc_id"), col("sh"))
     val a = rare.as("a")
     val b = rare.as("b")
-    val cand = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // exact rescore: shingle sets for candidate docs only
@@ -504,11 +510,12 @@ object Dedup {
     val sh = sqlShingles("w", n)
     s"""WITH docs AS (SELECT doc_id, $w AS w FROM $table),
        |sh AS (SELECT doc_id, list_distinct($sh) AS shingles FROM docs),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
-       |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s) WHERE df.df <= $dfMax),
+       |ex AS (SELECT doc_id, md5(s) AS h FROM
+       |  (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |df AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
+       |rare AS (SELECT ex.doc_id, ex.h FROM ex JOIN df USING (h) WHERE df.df <= $dfMax),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id),
        |j AS (SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |      / CAST(len(sa.shingles) + len(sb.shingles)
