@@ -64,7 +64,7 @@ object DriveAlloc {
     stage("  b:norm+tokenize") { i =>
       val d = anns(i % anns.length)
       d.entities.foreach(_.lines.foreach { l =>
-        graft.core.Tokenizer.tokenize(graft.core.DocBuilder.normalizeLineText(l.text))
+        graft.core.Tokenizer.tokenizeEnds(graft.core.DocBuilder.normalizeLineText(l.text))
       })
     }
     stage("  b:boxconvert+sort") { i =>
