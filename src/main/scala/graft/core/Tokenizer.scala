@@ -74,33 +74,19 @@ object Tokenizer {
     ends
   }
 
+  /** Materialized token list, derived from [[tokenizeEnds]] — ONE scanner
+    * owns the fetcher-identity contract (a third hand-synchronized loop
+    * here could drift from the offset form the engine runs on). Spec/trace
+    * path only; the hot path never materializes tokens.
+    */
   def tokenize(text: String): Vector[String] = {
-    val n = text.length
+    val ends = tokenizeEnds(text)
     val out = Vector.newBuilder[String]
-    var count = 0
-    var i = 0
-    var tokenStart = 0 // includes any leading whitespace run
-    var last = ""
-    while (i < n) {
-      if (isSpaceChar(text.charAt(i))) {
-        i += 1
-      } else {
-        var end = i + 1
-        if (isCoreWordChar(text.charAt(i))) {
-          while (end < n && isCoreWordChar(text.charAt(end))) end += 1
-        }
-        last = text.substring(tokenStart, end)
-        out += last
-        count += 1
-        i = end
-        tokenStart = end
-      }
+    var k = 0
+    while (k < ends.length) {
+      out += text.substring(if (k == 0) 0 else ends(k - 1), ends(k))
+      k += 1
     }
-    if (count == 0) Vector.empty
-    else if (tokenStart < n) {
-      // trailing whitespace attaches to the last token
-      val v = out.result()
-      v.updated(v.length - 1, v(v.length - 1) + text.substring(tokenStart))
-    } else out.result()
+    out.result()
   }
 }

@@ -123,7 +123,7 @@ object Dedup {
   /** DuckDB mirror of [[capBuckets]]: the semantically-equal single-window
     * cap over a `bands(doc_id, ..., bkey)` CTE named `bandsCte`.
     */
-  private def sqlCapBuckets(bandsCte: String, cols: String, cap: Int): String =
+  private[ops] def sqlCapBuckets(bandsCte: String, cols: String, cap: Int): String =
     s"""(SELECT $cols, bkey FROM (
        |    SELECT *, row_number() OVER (PARTITION BY bkey
        |      ORDER BY ${sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")}, doc_id) AS rn
@@ -162,10 +162,44 @@ object Dedup {
         for {
           i <- arr.indices.iterator
           j <- (i + 1 until arr.length).iterator
+          // a doc_id appearing twice in one bucket (duplicate input rows)
+          // must not emit a self-pair — the removed self-join's
+          // a.doc_id < b.doc_id excluded it structurally
+          if arr(i) != arr(j)
         } yield (arr(i), arr(j))
       }
       .toDF("id_a", "id_b")
       .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shared no-self-join band-pair kernel for 64-bit-signature joins
+    * ([[simhashPairs]] text, [[Media.aHashPairs]] images): capped buckets
+    * collect into bounded (doc_id, hi, lo) lists, pairs + hamming
+    * (Long.bitCount over both halves == bit_count(xor)) emit in a typed
+    * kernel. Guards duplicate doc_ids within a bucket (no self-pairs,
+    * matching the relational a.doc_id < b.doc_id the DuckDB mirrors use).
+    */
+  private[ops] def bandedHammingPairs(banded: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.groupBy(col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("hi"), col("lo"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(col("ms")).as[Seq[(Long, Long, Long)]]
+      .flatMap { ms =>
+        val arr = ms.toArray.sortBy(_._1)
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1 until arr.length).iterator
+          if arr(i)._1 != arr(j)._1
+        } yield (arr(i)._1, arr(j)._1,
+          java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) +
+            java.lang.Long.bitCount(arr(i)._3 ^ arr(j)._3))
+      }
+      .toDF("id_a", "id_b", "hamming")
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
@@ -259,30 +293,9 @@ object Dedup {
       (0 until 2).map(b => concat(lit(s"h$b:"), shiftright(col("sim_hi"), 16 * b)
         .bitwiseAND(lit(65535L)).cast("string")))
     val banded = capBuckets(
-      sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      sig.select(col("doc_id"), col("sim_hi").as("hi"), col("sim_lo").as("lo"),
         explode(array(bandKeys: _*)).as("bkey")), bucketCap)
-    // same no-self-join construction as [[lshCandidatePairs]]: capped
-    // buckets collect (bounded lists), pairs + hamming emitted in a typed
-    // kernel — signatures computed ONCE (Long.bitCount == bit_count(xor))
-    val spark = banded.sparkSession
-    import spark.implicits._
-    banded.groupBy(col("bkey"))
-      .agg(collect_list(struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(col("ms")).as[Seq[(Long, Long, Long)]]
-      .flatMap { ms =>
-        val arr = ms.toArray.sortBy(_._1)
-        for {
-          i <- arr.indices.iterator
-          j <- (i + 1 until arr.length).iterator
-        } yield (arr(i)._1, arr(j)._1,
-          java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) +
-            java.lang.Long.bitCount(arr(i)._3 ^ arr(j)._3))
-      }
-      .toDF("id_a", "id_b", "hamming")
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+    bandedHammingPairs(banded, maxHamming)
   }
 
   def simhashPairsSql(table: String, maxHamming: Int = 2,

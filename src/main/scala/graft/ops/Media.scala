@@ -425,8 +425,11 @@ object Media {
     * bands give 65,536 keys per band and the cap bounds the rest (a
     * corpus-scale run of flat images all hashing to 0 stays linear).
     */
-  def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+  def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
                  bucketCap: Int = 40): DataFrame = {
+    // default maxHamming=3 == the 4-band pigeonhole bound, so default
+    // recall is EXACT (a hamming-4 pair is found only if it shares a band;
+    // callers raising maxHamming accept that mirrored recall trade)
     val h = aHash(media)
     val bandKeys =
       (0 until 2).map(b => concat(lit(s"h$b:"),
@@ -434,45 +437,21 @@ object Media {
       (0 until 2).map(b => concat(lit(s"l$b:"),
         shiftright(col("ahash_lo"), 16 * b).bitwiseAND(lit(65535L)).cast("string")))
     val banded = Dedup.capBuckets(
-      h.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      h.select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"),
         explode(array(bandKeys: _*)).as("bkey")), bucketCap)
-    // no-self-join pair generation (the Dedup.simhashPairs construction):
-    // capped buckets collect into bounded lists, pairs + hamming emitted
-    // in a typed kernel — the hash pipeline runs ONCE, nothing broadcast
-    val spark = banded.sparkSession
-    import spark.implicits._
-    banded.groupBy(col("bkey"))
-      .agg(collect_list(struct(col("doc_id"), col("ahash_hi"), col("ahash_lo"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(col("ms")).as[Seq[(Long, Long, Long)]]
-      .flatMap { ms =>
-        val arr = ms.toArray.sortBy(_._1)
-        for {
-          i <- arr.indices.iterator
-          j <- (i + 1 until arr.length).iterator
-        } yield (arr(i)._1, arr(j)._1,
-          java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2) +
-            java.lang.Long.bitCount(arr(i)._3 ^ arr(j)._3))
-      }
-      .toDF("id_a", "id_b", "hamming")
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+    // shared no-self-join pair kernel (the Dedup.simhashPairs construction)
+    Dedup.bandedHammingPairs(banded, maxHamming)
   }
 
-  def aHashPairsSql(parquetGlob: String, maxHamming: Int = 4,
+  def aHashPairsSql(parquetGlob: String, maxHamming: Int = 3,
                     bucketCap: Int = 40): String = {
     val bands =
       (0 until 2).map(b => s"'h$b:' || ((ahash_hi >> ${16 * b}) & 65535)") ++
       (0 until 2).map(b => s"'l$b:' || ((ahash_lo >> ${16 * b}) & 65535)")
-    val pri = graft.ops.ColFns.sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")
     s"""${aHashCte(parquetGlob)},
        |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
        |    unnest([${bands.mkString(", ")}]) AS bkey FROM ah),
-       |capped AS (SELECT doc_id, ahash_hi, ahash_lo, bkey FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY bkey
-       |      ORDER BY $pri, doc_id) AS rn
-       |    FROM bands) WHERE rn <= $bucketCap)
+       |capped AS ${graft.ops.Dedup.sqlCapBuckets("bands", "doc_id, ahash_hi, ahash_lo", bucketCap)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
        |     + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming

@@ -52,10 +52,15 @@ object Prep {
       .groupBy(col("c.lang").as("lang"))
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("c.n_words")).cast("long").as("survivor_words"))
-    gates.join(survivors, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"), col("n_lang_ok"), col("n_qual_ok"),
-        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
-        coalesce(col("survivor_words"), lit(0L)).as("survivor_words"))
+    // null-safe join key: a USING join drops NULL-lang groups (null never
+    // equals null), silently zeroing their survivor counts — <=> keeps the
+    // window form's semantics for corpora with missing lang
+    gates.as("g").join(survivors.as("sv"),
+        col("g.lang") <=> col("sv.lang"), "left")
+      .select(col("g.lang").as("lang"), col("g.n_docs"),
+        col("g.n_lang_ok"), col("g.n_qual_ok"),
+        coalesce(col("sv.n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("sv.survivor_words"), lit(0L)).as("survivor_words"))
       .orderBy("lang")
   }
 
