@@ -42,6 +42,59 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // --- ambient-load self-defense (round-3 lesson: the official driver
+    // capture recorded 95 s totals and superlinear 1.42 "efficiency"
+    // because OTHER jobs were fighting for the box during the legs). A
+    // 32-thread fixed-work hash probe measures how much of the machine a
+    // timed leg would actually get — loadavg alone can't attribute a spike
+    // to us vs. neighbors, and a 1-thread probe can't see core stealing on
+    // a 32-core box. Defined BEFORE phase 1 because the query loop is
+    // probed too (round 4's driver capture recorded an unflagged 4x
+    // phantom total — the loop ran with no probe and the top-level value
+    // carried no verdict).
+    val ContendedRatio = 1.5
+    def cpuProbe(): Double = {
+      val nT = 32
+      val t0 = System.nanoTime()
+      val ts = (0 until nT).map { t =>
+        new Thread(new Runnable {
+          def run(): Unit = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val buf = new Array[Byte](1024)
+            var i = 0
+            var acc = 0
+            // ~60 ms of aggregate work: long enough that scheduler noise
+            // can't fake a 1.5x ratio, short enough to probe every leg
+            while (i < 12000) {
+              buf(0) = ((i + t) & 0xFF).toByte
+              acc += md.digest(buf)(0)
+              i += 1
+            }
+            if (acc == Int.MinValue) System.err.print("")
+          }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuProbe(); cpuProbe() // JIT warm
+    // every probe sample is recorded; the BASELINE is the minimum over the
+    // WHOLE bench (fixed retroactively) — a start-of-bench-only baseline
+    // would absorb ambient load already present when the bench starts and
+    // stamp every leg "ok" in exactly the neighbor-jobs scenario this
+    // defends against. Runtime backoff compares against the min-so-far (a
+    // lower bound of the final floor), so retries still fire early.
+    val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeSample(): Double = { val t = cpuProbe(); probeSamples += t; t }
+    (1 to 3).foreach(_ => probeSample())
+    def probeLeg(): Double = {
+      var t = probeSample()
+      if (t > ContendedRatio * probeSamples.min) {
+        Thread.sleep(2000); t = math.min(t, probeSample())
+      }
+      t
+    }
+
     // --- phase 1: per-query timings at the requested parallelism ---
     var spark = session(cpus)
     Corpus.ensure(spark, sfDir)
@@ -53,16 +106,27 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(_) => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) =
-        try time(fn(spark, sfDir).count())
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            (-1L, -1.0)
-        }
-      name -> sec
+    // the timed loop is bracketed by CPU probes every `qGroup` queries; a
+    // query is retroactively marked contended if EITHER bracketing probe
+    // was slow vs the whole-bench floor — so neighbor load arriving
+    // mid-loop flags the affected span and the total, instead of
+    // recording a silent 4x phantom regression (round 4's failure mode)
+    val qGroup = 10
+    val queryProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val resultsG = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i % qGroup == 0) queryProbes += probeSample()
+        val (_, sec) =
+          try time(fn(spark, sfDir).count())
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              (-1L, -1.0)
+          }
+        (name, sec, i / qGroup)
     }
+    queryProbes += probeSample() // closing bracket for the last group
+    val results = resultsG.map { case (n, s, _) => n -> s }
 
     // --- phase 2: scaling evidence (N vs 4N cores, same job) ---
     val pagesPath = Corpus.pagesPath(sfDir)
@@ -133,59 +197,19 @@ object Bench {
     def loadavg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-    // --- ambient-load self-defense (round-3 lesson: the official driver
-    // capture recorded 95 s totals and superlinear 1.42 "efficiency"
-    // because OTHER jobs were fighting for the box during the legs). A
-    // 32-thread fixed-work hash probe measures how much of the machine a
-    // timed leg would actually get — loadavg alone can't attribute a spike
-    // to us vs. neighbors, and a 1-thread probe can't see core stealing on
-    // a 32-core box. Each leg is probed first; a slow probe gets one 2 s
-    // backoff + re-probe, and the leg is marked contended if still slow.
+    // Each timed leg is probed BEFORE (with one 2 s backoff + re-probe if
+    // slow) AND AFTER, and carries the worse of the two: round 4's driver
+    // capture had load arrive MID-run — per-leg `contended` stayed false
+    // on before-only probes and only the superlinear backstop caught it.
     // Per-level medians then prefer clean runs; any level forced to use
     // contended runs flags the whole record.
-    val ContendedRatio = 1.5
-    def cpuProbe(): Double = {
-      val nT = 32
-      val t0 = System.nanoTime()
-      val ts = (0 until nT).map { t =>
-        new Thread(new Runnable {
-          def run(): Unit = {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val buf = new Array[Byte](1024)
-            var i = 0
-            var acc = 0
-            // ~60 ms of aggregate work: long enough that scheduler noise
-            // can't fake a 1.5x ratio, short enough to probe every leg
-            while (i < 12000) {
-              buf(0) = ((i + t) & 0xFF).toByte
-              acc += md.digest(buf)(0)
-              i += 1
-            }
-            if (acc == Int.MinValue) System.err.print("")
-          }
-        })
-      }
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    cpuProbe(); cpuProbe() // JIT warm
-    // every probe sample is recorded; the BASELINE is the minimum over the
-    // WHOLE bench (fixed retroactively) — a start-of-bench-only baseline
-    // would absorb ambient load already present when the bench starts and
-    // stamp every leg "ok" in exactly the neighbor-jobs scenario this
-    // defends against. Runtime backoff compares against the min-so-far (a
-    // lower bound of the final floor), so retries still fire early.
-    val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def probeSample(): Double = { val t = cpuProbe(); probeSamples += t; t }
-    (1 to 3).foreach(_ => probeSample())
-    def probeLeg(): Double = {
-      var t = probeSample()
-      if (t > ContendedRatio * probeSamples.min) {
-        Thread.sleep(2000); t = math.min(t, probeSample())
-      }
-      t
-    }
     final case class RunRec(level: Int, sec: Double, probeSec: Double)
+    def probedRun(lvl: Int)(run: => Double): RunRec = {
+      val before = probeLeg()
+      val sec = run
+      val after = probeSample()
+      RunRec(lvl, sec, math.max(before, after))
+    }
     def isContended(r: RunRec, floor: Double): Boolean =
       r.probeSec > ContendedRatio * floor
     // median over clean runs when enough exist; else all runs + a flag
@@ -202,7 +226,7 @@ object Bench {
     // instead of penalizing whichever ran first (round 1's 1.75 artifact).
     val effRuns = 5
     val pairTimes = (1 to effRuns).flatMap { _ =>
-      Seq(1, 4).map(lvl => { val c = probeLeg(); RunRec(lvl, oneRun(lvl, multEff), c) })
+      Seq(1, 4).map(lvl => probedRun(lvl)(oneRun(lvl, multEff)))
     }
     // peak 8/32 pair: SAME alternating median-of-5 protocol as 1/4 (r2's
     // back-to-back blocks let ambient load land entirely on one level —
@@ -210,7 +234,7 @@ object Bench {
     // sampled around each run so the ambient-load context is recorded.
     val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
     val peakTimes = (1 to effRuns).flatMap { _ =>
-      val r = Seq(8, 32).map(lvl => { val c = probeLeg(); RunRec(lvl, oneRun(lvl, multPeak), c) })
+      val r = Seq(8, 32).map(lvl => probedRun(lvl)(oneRun(lvl, multPeak)))
       loadSamples += loadavg()
       r
     }
@@ -218,8 +242,15 @@ object Bench {
     val sec32Best = peakTimes.collect { case RunRec(32, s, _) => s }.min
     val loadMin = loadSamples.min
     val loadMax = loadSamples.max
+    // the full-pipeline runs (disk-bound, informational) get the same
+    // before/after probe bracket so their numbers carry a verdict too
+    val pf8b = probeLeg()
     val (full8Sec, full8Thr) = fullThroughput(8)
+    val pf8a = probeSample()
+    val pf32b = probeLeg()
     val (full32Sec, full32Thr) = fullThroughput(32)
+    val pf32a = probeSample()
+    val fullProbeMax = Seq(pf8b, pf8a, pf32b, pf32a).max
 
     /** Separate-JVM scaling: `local-cluster[n,1,1536]` launches REAL
       * executor processes (own heap, own GC, own allocator) — the
@@ -267,8 +298,8 @@ object Bench {
     val multC = math.max(1L, math.min(24L, 40000L / math.max(1L, baseDocs)))
     val clusterRuns = (1 to 3).flatMap { _ =>
       Seq(1 -> 1L, 4 -> 4L).map { case (lvl, m) =>
-        val p = probeLeg()
-        (lvl, clusterThroughput(lvl, multC * m), p)
+        val r = probedRun(lvl)(clusterThroughput(lvl, multC * m))
+        (lvl, r.sec, r.probeSec)
       }
     }
 
@@ -322,12 +353,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // bench_schema 4: every leg is CPU-probed against a start-of-bench
-    // baseline; per-level medians prefer clean runs; every scaling key
-    // carries an explicit ok/flagged verdict (superlinear => flagged, so
-    // contention can never read as evidence in the official record).
+    // retroactive query-loop verdicts: a query is contended if either
+    // probe bracketing its group was slow vs the whole-bench floor; the
+    // headline total carries the OR of them so a neighbor-load window can
+    // never record an unflagged phantom regression
+    def slowProbe(p: Double): Boolean = p > ContendedRatio * probeFloor
+    val contQueries = resultsG.collect {
+      case (n, _, g) if slowProbe(queryProbes(g)) || slowProbe(queryProbes(g + 1)) => n
+    }
+    val totalFlag = if (contQueries.nonEmpty) "contended" else "ok"
+    val fullFlag = if (slowProbe(fullProbeMax)) "contended" else "ok"
+    // bench_schema 5: the 62-query timing loop is probe-bracketed (per-query
+    // contamination marks + total_flag on the headline value); every scaling
+    // leg is probed before AND after (worse verdict wins — mid-run load no
+    // longer needs the superlinear backstop to be caught); per-level medians
+    // prefer clean runs vs the retroactive whole-bench probe floor; every
+    // scaling key carries an explicit ok/flagged verdict (superlinear =>
+    // flagged, so contention can never read as evidence); contended_runs
+    // counts only legs that contributed timing evidence.
     val extraction =
-      s"""{"bench_schema":4,"docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
+      s"""{"bench_schema":5,"full_flag":"$fullFlag","docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
         s""""docs_per_sec_1":${r0(thr1)},"docs_per_sec_4":${r0(thr4)},"docs_per_sec_8":${r0(thr8)},"docs_per_sec_32":${r0(thr32)},""" +
         s""""sec8_best":${r3(sec8Best)},"sec32_best":${r3(sec32Best)},""" +
         s""""docs_per_sec_8_best":${r0(thr8Best)},"docs_per_sec_32_best":${r0(thr32Best)},""" +
@@ -335,15 +380,16 @@ object Bench {
         s""""scaling_efficiency":${r3(efficiency)},""" +
         s""""scaling_efficiency_8_32":${r3(efficiency8to32)},"scaling_flag_8_32":"$flag832",""" +
         s""""loadavg_min":${r3(loadMin)},"loadavg_max":${r3(loadMax)},""" +
-        s""""probe_floor_sec":${r3(probeFloor)},"contended_runs":${(pairTimes ++ peakTimes).count(isContended(_, probeFloor)) + clusterRuns.count(_._3 > ContendedRatio * probeFloor)},"contended":$anyContended,""" +
+        s""""probe_floor_sec":${r3(probeFloor)},"contended_runs":${(pairTimes ++ peakTimes).count(isContended(_, probeFloor)) + clusterRuns.count(r => r._2 > 0 && r._3 > ContendedRatio * probeFloor)},"contended":$anyContended,""" +
         s""""cluster_docs_per_sec_1":${r0(thrC1)},"cluster_docs_per_sec_4":${r0(thrC4)},""" +
         s""""cluster_scaling_efficiency_1_4":${r3(effC)},"cluster_scaling_flag":"$flagC","cluster_mode":"local-cluster[n,1,1536] separate executor JVMs",""" +
         s""""full_run_docs":${baseDocs * multEff},""" +
         s""""full_run_sec8":${r3(full8Sec)},"full_run_sec":${r3(full32Sec)},""" +
         s""""full_docs_per_sec_8":${r0(full8Thr)},"full_docs_per_sec":${r0(full32Thr)}}"""
     // Full record (per-query map + extraction block) -> bench_result.json.
+    val contQ = contQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
+      s"""{"metric":"total","value":${r3(total)},"total_flag":"$totalFlag","queries_contended":$contQ,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":$extraction}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -362,7 +408,7 @@ object Bench {
         s""""full_docs_per_sec":${r0(full32Thr)},"contended":$anyContended,""" +
         s""""loadavg_min":${r3(loadMin)},"loadavg_max":${r3(loadMax)}}"""
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${r3(total)},"total_flag":"$totalFlag","n_queries_contended":${contQueries.size},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
         s""""queries_file":"bench_result.json","extraction":$compactExtraction}"""
     println(compact)
   }

@@ -36,11 +36,22 @@ object Dedup {
     * back is an equi-join AQE's skew handling splits automatically — the
     * same shape as [[lineDedup]]. Only (doc_id, 16-byte hash) ever
     * shuffles; the text never leaves the scan.
+    *
+    * The join back is NULL-SAFE (`<=>`): md5(NULL) is NULL, and a plain
+    * equi-join would silently drop every null-text row from the output —
+    * the grouping truth (both engines' GROUP BY and window PARTITION BY
+    * treat NULL as one group) says null-text docs form their own dedup
+    * group with the min doc_id canonical, and the join must preserve that
+    * (the [[Prep.funnel]] lesson applied here).
     */
   def exact(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), unhex(md5(col("text"))).as("th"))
+    // distinct name on the agg side: a self-derived hashed("th") vs
+    // firsts("th") predicate only resolves through dataset-id metadata
+    // (and warns); the rename makes the null-safe key pair unambiguous
     val firsts = hashed.groupBy(col("th")).agg(min(col("doc_id")).as("canonical"))
-    hashed.join(firsts, "th")
+      .withColumnRenamed("th", "th_g")
+    hashed.join(firsts, col("th") <=> col("th_g"))
       .select(col("doc_id"), col("canonical"))
       .orderBy("doc_id")
   }
@@ -62,7 +73,9 @@ object Dedup {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        val w = t.split(' ').filter(_.nonEmpty)
+        // null text -> no shingles (the SQL mirrors' unnest over a NULL
+        // split-list emits nothing; the kernel must not NPE or diverge)
+        val w = if (t == null) Array.empty[String] else t.split(' ').filter(_.nonEmpty)
         val sh =
           if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toVector
           else Vector.empty[String]
@@ -88,17 +101,31 @@ object Dedup {
     * band join linear at corpus scale: a cluster of m identical documents
     * shares every band, so an uncapped bucket join goes m²/2 on that one
     * key. Buckets keep only the `cap` members with the smallest
-    * h32(doc_id ':bcap') priority — hash-priority, so the kept set is
-    * reproducible and independent of partition layout (the
-    * [[Prep.stratifiedSample]] rule). The documented recall trade: a doc
-    * evicted from every bucket it shares with a true near-dup loses that
-    * pair (and, downstream, its membership in the d6 component). This is
-    * the right trade at corpus scale because the mass that overflows a
-    * bucket is dominated by EXACT-duplicate clusters — which belong to the
-    * cheaper exact-dedup pass run FIRST (the p8 composition order) — and
-    * by boilerplate collisions, where linear cost is the priority. An
-    * orthogonal sub-bucket split (the s1 cellCap device) cannot guard this
-    * join: identical signatures sub-bucket identically.
+    * h32(doc_id ':' bucketKey ':bcap') priority — hash-priority, so the
+    * kept set is reproducible and independent of partition layout (the
+    * [[Prep.stratifiedSample]] rule), and SALTED BY THE BUCKET KEY: an
+    * identical-signature cluster larger than the cap shares every band
+    * bucket, and a band-independent priority would keep the SAME cap
+    * members in every band — every evicted doc would lose ALL of its
+    * edges (a singleton component downstream, the worst-case recall for
+    * the cap's cost bound). With the per-bucket salt, different members
+    * survive in different bands at the same per-bucket cost, and min-label
+    * propagation reconnects most of the cluster. The residual recall
+    * trade: a doc evicted from every bucket it shares with a true
+    * near-dup loses that pair (and, downstream, its membership in the d6
+    * component). This is the right trade at corpus scale because the mass
+    * that overflows a bucket is dominated by EXACT-duplicate clusters —
+    * which belong to the cheaper exact-dedup pass run FIRST (the p8
+    * composition order) — and by boilerplate collisions, where linear
+    * cost is the priority. An orthogonal sub-bucket split (the s1 cellCap
+    * device) cannot guard this join: identical signatures sub-bucket
+    * identically.
+    *
+    * Determinism contract: ranking ties are broken by (pri, doc_id, then
+    * every payload column in frame order), so even a malformed input with
+    * duplicate doc_ids carrying different payloads keeps the same row in
+    * both engines (the bare (pri, doc_id) order left the survivor to
+    * partition luck when doc_id repeats).
     *
     * Skew shape: the two-stage top-k idiom ([[Prep.hostCap]]) — stage 1
     * caps per (bkey, doc_id-sub-bucket) so the hot bucket never sorts in
@@ -109,25 +136,39 @@ object Dedup {
   private[ops] def capBuckets(banded: DataFrame, cap: Int, nSub: Int = 16,
                               key: String = "bkey"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val rest = banded.columns.filterNot(c => c == key || c == "doc_id").map(col).toSeq
+    val order = Seq(col("pri"), col("doc_id")) ++ rest
     val sub = Window
       .partitionBy(col(key), pmod(col("doc_id"), lit(nSub.toLong)))
-      .orderBy(col("pri"), col("doc_id"))
-    val w = Window.partitionBy(col(key)).orderBy(col("pri"), col("doc_id"))
+      .orderBy(order: _*)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
     banded
-      .withColumn("pri", h32(concat(col("doc_id").cast("string"), lit(":bcap"))))
+      .withColumn("pri", h32(concat(col("doc_id").cast("string"), lit(":"),
+        col(key).cast("string"), lit(":bcap"))))
       .withColumn("rn1", row_number().over(sub)).filter(col("rn1") <= cap)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
       .drop("pri", "rn1", "rn")
   }
 
-  /** DuckDB mirror of [[capBuckets]]: the semantically-equal single-window
-    * cap over a `bands(doc_id, ..., bkey)` CTE named `bandsCte`.
+  /** The bucket-key-salted cap priority, as SQL (shared by
+    * [[sqlCapBuckets]] and the hand-inlined [[Prep.endToEndSql]] mirrors —
+    * one definition so the engines can't drift).
     */
-  private[ops] def sqlCapBuckets(bandsCte: String, cols: String, cap: Int): String =
+  private[ops] def sqlCapPri(keyCol: String): String =
+    sqlH32(s"CAST(doc_id AS VARCHAR) || ':' || CAST($keyCol AS VARCHAR) || ':bcap'")
+
+  /** DuckDB mirror of [[capBuckets]]: the semantically-equal single-window
+    * cap over a `bands(doc_id, ..., bkey)` CTE named `bandsCte`. `cols`
+    * must list doc_id plus the payload columns IN THE SPARK FRAME'S
+    * COLUMN ORDER — they double as the determinism tie-break keys.
+    */
+  private[ops] def sqlCapBuckets(bandsCte: String, cols: String, cap: Int): String = {
+    val order = (Seq(sqlCapPri("bkey")) ++ cols.split(",").map(_.trim)).mkString(", ")
     s"""(SELECT $cols, bkey FROM (
        |    SELECT *, row_number() OVER (PARTITION BY bkey
-       |      ORDER BY ${sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")}, doc_id) AS rn
+       |      ORDER BY $order) AS rn
        |    FROM $bandsCte) WHERE rn <= $cap)""".stripMargin
+  }
 
   /** LSH candidate pairs: band the signature (rows=2), cap each band
     * bucket ([[capBuckets]] — a mass of exact duplicates otherwise goes
@@ -278,7 +319,11 @@ object Dedup {
   /** SimHash near-dup pairs, Manku-style: 64-bit signature banded into
     * four 16-bit bands (pigeonhole: any pair within hamming distance 3
     * shares at least one exact band — so recall is EXACT for the default
-    * maxHamming), capped band buckets ([[capBuckets]]), bucket-join,
+    * maxHamming UP TO bucket-cap eviction: [[capBuckets]] runs before the
+    * join, and a pair whose members are evicted from every shared bucket
+    * is lost even at hamming <= 3 — see the capBuckets recall note; the
+    * per-bucket salt makes all-bucket eviction the unlikely case rather
+    * than the guaranteed one), capped band buckets, bucket-join,
     * verify with the summed bit_count over both halves. A 32-bit hash
     * with 8-bit bands would make the join O(N²/1024) BY CONSTRUCTION
     * (only 1,024 possible band keys); 16-bit bands give 65,536 keys per
@@ -315,7 +360,7 @@ object Dedup {
        |    CAST(${sig("t")} AS BIGINT) AS sim_hi FROM s),
        |bands AS (SELECT doc_id, sim_lo, sim_hi,
        |    unnest([${bands.mkString(", ")}]) AS bkey FROM sig),
-       |capped AS ${sqlCapBuckets("bands", "doc_id, sim_lo, sim_hi", bucketCap)}
+       |capped AS ${sqlCapBuckets("bands", "doc_id, sim_hi, sim_lo", bucketCap)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
        |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
@@ -457,7 +502,7 @@ object Dedup {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
-        val w = t.split(' ').filter(_.nonEmpty)
+        val w = if (t == null) Array.empty[String] else t.split(' ').filter(_.nonEmpty)
         val sh =
           if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toVector.distinct
           else Vector.empty[String]

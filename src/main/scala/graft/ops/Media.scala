@@ -428,8 +428,11 @@ object Media {
   def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
                  bucketCap: Int = 40): DataFrame = {
     // default maxHamming=3 == the 4-band pigeonhole bound, so default
-    // recall is EXACT (a hamming-4 pair is found only if it shares a band;
-    // callers raising maxHamming accept that mirrored recall trade)
+    // recall is EXACT up to bucket-cap eviction (capBuckets runs before
+    // the join: a pair evicted from every shared bucket is lost even at
+    // hamming <= 3 — see the Dedup.capBuckets recall note; a hamming-4
+    // pair is found only if it shares a band — callers raising maxHamming
+    // accept that mirrored recall trade)
     val h = aHash(media)
     val bandKeys =
       (0 until 2).map(b => concat(lit(s"h$b:"),

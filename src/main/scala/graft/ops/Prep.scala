@@ -414,14 +414,21 @@ object Prep {
     *  - per-source cap: [[Dedup.capBuckets]] keyed on `source` (two-stage
     *    group-limit — the hostCap idiom on the provenance column),
     *  - sample: the [[stratifiedSample]] hash gate (zero shuffles),
-    *  - pack: [[packChunks]] (per-(lang, shard) running sum).
+    *  - pack: [[packChunks]] with the shard count AUTO-SIZED from the
+    *    sampled survivor count via [[shardsFor]] — the flagship chain must
+    *    not re-import the fixed-shard weakness standalone p4 fixed (a
+    *    fixed 8 puts ≈N/8 of a language in one sort partition at corpus
+    *    scale). The sampled frame is persisted so the sizing count and the
+    *    pack stage share ONE materialization of the upstream chain (a
+    *    real corpus run checkpoints between major stages anyway — this is
+    *    that boundary).
     *
     * Output is the packed chunk table; chunk boundaries depend on every
     * upstream survivor decision, so the single oracle pins the whole chain.
     */
   def endToEnd(docs: DataFrame, rates: Seq[(String, Double)],
       defaultRate: Double = 0.35, capPerSource: Int = 30,
-      budget: Long = 256L, nShards: Int = 8,
+      budget: Long = 256L, targetPerShard: Long = 1000000L,
       k: Int = 8, n: Int = 4): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
     val exactSurv = base.join(
@@ -432,8 +439,9 @@ object Prep {
       comp.filter(col("doc_id") === col("component")).select("doc_id"), "doc_id")
     val capped = Dedup.capBuckets(canon, capPerSource, key = "source")
     val sampled = capped.filter(sampleKeep(rates, defaultRate, "mix1"))
-    packChunks(sampled.select(col("doc_id"), col("lang"), col("text")),
-      budget, nShards)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packChunks(sampled, budget, shardsFor(sampled.count(), targetPerShard))
   }
 
   /** DuckDB mirror of [[endToEnd]]: the same five stages as CTEs, with the
@@ -442,12 +450,14 @@ object Prep {
     */
   def endToEndSql(table: String, rates: Seq[(String, Double)],
       defaultRate: Double = 0.35, capPerSource: Int = 30,
-      budget: Long = 256L, nShards: Int = 8,
+      budget: Long = 256L, targetPerShard: Long = 1000000L,
       k: Int = 8, n: Int = 4, bucketCap: Int = 10): String = {
     val w = sqlWords("text")
     val sh = sqlShingles("w", n)
     val slotHash = sqlH32("h || '|' || s")
-    val bpri = sqlH32("CAST(doc_id AS VARCHAR) || ':bcap'")
+    val bpri = Dedup.sqlCapPri("bkey")
+    val spri = Dedup.sqlCapPri("source")
+    val nShards = s"(SELECT GREATEST(8, CAST(ceil(count(*) / $targetPerShard.0) AS BIGINT)) FROM samp)"
     val rateCase = rates.map { case (l, r) => s"WHEN lang = '$l' THEN ${(r * 1e6).toLong}" }
       .mkString("CASE ", " ", s" ELSE ${(defaultRate * 1e6).toLong} END")
     s"""WITH RECURSIVE
@@ -478,7 +488,8 @@ object Prep {
        |canon AS (SELECT e.* FROM exsurv e
        |  JOIN comp c ON e.doc_id = c.doc_id WHERE c.component = e.doc_id),
        |scap AS (SELECT doc_id, lang, text FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY $bpri, doc_id) AS rn
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY $spri, doc_id, lang, text) AS rn
        |    FROM canon) WHERE rn <= $capPerSource),
        |samp AS (SELECT doc_id, lang, text FROM scap
        |  WHERE ${sqlH32("CAST(doc_id AS VARCHAR) || ':mix1'")} % 1000000

@@ -645,8 +645,12 @@ class OpsSpec extends AnyFunSuite {
       (0 until 20).map(i => (100L + i, s"tail${i % 7}"))).toDF("doc_id", "bkey")
     val got = Dedup.capBuckets(banded, cap = 8, nSub = 4)
       .select("doc_id", "bkey").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference = the single-window form with the same BUCKET-SALTED
+    // priority (the salt keeps different members in different buckets —
+    // the d6 recall property; the two-stage form must equal it exactly)
     val ref = banded
-      .withColumn("pri", ColFns.h32(concat(col("doc_id").cast("string"), lit(":bcap"))))
+      .withColumn("pri", ColFns.h32(concat(col("doc_id").cast("string"), lit(":"),
+        col("bkey"), lit(":bcap"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bkey")).orderBy(col("pri"), col("doc_id"))))
       .filter(col("rn") <= 8)
@@ -658,12 +662,21 @@ class OpsSpec extends AnyFunSuite {
 
   test("lshCandidatePairs: a mass of exact duplicates stays bounded by the bucket cap") {
     import spark.implicits._
-    // 50 byte-identical docs: every band bucket would hold all 50 ->
-    // 4*50²/2 candidate rows uncapped; the cap bounds pairs at cap·(cap-1)/2
+    // 50 byte-identical docs share all 4 band buckets -> 4*50²/2 candidate
+    // rows uncapped. The salted cap keeps a DIFFERENT <=10 subset per band
+    // (that's the recall property: evicted docs keep edges in other bands),
+    // so distinct pairs are bounded by bands * cap·(cap-1)/2, with every
+    // single bucket's contribution at most cap·(cap-1)/2.
     val dupes = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
       Seq((900L, "totally different words entirely here now"))
     val pairs = Dedup.lshCandidatePairs(dupes.toDF("doc_id", "text"), bucketCap = 10).collect()
-    assert(pairs.length == 10 * 9 / 2, s"expected capped pair count, got ${pairs.length}")
+    assert(pairs.length <= 4 * (10 * 9 / 2), s"pair mass above the banded cap bound: ${pairs.length}")
+    assert(pairs.length >= 10 * 9 / 2, s"a full bucket must still emit its capped pairs: ${pairs.length}")
+    // salt effectiveness: more than one band's worth of distinct survivors
+    // means eviction is band-dependent, not cluster-global
+    val members = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(members.size > 10, s"band-salted cap should spread survivors, got ${members.size}")
+    assert(!members.contains(900L), "the unrelated doc must not pair with the cluster")
   }
 
   test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
