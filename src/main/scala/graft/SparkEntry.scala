@@ -248,6 +248,7 @@ object SparkEntry {
       Dedup.contamination(d, d.filter(col("doc_id") % 100 === 0))
     }),
     "d9_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
+    "d10_excise" -> ((s, dir) => Dedup.exciseSpans(docs(s, dir))),
     "d8_line_dedup" -> ((s, dir) => {
       // CCNet-style cross-doc line dedup over the extracted pages table
       Corpus.ensure(s, dir)
@@ -488,6 +489,7 @@ object SparkEntry {
     "d7_contamination" -> Dedup.contaminationSql("documents", "doc_id % 100 = 0"),
     "d8_line_dedup" -> Dedup.lineDedupSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "d9_dup_spans" -> Dedup.dupSpansSql("documents"),
+    "d10_excise" -> Dedup.exciseSpansSql("documents"),
     "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings", cellCap = 50),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),

@@ -173,10 +173,18 @@ object Dedup {
   /** LSH candidate pairs: band the signature (rows=2), cap each band
     * bucket ([[capBuckets]] — a mass of exact duplicates otherwise goes
     * quadratic in one bucket), bucket-join on the band key, emit distinct
-    * (id_a < id_b) pairs.
+    * (id_a < id_b) pairs. Ends in an orderBy for oracle determinism —
+    * compositions that consume the pairs mid-chain ([[dedupComponents]])
+    * use [[lshCandidatePairsUnordered]] so no operator-embedded global
+    * sort survives into a larger plan (the p8 single-sort gate).
     */
   def lshCandidatePairs(docs: DataFrame, k: Int = 8, n: Int = 4,
-                        bucketCap: Int = 10): DataFrame = {
+                        bucketCap: Int = 10): DataFrame =
+    lshCandidatePairsUnordered(docs, k, n, bucketCap).orderBy("id_a", "id_b")
+
+  /** [[lshCandidatePairs]] without the final global sort, for composition. */
+  def lshCandidatePairsUnordered(docs: DataFrame, k: Int = 8, n: Int = 4,
+                                 bucketCap: Int = 10): DataFrame = {
     val sigs = minhashSignatures(docs, k, n)
     val bandKeys = (0 until k / 2).map(b =>
       md5(concat(lit(b.toString), lit(":"),
@@ -211,7 +219,6 @@ object Dedup {
       }
       .toDF("id_a", "id_b")
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
   /** Shared no-self-join band-pair kernel for 64-bit-signature joins
@@ -385,7 +392,7 @@ object Dedup {
     * stays bounded. maxIters is a loud-failure guard, not a silent cap.
     */
   def dedupComponents(docs: DataFrame, k: Int = 8, n: Int = 4, maxIters: Int = 20): DataFrame =
-    componentsFrom(docs.select(col("doc_id")), lshCandidatePairs(docs, k, n), maxIters)
+    componentsFrom(docs.select(col("doc_id")), lshCandidatePairsUnordered(docs, k, n), maxIters)
 
   /** Propagation core: nodes(doc_id) + undirected pairs(id_a, id_b) ->
     * (doc_id, component). Exposed for direct graph-shape tests.
@@ -601,7 +608,7 @@ object Dedup {
     import spark.implicits._
     val pos = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        val w = t.split(' ').filter(_.nonEmpty)
+        val w = if (t == null) Array.empty[String] else t.split(' ').filter(_.nonEmpty)
         if (w.length < n) Iterator.empty
         else (0 to w.length - n).iterator.map(p => (id, p, w.slice(p, p + n).mkString(" ")))
       }
@@ -646,6 +653,95 @@ object Dedup {
        |  CAST(count(*) AS BIGINT) AS n_pos
        |FROM isl GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** Duplicated-span EXCISION — the actionable half of the Lee-et-al.
+    * pass that [[dupSpans]] only detects: every token inside a flagged
+    * span is dropped, each doc is reassembled from its surviving tokens
+    * in order (the [[lineDedup]] sort_array idiom, at token granularity),
+    * and the removed-token mass is reported per doc so a pipeline can
+    * audit how much text the surgery cost.
+    *
+    * Token space is [[dupSpans]]'s: non-empty single-space words. The
+    * spans are maximal and disjoint by construction (islands merge when
+    * closer than n), so each token matches at most one span and the
+    * doc_id-equi range join never duplicates rows. Every input doc
+    * appears in the output — a doc with no spans passes through with
+    * n_removed = 0, a doc whose whole text is one span comes back with
+    * text = '' (posexplode_outer keeps zero-token docs alive).
+    *
+    * Scale shape: the detector's cost profile is [[dupSpans]]'s
+    * (positional 16-byte hashes, partial-agg'd occurrence counts); the
+    * surgery adds one doc_id-equi join (spans per doc are few and
+    * bounded by doc length — never a hot key) and one per-doc
+    * reassembly agg, both linear. No lambda reaches the hot path: the
+    * word filter is one HOF evaluated once per document (not per
+    * token), everything downstream is codegen projections.
+    */
+  def exciseSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = dupSpans(docs, n)
+      .select(col("doc_id").as("s_id"), col("span_start"), col("span_end"))
+    val toks = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " ", -1), w => w =!= "").as("ws"))
+      .select(col("doc_id"), posexplode_outer(col("ws")).as(Seq("pos", "tok")))
+    toks.join(spans,
+        toks("doc_id") === spans("s_id") &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_outer")
+      .select(toks("doc_id"), col("pos"), col("tok"),
+        col("s_id").isNotNull.as("cut"))
+      .groupBy(col("doc_id"))
+      .agg(
+        // the zero-token sentinel row (posexplode_outer's null pos) must
+        // not become a struct-of-nulls element — guard on pos
+        sort_array(collect_list(
+          when(!col("cut") && col("pos").isNotNull, struct(col("pos"), col("tok")))))
+          .as("arr"),
+        count(col("pos")).as("n_tokens"),
+        sum(col("cut").cast("long")).as("n_removed"))
+      .select(col("doc_id"), array_join(col("arr.tok"), " ").as("text"),
+        col("n_tokens"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[exciseSpans]]: the dupSpans CTEs plus the same
+    * string surgery (left range join on the span, string_agg of the
+    * survivors, docs left-joined back so zero-token docs survive).
+    */
+  def exciseSpansSql(table: String, n: Int = 8): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("ws", n)
+    s"""WITH docs AS (SELECT doc_id, $w AS ws FROM $table),
+       |sh AS (SELECT doc_id, CAST(unnest(range(len(sg))) AS INT) AS pos,
+       |    unnest(sg) AS s
+       |  FROM (SELECT doc_id, $sh AS sg FROM docs)),
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+       |f AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+       |brk AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+       |      THEN 0 ELSE 1 END AS b
+       |  FROM f),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brk),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |    CAST(max(pos) + $n AS INT) AS span_end
+       |  FROM isl GROUP BY doc_id, island),
+       |tok AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos,
+       |    unnest(ws) AS tok FROM docs),
+       |cut AS (SELECT t.doc_id, t.pos, t.tok, s.doc_id IS NOT NULL AS cut
+       |  FROM tok t LEFT JOIN spans s ON s.doc_id = t.doc_id
+       |    AND t.pos >= s.span_start AND t.pos < s.span_end),
+       |agg AS (SELECT doc_id,
+       |    COALESCE(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '') AS text,
+       |    CAST(count(pos) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |  FROM cut GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.text, '') AS text,
+       |  COALESCE(a.n_tokens, 0) AS n_tokens, COALESCE(a.n_removed, 0) AS n_removed
+       |FROM docs d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Cross-document LINE-level dedup (CCNet-style paragraph dedup): every

@@ -348,6 +348,13 @@ object Prep {
   /** [[packChunks]] with the shard count derived from the corpus size via
     * [[shardsFor]] (one cheap metadata count; the DuckDB mirror embeds the
     * same rule as a scalar subquery).
+    *
+    * NOTE for composers: `docs.count()` launches an extra job per
+    * invocation — fine for a query entry point over a parquet scan
+    * (metadata count), but a chain that already aggregated upstream
+    * should pass that count through and call [[packChunks]] +
+    * [[shardsFor]] directly instead of re-scanning (see [[endToEnd]]'s
+    * note on why the chain is not silently .persist()ed either).
     */
   def packChunksAuto(docs: DataFrame, budget: Long = 256L,
       targetPerShard: Long = 1000000L): DataFrame =
@@ -418,10 +425,15 @@ object Prep {
     *    sampled survivor count via [[shardsFor]] — the flagship chain must
     *    not re-import the fixed-shard weakness standalone p4 fixed (a
     *    fixed 8 puts ≈N/8 of a language in one sort partition at corpus
-    *    scale). The sampled frame is persisted so the sizing count and the
-    *    pack stage share ONE materialization of the upstream chain (a
-    *    real corpus run checkpoints between major stages anyway — this is
-    *    that boundary).
+    *    scale). The sizing count re-executes the upstream survivor chain
+    *    once (the components labels inside it are already persisted by
+    *    [[Dedup.dedupComponents]], so the expensive fixpoint is not
+    *    repeated). Deliberately NOT .persist(): Spark's CacheManager keys
+    *    caches by canonicalized plan, so a cached sampled frame would be
+    *    silently shared across separate endToEnd() invocations in one
+    *    session — a benchmark warm pass would feed the timed pass from
+    *    cache. A real corpus run checkpoints to the lake between major
+    *    stages and takes the count from that write's metrics instead.
     *
     * Output is the packed chunk table; chunk boundaries depend on every
     * upstream survivor decision, so the single oracle pins the whole chain.
@@ -440,7 +452,6 @@ object Prep {
     val capped = Dedup.capBuckets(canon, capPerSource, key = "source")
     val sampled = capped.filter(sampleKeep(rates, defaultRate, "mix1"))
       .select(col("doc_id"), col("lang"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     packChunks(sampled, budget, shardsFor(sampled.count(), targetPerShard))
   }
 

@@ -37,12 +37,16 @@ object Streams {
 
   /** Streaming extraction: file-source over page parquet -> the batch
     * kernel, unchanged. Caller attaches writeStream (parquet/iceberg sink
-    * with checkpointLocation for exactly-once file sinks).
+    * with checkpointLocation for exactly-once file sinks — StreamsSpec
+    * drives that path through a stop + restart and asserts no dupes/loss
+    * vs the batch result). `sourceOptions` passes file-source knobs
+    * (e.g. maxFilesPerTrigger for bounded micro-batches).
     */
   def extractStream(spark: SparkSession, pagesDir: String,
-      buckets: Int = Pipeline.DefaultBuckets): Dataset[DocOut] = {
+      buckets: Int = Pipeline.DefaultBuckets,
+      sourceOptions: Map[String, String] = Map.empty): Dataset[DocOut] = {
     val schema = spark.read.parquet(pagesDir).schema
-    val pages = spark.readStream.schema(schema).parquet(pagesDir)
+    val pages = spark.readStream.options(sourceOptions).schema(schema).parquet(pagesDir)
     Pipeline.extract(pages, buckets)
   }
 

@@ -386,6 +386,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no stage may cross-join:\n$p")
   }
 
+  test("p8 composed prep: operator-embedded orderBys collapse to ONE global sort") {
+    val p = plan("p8_end_to_end")
+    // the composed operators each end in an orderBy for oracle determinism
+    // (exact, capBuckets feeds, packChunks); when chained, EliminateSorts
+    // must absorb every mid-chain sort — only packChunks' final
+    // (lang, shard, chunk_id) order may survive as a global Sort. Window
+    // sorts are local (global=false in the Arguments line) and don't count.
+    val sortArgs = "\\(\\d+\\) Sort[^\\n]*\\n(?:[^\\n]*\\n)?Arguments: ([^\\n]*)".r
+    val globals = sortArgs.findAllMatchIn(p).map(_.group(1)).filter(_.contains("], true, 0")).toList
+    assert(globals.length == 1,
+      s"expected exactly one global Sort (the final orderBy), got ${globals.length}: $globals\n$p")
+    assert(globals.head.contains("lang"),
+      s"the surviving global sort must be the final chunk order: ${globals.head}")
+  }
+
+  test("d1 join-back: AQE splits a planted hot content hash (skew join fires)") {
+    Corpus.ensure(spark, sfDir)
+    // the d1/d4/d8 scale story says "the join back is an equi-join AQE's
+    // skew handling splits automatically" — this plants the hot key and
+    // asserts the split actually fires under a forced-low threshold
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      // one exact-duplicate cluster of 40k docs (one hot md5) + a tail
+      val docs = spark.range(0, 41000).toDF("doc_id")
+        .select(col("doc_id"), when(col("doc_id") < 40000,
+          lit("the same cdn error page body repeated across the crawl"))
+          .otherwise(concat(lit("unique "), col("doc_id").cast("string"))).as("text"))
+      val out = graft.ops.Dedup.exact(docs)
+      // execute THIS dataframe (not a derivative) so its adaptive plan
+      // finalizes and the skew-split decision is visible in it
+      val rows = out.collect()
+      assert(rows.count(_.getLong(1) == 0L) == 40000L)
+      val finalPlan = out.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"AQE skew-join split did not fire on the hot hash:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("p4 packing: no joins; shard window then chunk agg") {
     val p = plan("p4_pack")
     assert(!p.contains("Join"), s"packing must not join:\n$p")

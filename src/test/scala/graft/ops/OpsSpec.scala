@@ -679,6 +679,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!members.contains(900L), "the unrelated doc must not pair with the cluster")
   }
 
+  test("exciseSpans: start/end/whole-doc spans cut, clean docs pass through") {
+    import spark.implicits._
+    // n=2 word-grams; spans are engineered at doc START (ids 0/1 share
+    // "a b c"), doc END (ids 2/3 share "p q z w"), WHOLE-DOC (id 3's
+    // internal "k k" repeat merges with its shared tail into one island
+    // covering every token), and id 4 shares nothing (pure passthrough)
+    val docs = Seq(
+      (0L, "a b c X Y"),
+      (1L, "a b c P Q"),
+      (2L, "m n o p q z w"),
+      (3L, "k k k p q z w"),
+      (4L, "u v w x"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(docs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "X Y", 5L, 3L),          // span at start: [0,3) excised
+      (1L, "P Q", 5L, 3L),
+      (2L, "m n o", 7L, 4L),        // span at end: [3,7) excised
+      (3L, "", 7L, 7L),             // whole-doc span: islands merged to [0,7)
+      (4L, "u v w x", 4L, 0L),      // no spans: byte-identical passthrough
+      (5L, "", 0L, 0L)              // zero-token doc survives the surgery
+    ))
+  }
+
   test("packChunks: chunk = floor(start-token / budget) within the shard stream") {
     import spark.implicits._
     val docs = Seq(

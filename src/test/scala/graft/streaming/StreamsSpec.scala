@@ -240,6 +240,63 @@ class StreamsSpec extends AnyFunSuite {
     assert(dropped >= 1L, s"the late quote must be dropped by the watermark, got $dropped")
   }
 
+  test("extractStream: checkpointed file sink resumes exactly-once (no dupes, no loss)") {
+    import org.apache.spark.sql.functions.{col, crc32, pmod}
+    // The streaming analogue of the batch A8 resume test: run the
+    // extraction stream into a parquet sink with a checkpoint, STOP the
+    // query while unprocessed input remains, restart from the same
+    // checkpoint, and assert the sink holds the batch answer exactly —
+    // committed batches are not re-emitted (the sink's _spark_metadata
+    // transaction log) and the input that arrived across the outage is
+    // not lost (the checkpointed source offsets).
+    val sfDir = "/root/testdata/sf0.001"
+    Corpus.ensure(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-exactly-once").toString
+    val inDir = s"$base/in"; val sinkDir = s"$base/sink"; val cpDir = s"$base/cp"
+    new java.io.File(inDir).mkdirs()
+    val pages = spark.read.parquet(Corpus.pagesPath(sfDir))
+      .select("url", "warc_ts", "html", "lang")
+    // three disjoint input waves, landed as atomic single-file drops
+    def addWave(i: Int): Unit = {
+      val stage = s"$base/stage$i"
+      pages.filter(pmod(crc32(col("url")), org.apache.spark.sql.functions.lit(3)) === i)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/wave$i.parquet"))
+    }
+    def startQuery() = Streams
+      .extractStream(spark, inDir, sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      .toDF().select("url", "text")
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+    addWave(0)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // outage: wave0 committed, nothing else seen yet
+    addWave(1); addWave(2) // input keeps arriving while the query is down
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    assert(q2.lastProgress.batchId >= 1L,
+      "the restarted query must resume at a later batch id, not restart at 0")
+    q2.stop()
+    // a third restart with no new input must emit nothing new (idempotence)
+    val q3 = startQuery()
+    q3.processAllAvailable()
+    q3.stop()
+    val sunk = spark.read.parquet(sinkDir).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val batch = graft.engine.Pipeline
+      .extract(spark.read.parquet(Corpus.pagesPath(sfDir)))
+      .toDF().select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(sunk.length == batch.length,
+      s"exactly-once violated: sink has ${sunk.length} rows, batch ${batch.length}")
+    assert(sunk.toMap == batch.toMap)
+  }
+
   test("one-shot batch sessionize replays the same fold and closes all real sessions") {
     import spark.implicits._
     // user 7: two sessions (gap 115 min); user 8: one single-event session
