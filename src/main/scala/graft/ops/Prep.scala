@@ -345,6 +345,15 @@ object Prep {
   def shardsFor(nDocs: Long, targetPerShard: Long = 1000000L): Int =
     math.max(8L, (nDocs + targetPerShard - 1) / targetPerShard).toInt
 
+  /** [[shardsFor]] as a DuckDB scalar subquery over `fromRel` — ONE
+    * definition shared by [[packChunksAutoSql]] and [[endToEndSql]] so the
+    * mirrors can't drift from each other (the [[Dedup.sqlCapPri]] lesson:
+    * a hand-inlined copy of a shared rule is where cross-engine bugs
+    * breed). `ceil(n / t.0)` == the Scala `(n + t - 1) / t` for n >= 0.
+    */
+  private[ops] def shardsForSql(fromRel: String, targetPerShard: Long): String =
+    s"(SELECT GREATEST(8, CAST(ceil(count(*) / $targetPerShard.0) AS BIGINT)) FROM $fromRel)"
+
   /** [[packChunks]] with the shard count derived from the corpus size via
     * [[shardsFor]] (one cheap metadata count; the DuckDB mirror embeds the
     * same rule as a scalar subquery).
@@ -362,7 +371,7 @@ object Prep {
 
   def packChunksAutoSql(table: String, budget: Long = 256L,
       targetPerShard: Long = 1000000L): String = {
-    val nShards = s"(SELECT GREATEST(8, CAST(ceil(count(*) / $targetPerShard.0) AS BIGINT)) FROM $table)"
+    val nShards = shardsForSql(table, targetPerShard)
     s"""WITH t AS (SELECT doc_id, lang, doc_id % $nShards AS shard,
        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM $table),
@@ -468,14 +477,15 @@ object Prep {
     val slotHash = sqlH32("h || '|' || s")
     val bpri = Dedup.sqlCapPri("bkey")
     val spri = Dedup.sqlCapPri("source")
-    val nShards = s"(SELECT GREATEST(8, CAST(ceil(count(*) / $targetPerShard.0) AS BIGINT)) FROM samp)"
+    val nShards = shardsForSql("samp", targetPerShard)
     val rateCase = rates.map { case (l, r) => s"WHEN lang = '$l' THEN ${(r * 1e6).toLong}" }
       .mkString("CASE ", " ", s" ELSE ${(defaultRate * 1e6).toLong} END")
     s"""WITH RECURSIVE
        |firsts AS (SELECT md5(text) AS th, min(doc_id) AS canonical
        |  FROM $table GROUP BY 1),
        |exsurv AS (SELECT d.doc_id, d.lang, d.source, d.text
-       |  FROM $table d JOIN firsts f ON md5(d.text) = f.th AND d.doc_id = f.canonical),
+       |  FROM $table d JOIN firsts f
+       |  ON md5(d.text) IS NOT DISTINCT FROM f.th AND d.doc_id = f.canonical),
        |docs0 AS (SELECT doc_id, $w AS w FROM exsurv),
        |sh AS (SELECT doc_id, $sh AS shingles FROM docs0),
        |sig AS (SELECT doc_id, list_transform(generate_series(0,${k - 1}),
