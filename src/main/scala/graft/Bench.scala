@@ -98,10 +98,29 @@ object Bench {
     // known clean speed).
     val CalibProbeSec = 0.027
     def probeFloorEff(): Double = math.min(probeSamples.min, CalibProbeSec * 1.3)
+    // SINGLE-sample noise robustness (bench_schema 7): a 60 ms probe on
+    // this virtualized box reads 0.029-0.047 s against a 0.027 floor even
+    // at loadavg < 0.5 (measured: 20 idle-box samples span 1.0-1.7x the
+    // floor) — scheduler/steal jitter, not load. One noisy sample out of
+    // the 64+ a full bench takes is therefore guaranteed, and under the
+    // single-sample rule it stamps a spurious contended flag on an honest
+    // record (the first schema-6 run flagged 30 queries at ambient 0.08).
+    // A slow sample is immediately re-taken up to twice and the MIN kept:
+    // a spurious flag now needs three consecutive outliers (~p^3), while a
+    // REAL load window keeps all three samples slow and still flags. Every
+    // sample still feeds the retroactive floor.
+    def probeRobust(): Double = {
+      var best = probeSample()
+      var tries = 0
+      while (best > ContendedRatio * probeFloorEff() && tries < 2) {
+        best = math.min(best, probeSample()); tries += 1
+      }
+      best
+    }
     def probeLeg(): Double = {
-      var t = probeSample()
+      var t = probeRobust()
       if (t > ContendedRatio * probeFloorEff()) {
-        Thread.sleep(2000); t = math.min(t, probeSample())
+        Thread.sleep(2000); t = math.min(t, probeRobust())
       }
       t
     }
@@ -128,7 +147,7 @@ object Bench {
     val queryProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val resultsG = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
-        if (i % qGroup == 0) queryProbes += probeSample()
+        if (i % qGroup == 0) queryProbes += probeRobust()
         val (_, sec) =
           try time(fn(spark, sfDir).count())
           catch {
@@ -138,7 +157,7 @@ object Bench {
           }
         (name, sec, i / qGroup)
     }
-    queryProbes += probeSample() // closing bracket for the last group
+    queryProbes += probeRobust() // closing bracket for the last group
     val results = resultsG.map { case (n, s, _) => n -> s }
 
     // --- phase 2: scaling evidence (N vs 4N cores, same job) ---
@@ -220,7 +239,7 @@ object Bench {
     def probedRun(lvl: Int)(run: => Double): RunRec = {
       val before = probeLeg()
       val sec = run
-      val after = probeSample()
+      val after = probeRobust()
       RunRec(lvl, sec, math.max(before, after))
     }
     def isContended(r: RunRec, floor: Double): Boolean =
@@ -259,10 +278,10 @@ object Bench {
     // before/after probe bracket so their numbers carry a verdict too
     val pf8b = probeLeg()
     val (full8Sec, full8Thr) = fullThroughput(8)
-    val pf8a = probeSample()
+    val pf8a = probeRobust()
     val pf32b = probeLeg()
     val (full32Sec, full32Thr) = fullThroughput(32)
-    val pf32a = probeSample()
+    val pf32a = probeRobust()
     val fullProbeMax = Seq(pf8b, pf8a, pf32b, pf32a).max
 
     /** Separate-JVM scaling: `local-cluster[n,1,1536]` launches REAL
@@ -378,7 +397,8 @@ object Bench {
     }
     val totalFlag = if (contQueries.nonEmpty) "contended" else "ok"
     val fullFlag = if (slowProbe(fullProbeMax)) "contended" else "ok"
-    // bench_schema 6: EVERY query in the timing loop is individually
+    // bench_schema 7 (= 6 + noise-robust probes): EVERY query in the
+    // timing loop is individually
     // probe-bracketed (per-query contamination marks + total_flag on the
     // headline value); every scaling leg is probed before AND after (worse
     // verdict wins — mid-run load no longer needs the superlinear backstop
@@ -390,7 +410,7 @@ object Bench {
     // can never read as evidence); contended_runs counts only legs that
     // contributed timing evidence.
     val extraction =
-      s"""{"bench_schema":6,"full_flag":"$fullFlag","docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
+      s"""{"bench_schema":7,"full_flag":"$fullFlag","docs":$nDocsPeak,"docs_eff_pair":${baseDocs * multEff},"sec1":${r3(sec1)},"sec4":${r3(sec4)},"sec8":${r3(sec8)},"sec32":${r3(sec32)},""" +
         s""""docs_per_sec_1":${r0(thr1)},"docs_per_sec_4":${r0(thr4)},"docs_per_sec_8":${r0(thr8)},"docs_per_sec_32":${r0(thr32)},""" +
         s""""sec8_best":${r3(sec8Best)},"sec32_best":${r3(sec32Best)},""" +
         s""""docs_per_sec_8_best":${r0(thr8Best)},"docs_per_sec_32_best":${r0(thr32Best)},""" +

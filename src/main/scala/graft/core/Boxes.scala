@@ -26,15 +26,30 @@ object Boxes {
     Vector(minX, minY, maxX, maxY)
   }
 
+  @inline private def normCoord(v: Int, d: Int): Int = {
+    val t = ((v.toDouble / d) * 1000).toInt // Python int() truncation
+    math.min(math.max(t, 0), 1000)
+  }
+
   /** Scale to [0,1000] with Python `int()` truncation-toward-zero, then clip. */
   def normalizeBbox(box: Seq[Int], width: Int, height: Int): Vector[Int] = {
-    @inline def clip(v: Int): Int = math.min(math.max(v, 0), 1000)
-    val x0 = clip(((box(0).toDouble / width) * 1000).toInt)
-    val y0 = clip(((box(1).toDouble / height) * 1000).toInt)
-    val x1 = clip(((box(2).toDouble / width) * 1000).toInt)
-    val y1 = clip(((box(3).toDouble / height) * 1000).toInt)
+    val p = normalizeBboxPacked(box(0), box(1), box(2), box(3), width, height)
+    Vector(((p >>> 48) & 0xFFFF).toInt, ((p >>> 32) & 0xFFFF).toInt,
+      ((p >>> 16) & 0xFFFF).toInt, (p & 0xFFFF).toInt)
+  }
+
+  /** [[normalizeBbox]] without the Vector: coords are clipped to [0,1000]
+    * so the four fit 16 bits each — (x0<<48)|(y0<<32)|(x1<<16)|y1. The
+    * build hot path unpacks straight into its flat int arrays.
+    */
+  def normalizeBboxPacked(bx0: Int, by0: Int, bx1: Int, by1: Int,
+      width: Int, height: Int): Long = {
+    val x0 = normCoord(bx0, width)
+    val y0 = normCoord(by0, height)
+    val x1 = normCoord(bx1, width)
+    val y1 = normCoord(by1, height)
     require(x1 >= x0 && y1 >= y0, s"degenerate normalized box ($x0,$y0,$x1,$y1)")
-    Vector(x0, y0, x1, y1)
+    (x0.toLong << 48) | (y0.toLong << 32) | (x1.toLong << 16) | y1.toLong
   }
 
   /** [[mergeBbox]] over boxes(s..eIncl) without materializing the slice —
@@ -80,39 +95,50 @@ object Boxes {
   def sortBoxes(boxes: scala.collection.IndexedSeq[Seq[Int]]): Vector[Int] = {
     val n = boxes.length
     if (n == 0) return Vector.empty
-    val px = new Array[Double](n)
-    val py = new Array[Double](n)
+    // doubled centers as exact ints: sorting by b0+b2 == sorting by the
+    // center-x double (monotone, exact), and (cy2a - cy2b)/2.0 == the
+    // reference's py gap (int/2.0 arithmetic is exact) — so the packed-long
+    // argsorts below reproduce the double-keyed stable sortBy bit-for-bit
+    // without its boxed-Integer/Ordering churn
+    val cx2 = new Array[Int](n)
+    val cy2 = new Array[Int](n)
     var hSum = 0.0
     var i = 0
     while (i < n) {
       val b = boxes(i)
-      px(i) = (b(0) + b(2)) / 2.0
-      py(i) = (b(1) + b(3)) / 2.0
+      cx2(i) = b(0) + b(2)
+      cy2(i) = b(1) + b(3)
       hSum += (b(3) - b(1))
       i += 1
     }
     val mH = hSum / (2.0 * n)
-    val sortY: Array[Int] = Array.range(0, n).sortBy(py(_)) // stable
-    // band ids over the y-sorted order
-    val band = new Array[Int](n)
-    var line = 0
-    i = 1
-    while (i < n) {
-      if (py(sortY(i)) - py(sortY(i - 1)) >= mH) line += 1
-      band(i) = line
-      i += 1
-    }
-    // within each band (a contiguous run), stable re-sort by center-x
+    // argsort by center-y: (key << 32) | index; the index low bits make the
+    // unstable primitive sort order ties by position == a stable sort
+    val keys = new Array[Long](n)
+    i = 0
+    while (i < n) { keys(i) = (cy2(i).toLong << 32) | i.toLong; i += 1 }
+    java.util.Arrays.sort(keys)
+    val sortY = new Array[Int](n)
+    i = 0
+    while (i < n) { sortY(i) = keys(i).toInt; i += 1 }
+    // bands are maximal y-sorted runs with consecutive center-y gaps < m_h;
+    // within each, stable re-sort by center-x (position low bits again —
+    // ties keep the y-sorted order, as the reference's stable argsort did)
+    val res = new Array[Int](n)
     var start = 0
     while (start < n) {
       var end = start + 1
-      while (end < n && band(end) == band(start)) end += 1
-      val slice = java.util.Arrays.copyOfRange(sortY, start, end)
-      val sorted = slice.sortBy(px(_)) // stable
-      var k = 0
-      while (k < sorted.length) { sortY(start + k) = sorted(k); k += 1 }
+      while (end < n && (cy2(sortY(end)) - cy2(sortY(end - 1))) / 2.0 < mH) end += 1
+      if (end - start == 1) res(start) = sortY(start)
+      else {
+        var k = start
+        while (k < end) { keys(k) = (cx2(sortY(k)).toLong << 32) | k.toLong; k += 1 }
+        java.util.Arrays.sort(keys, start, end)
+        k = start
+        while (k < end) { res(k) = sortY(keys(k).toInt); k += 1 }
+      }
       start = end
     }
-    sortY.toVector
+    res.toVector
   }
 }

@@ -297,11 +297,15 @@ object DocBuilder {
       } else {
         inScopeEntityId.put(ln.origEntityId, 1)
         inScopeLineId.put(ln.origLineId, 1)
-        val norm = Boxes.normalizeBbox(ln.coords, doc.width, doc.height)
+        val c = ln.coords
+        val norm = Boxes.normalizeBboxPacked(c(0), c(1), c(2), c(3),
+          doc.width, doc.height)
         val sIdx = nSLines
         sLineTextB += ln.textIdx
-        sLineBoxNB += norm(0); sLineBoxNB += norm(1)
-        sLineBoxNB += norm(2); sLineBoxNB += norm(3)
+        sLineBoxNB += ((norm >>> 48) & 0xFFFF).toInt
+        sLineBoxNB += ((norm >>> 32) & 0xFFFF).toInt
+        sLineBoxNB += ((norm >>> 16) & 0xFFFF).toInt
+        sLineBoxNB += (norm & 0xFFFF).toInt
         sLineBoxOB += ln.coords(0); sLineBoxOB += ln.coords(1)
         sLineBoxOB += ln.coords(2); sLineBoxOB += ln.coords(3)
         nSLines += 1

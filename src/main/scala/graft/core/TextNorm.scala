@@ -62,6 +62,13 @@ object TextNorm {
   )
 
   def specialReplace(text: String): String = {
+    // ASCII fast path: every replacement `from` contains a char >= 0x80
+    // (incl. the Greek-omicron homoglyph in "Tοpic") and charF2H only maps
+    // code points >= 0x3000, so a pure-ASCII string is a fixpoint — one
+    // scan replaces 19 contains() passes + the f2h pass on the hot path
+    var a = 0
+    while (a < text.length && text.charAt(a) < 0x80) a += 1
+    if (a == text.length) return text
     var t = text
     var i = 0
     while (i < replacements.length) {

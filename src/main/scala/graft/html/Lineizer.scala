@@ -265,53 +265,52 @@ object Lineizer {
       else if (b.navLike || b.linkDensity > LinkDensityThreshold) AnnLabels.Other
       else AnnLabels.Answer // main content
     }
-    val cats: Vector[String] = blocks.iterator.map(category).toVector
+    val nB = blocks.length
+    val cats = new Array[String](nB)
+    var ci = 0
+    while (ci < nB) { cats(ci) = category(blocks(ci)); ci += 1 }
 
-    // --- union-find over adjacent DOM block spans (line grouping) ---
-    val parent = Array.tabulate(blocks.length)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-    def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    // --- line grouping over adjacent DOM block spans. The merge relation
+    // only ever joins NEIGHBORS (k-1, k), so every component is a
+    // contiguous run of document order — the general union-find this
+    // started as (parent array + root->entity LinkedHashMap + per-entity
+    // ArrayBuffers, all boxed) collapses to one run-boundary pass over a
+    // primitive array with identical semantics (entity ids in order of
+    // first member == run order; members ascending == run interval).
+    val entityOf = new Array[Int](nB)
+    var nEnt = if (nB == 0) 0 else 1
     var k = 1
-    while (k < blocks.length) {
+    while (k < nB) {
       val prev = blocks(k - 1)
       val curr = blocks(k)
-      if (prev.parentRef == curr.parentRef && prev.tag == curr.tag &&
-        cats(k - 1) == cats(k)) union(k - 1, k)
+      if (!(prev.parentRef == curr.parentRef && prev.tag == curr.tag &&
+        cats(k - 1) == cats(k))) nEnt += 1
+      entityOf(k) = nEnt - 1
       k += 1
     }
-    // entity ids in order of first member (document order)
-    val rootToEntity = mutable.LinkedHashMap.empty[Int, Int]
-    blocks.indices.foreach { i =>
-      val r = find(i)
-      if (!rootToEntity.contains(r)) rootToEntity.put(r, rootToEntity.size)
-    }
-    val entityOf: Vector[Int] = blocks.indices.map(i => rootToEntity(find(i))).toVector
 
     // --- entities with their lines (line id = document order) ---
-    val entityLines = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
-    blocks.indices.foreach { i =>
-      entityLines.getOrElseUpdate(entityOf(i), mutable.ArrayBuffer.empty) += i
-    }
-    val entities: Vector[AnnEntity] = entityLines.iterator.map { case (eid, lineIdxs) =>
-      AnnEntity(
-        id = eid,
-        label = cats(lineIdxs.head),
-        lines = lineIdxs.iterator.map { i =>
-          val b = blocks(i)
-          AnnLine(id = i, text = b.text, bbox = b.bbox)
-        }.toVector
-      )
-    }.toVector
-
-    // --- line grouping relations: consecutive lines within an entity ---
+    val entB = Vector.newBuilder[AnnEntity]
+    entB.sizeHint(nEnt)
     val lineGrouping = Vector.newBuilder[AnnRelation]
-    entityLines.valuesIterator.foreach { lineIdxs =>
-      var i = 1
-      while (i < lineIdxs.length) {
-        lineGrouping += AnnRelation(lineIdxs(i - 1), lineIdxs(i))
+    var start = 0
+    while (start < nB) {
+      var end = start + 1
+      while (end < nB && entityOf(end) == entityOf(start)) end += 1
+      val lines = Vector.newBuilder[AnnLine]
+      lines.sizeHint(end - start)
+      var i = start
+      while (i < end) {
+        val b = blocks(i)
+        lines += AnnLine(id = i, text = b.text, bbox = b.bbox)
+        // consecutive lines within an entity are consecutive doc-order ids
+        if (i > start) lineGrouping += AnnRelation(i - 1, i)
         i += 1
       }
+      entB += AnnEntity(id = entityOf(start), label = cats(start), lines = lines.result())
+      start = end
     }
+    val entities: Vector[AnnEntity] = entB.result()
 
     // --- KV links from DOM idioms, entity-level, first-seen order ---
     val kv = Vector.newBuilder[AnnRelation]

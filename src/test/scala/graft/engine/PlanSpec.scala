@@ -355,6 +355,22 @@ class PlanSpec extends AnyFunSuite {
       s"island windows must partition per doc:\n$p")
   }
 
+  test("d10 excise: span join rides the doc_id equi-key, range as residual") {
+    val p = plan("d10_excise")
+    // tokens x spans joins on doc_id equality with the positional range as
+    // a residual predicate — a range-only join would plan as a nested-loop
+    // cross product (quadratic in tokens at corpus scale)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the span range must ride the doc_id equi-key, never a cross product:\n$p")
+    // the detector inside keeps its partial-agg'd occurrence count and the
+    // surgery's reassembly agg partial-aggregates map-side too
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"aggs must partial map-side:\n$p")
+    // windows (islands) stay per-doc, never on the shingle hash
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"island windows must partition per doc:\n$p")
+  }
+
   test("p7 crawl freshness: no joins, scan pruned to (url, warc_ts)") {
     val p = plan("p7_crawl_freshness")
     assert(!p.contains("Join"), s"freshness audit must not join:\n$p")
