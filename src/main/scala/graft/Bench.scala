@@ -82,8 +82,10 @@ object Bench {
     // WHOLE bench (fixed retroactively) — a start-of-bench-only baseline
     // would absorb ambient load already present when the bench starts and
     // stamp every leg "ok" in exactly the neighbor-jobs scenario this
-    // defends against. Runtime backoff compares against the min-so-far (a
-    // lower bound of the final floor), so retries still fire early.
+    // defends against. (min-so-far only DECREASES as samples accumulate,
+    // so runtime checks against it are looser than the final retroactive
+    // verdict — which is why probeRobust's retry trigger uses the floor's
+    // hard lower clamp instead.)
     val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probeSample(): Double = { val t = cpuProbe(); probeSamples += t; t }
     (1 to 3).foreach(_ => probeSample())
@@ -97,7 +99,13 @@ object Bench {
     // honest verdict there too (the numbers were not taken at this box's
     // known clean speed).
     val CalibProbeSec = 0.027
-    def probeFloorEff(): Double = math.min(probeSamples.min, CalibProbeSec * 1.3)
+    // floor clamped from BOTH sides: 1.3x calibration from above (whole-
+    // bench load can't inflate the floor and unflag itself) and 0.9x from
+    // below (one anomalously FAST sample — turbo burst, quiesced JVM —
+    // must not drag the retroactive threshold under the box's honest idle
+    // band and flag most of a quiet bench)
+    def probeFloorEff(): Double =
+      math.max(math.min(probeSamples.min, CalibProbeSec * 1.3), CalibProbeSec * 0.9)
     // SINGLE-sample noise robustness (bench_schema 7): a 60 ms probe on
     // this virtualized box reads 0.029-0.047 s against a 0.027 floor even
     // at loadavg < 0.5 (measured: 20 idle-box samples span 1.0-1.7x the
@@ -109,10 +117,17 @@ object Bench {
     // a spurious flag now needs three consecutive outliers (~p^3), while a
     // REAL load window keeps all three samples slow and still flags. Every
     // sample still feeds the retroactive floor.
+    // the retry trigger compares against the LOWEST threshold the
+    // retroactive pass could ever apply (the floor's hard lower clamp),
+    // not the min-so-far: min-so-far is an UPPER bound of the final floor,
+    // and a sample that skipped its retries under an early, looser
+    // threshold could later be flagged on one noisy reading — exactly the
+    // single-sample mode the retries exist to kill
+    val RetryThreshold = ContendedRatio * (CalibProbeSec * 0.9)
     def probeRobust(): Double = {
       var best = probeSample()
       var tries = 0
-      while (best > ContendedRatio * probeFloorEff() && tries < 2) {
+      while (best > RetryThreshold && tries < 2) {
         best = math.min(best, probeSample()); tries += 1
       }
       best
@@ -136,29 +151,28 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(_) => () }
     }
-    // EVERY timed query is bracketed by CPU probes (~60 ms each, untimed);
-    // a query is retroactively marked contended if EITHER bracketing probe
-    // was slow vs the whole-bench floor — so neighbor load arriving
-    // mid-loop flags the affected queries and the total, instead of
-    // recording a silent 4x phantom regression (round 4's failure mode).
-    // qGroup=1 because a coarser group can span 30+ s of wall time and a
-    // load window strictly inside it would escape both bracketing probes.
-    val qGroup = 1
+    // EVERY timed query is bracketed by CPU probes (~60 ms each, untimed;
+    // query i's brackets are probes i and i+1 — each inner probe closes
+    // one query and opens the next); a query is retroactively marked
+    // contended if EITHER bracketing probe was slow vs the whole-bench
+    // floor — so neighbor load arriving mid-loop flags the affected
+    // queries and the total, instead of recording a silent 4x phantom
+    // regression (round 4's failure mode). Per-query brackets because a
+    // coarser group can span 30+ s of wall time and a load window strictly
+    // inside it would escape both probes.
     val queryProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val resultsG = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), i) =>
-        if (i % qGroup == 0) queryProbes += probeRobust()
-        val (_, sec) =
-          try time(fn(spark, sfDir).count())
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-              (-1L, -1.0)
-          }
-        (name, sec, i / qGroup)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queryProbes += probeRobust()
+      val (_, sec) =
+        try time(fn(spark, sfDir).count())
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            (-1L, -1.0)
+        }
+      name -> sec
     }
-    queryProbes += probeRobust() // closing bracket for the last group
-    val results = resultsG.map { case (n, s, _) => n -> s }
+    queryProbes += probeRobust() // closing bracket for the last query
 
     // --- phase 2: scaling evidence (N vs 4N cores, same job) ---
     val pagesPath = Corpus.pagesPath(sfDir)
@@ -387,13 +401,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // retroactive query-loop verdicts: a query is contended if either
-    // probe bracketing its group was slow vs the whole-bench floor; the
+    // retroactive query-loop verdicts: a query is contended if either of
+    // its bracketing probes was slow vs the whole-bench floor; the
     // headline total carries the OR of them so a neighbor-load window can
     // never record an unflagged phantom regression
     def slowProbe(p: Double): Boolean = p > ContendedRatio * probeFloor
-    val contQueries = resultsG.collect {
-      case (n, _, g) if slowProbe(queryProbes(g)) || slowProbe(queryProbes(g + 1)) => n
+    val contQueries = results.zipWithIndex.collect {
+      case ((n, _), i) if slowProbe(queryProbes(i)) || slowProbe(queryProbes(i + 1)) => n
     }
     val totalFlag = if (contQueries.nonEmpty) "contended" else "ok"
     val fullFlag = if (slowProbe(fullProbeMax)) "contended" else "ok"

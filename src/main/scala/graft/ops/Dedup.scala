@@ -163,7 +163,12 @@ object Dedup {
     * COLUMN ORDER — they double as the determinism tie-break keys.
     */
   private[ops] def sqlCapBuckets(bandsCte: String, cols: String, cap: Int): String = {
-    val order = (Seq(sqlCapPri("bkey")) ++ cols.split(",").map(_.trim)).mkString(", ")
+    // NULLS FIRST on every tie-break key: Spark's ASC default ranks NULL
+    // first while DuckDB's default ranks it last — a NULL payload at the
+    // cap boundary would otherwise make the engines keep different rows,
+    // exactly the malformed-duplicate-doc_id case this ordering defends
+    val order = (Seq(sqlCapPri("bkey")) ++ cols.split(",").map(_.trim))
+      .map(_ + " NULLS FIRST").mkString(", ")
     s"""(SELECT $cols, bkey FROM (
        |    SELECT *, row_number() OVER (PARTITION BY bkey
        |      ORDER BY $order) AS rn
@@ -632,7 +637,15 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
-  def dupSpansSql(table: String, n: Int = 8): String = {
+  /** The shared dupSpans detector CTE chain (docs -> positional shingles
+    * -> duplicated-shingle flags -> islands -> spans), ONE definition used
+    * by both [[dupSpansSql]] and [[exciseSpansSql]] so the d9 detector and
+    * the d10 surgery can never drift (the [[sqlCapPri]] lesson: a
+    * hand-inlined copy of a shared rule is where cross-engine bugs breed).
+    * Exposes `docs(doc_id, ws)` and `spans(doc_id, span_start, span_end,
+    * n_pos)` to the caller's query tail.
+    */
+  private def sqlDupSpanCtes(table: String, n: Int): String = {
     val w = sqlWords("text")
     val sh = sqlShingles("ws", n)
     s"""WITH docs AS (SELECT doc_id, $w AS ws FROM $table),
@@ -647,13 +660,17 @@ object Dedup {
        |  FROM f),
        |isl AS (SELECT doc_id, pos,
        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM brk)
-       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-       |  CAST(max(pos) + $n AS INT) AS span_end,
-       |  CAST(count(*) AS BIGINT) AS n_pos
-       |FROM isl GROUP BY doc_id, island
-       |ORDER BY doc_id, span_start""".stripMargin
+       |  FROM brk),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |    CAST(max(pos) + $n AS INT) AS span_end,
+       |    CAST(count(*) AS BIGINT) AS n_pos
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
   }
+
+  def dupSpansSql(table: String, n: Int = 8): String =
+    s"""${sqlDupSpanCtes(table, n)}
+       |SELECT doc_id, span_start, span_end, n_pos FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** Duplicated-span EXCISION — the actionable half of the Lee-et-al.
     * pass that [[dupSpans]] only detects: every token inside a flagged
@@ -710,24 +727,7 @@ object Dedup {
     * survivors, docs left-joined back so zero-token docs survive).
     */
   def exciseSpansSql(table: String, n: Int = 8): String = {
-    val w = sqlWords("text")
-    val sh = sqlShingles("ws", n)
-    s"""WITH docs AS (SELECT doc_id, $w AS ws FROM $table),
-       |sh AS (SELECT doc_id, CAST(unnest(range(len(sg))) AS INT) AS pos,
-       |    unnest(sg) AS s
-       |  FROM (SELECT doc_id, $sh AS sg FROM docs)),
-       |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
-       |f AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
-       |brk AS (SELECT doc_id, pos,
-       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
-       |      THEN 0 ELSE 1 END AS b
-       |  FROM f),
-       |isl AS (SELECT doc_id, pos,
-       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM brk),
-       |spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-       |    CAST(max(pos) + $n AS INT) AS span_end
-       |  FROM isl GROUP BY doc_id, island),
+    s"""${sqlDupSpanCtes(table, n)},
        |tok AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos,
        |    unnest(ws) AS tok FROM docs),
        |cut AS (SELECT t.doc_id, t.pos, t.tok, s.doc_id IS NOT NULL AS cut

@@ -510,7 +510,8 @@ object Prep {
        |  JOIN comp c ON e.doc_id = c.doc_id WHERE c.component = e.doc_id),
        |scap AS (SELECT doc_id, lang, text FROM (
        |    SELECT *, row_number() OVER (PARTITION BY source
-       |      ORDER BY $spri, doc_id, lang, text) AS rn
+       |      ORDER BY $spri NULLS FIRST, doc_id NULLS FIRST,
+       |        lang NULLS FIRST, text NULLS FIRST) AS rn
        |    FROM canon) WHERE rn <= $capPerSource),
        |samp AS (SELECT doc_id, lang, text FROM scap
        |  WHERE ${sqlH32("CAST(doc_id AS VARCHAR) || ':mix1'")} % 1000000
