@@ -222,6 +222,17 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    "t9_quality_gate" -> ((s, dir) => {
+      // plant PII on every 3rd doc (t7's construct-identically-in-both-
+      // engines pattern) so the gate's pii_heavy branch is oracle-exercised
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or call 5551234567 now")))
+          .otherwise(lit("")))
+      TextAnalysis.qualityGate(
+        docs(s, dir).select(col("doc_id"), planted.as("text")))
+    }),
     "t7_redact" -> ((s, dir) => {
       // synthetic corpus has no PII, so plant deterministic email/number
       // strings in-query (the f1 construct-input-identically-in-both-engines
@@ -249,6 +260,12 @@ object SparkEntry {
     }),
     "d9_dup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir))),
     "d10_excise" -> ((s, dir) => Dedup.exciseSpans(docs(s, dir))),
+    "d11_contamination_bloom" -> ((s, dir) => {
+      // the un-broadcastable-probe-set variant of d7: bloom pre-filter
+      // before the shuffle join, exact verify after; same answer shape
+      val d = docs(s, dir)
+      Dedup.contaminationBloom(d, d.filter(col("doc_id") % 50 === 0))
+    }),
     "d8_line_dedup" -> ((s, dir) => {
       // CCNet-style cross-doc line dedup over the extracted pages table
       Corpus.ensure(s, dir)
@@ -476,6 +493,10 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
+    "t9_quality_gate" -> TextAnalysis.qualityGateSql(
+      "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
+        "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +
+        "ELSE '' END AS text FROM documents)"),
     "t7_redact" -> TextAnalysis.redactPiiSql(
       "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
         "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +
@@ -490,6 +511,8 @@ object SparkEntry {
     "d8_line_dedup" -> Dedup.lineDedupSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "d9_dup_spans" -> Dedup.dupSpansSql("documents"),
     "d10_excise" -> Dedup.exciseSpansSql("documents"),
+    "d11_contamination_bloom" ->
+      Dedup.contaminationBloomSql("documents", "doc_id % 50 = 0"),
     "s1_cos_neardup" -> Similarity.cosineNearDupPairsSql("embeddings", cellCap = 50),
     "s2_ann_brute" -> Similarity.bruteForceTopKSql("embeddings"),
     "s3_ann_ivf" -> Similarity.ivfTopKSql("embeddings"),

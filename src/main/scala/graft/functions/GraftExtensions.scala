@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.expr
 
 /** Session extension registering graft's native Catalyst functions.
@@ -59,6 +60,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FnvBucketExpression(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }
+    ))
+    // Spark's own runtime-filter bloom pair (BloomFilterAggregate /
+    // BloomFilterMightContain, the expressions InjectRuntimeFilter plants
+    // under shuffle joins) exposed as callable functions — they are NOT in
+    // the public FunctionRegistry. Both sides key on xxhash64(value), the
+    // same symmetry the optimizer rule uses; callers must hash identically
+    // on build and probe (see ops.Dedup.contaminationBloom).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c)        => new BloomFilterAggregate(c)
+        case Seq(c, n, b)  => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(xxhash64_col[, est_items, num_bits])")
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
     ))
   }
 }

@@ -506,6 +506,54 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Decontamination for probe sets too large to broadcast: the bloom
+    * semi-join. [[contamination]]'s broadcast of the distinct probe shingles
+    * stops working when the probe suite grows past the broadcast limit
+    * (100M distinct shingles ≈ 3 GB of strings); the exact join then has to
+    * shuffle BOTH sides — and the corpus side is 10^13 shingle rows at
+    * 100 TB, which makes that shuffle the whole job.
+    *
+    * This variant builds a bloom filter over the probe shingles as a
+    * distributed partial aggregate (Spark's own `BloomFilterAggregate`, the
+    * expression `InjectRuntimeFilter` plants under shuffle joins), pulls
+    * only the finished sketch to the driver — size is bounded by `numBits`
+    * (default 2^23 bits = 1 MB) regardless of corpus or probe size, the
+    * same O(1)-driver-state posture as the d6 convergence scalar — and
+    * plants it as a literal `might_contain` filter on the corpus shingles
+    * BEFORE the shuffle. Both sides key on `xxhash64(s)`, the symmetry the
+    * optimizer rule itself uses. A bloom has no false negatives, so the
+    * pre-filter only discards shingles that cannot match; the surviving
+    * ~hits + fpp·|corpus| rows go through the exact equi-join, making the
+    * OUTPUT exactly [[contamination]]'s — the bloom changes the plan, never
+    * the answer (the DuckDB oracle is the same SQL as d7's for that reason).
+    */
+  def contaminationBloom(docs: DataFrame, probes: DataFrame, n: Int = 6,
+                         estProbeShingles: Long = 1000000L,
+                         numBits: Long = 1L << 23): DataFrame = {
+    val docSh = shingleRows(docs, n, distinct = true)
+    val probeSh = shingleRows(probes, n, distinct = true).select(col("s")).distinct()
+    val bf = probeSh
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
+        lit(estProbeShingles), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val candidates =
+      if (bf == null) docSh.where(lit(false)) // empty probe set: no hits
+      else docSh.where(
+        call_function("graft_might_contain", lit(bf), xxhash64(col("s"))))
+    candidates.join(probeSh, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[contaminationBloom]] — deliberately the EXACT
+    * decontamination SQL: the bloom is a plan-level pre-filter with no
+    * false negatives followed by an exact verify join, so the result set is
+    * identical to [[contamination]]'s at any fpp.
+    */
+  def contaminationBloomSql(table: String, probePred: String, n: Int = 6): String =
+    contaminationSql(table, probePred, n)
+
   /** Per-doc DISTINCT shingle set as one array column, computed map-side in
     * the typed kernel (no shuffle; used to rescore candidate pairs exactly).
     */

@@ -249,6 +249,107 @@ object TextAnalysis {
        |    '$LongDigitPattern', '<NUM>', 'g') AS redacted
        |FROM $table ORDER BY doc_id""".stripMargin
 
+  /** Default thresholds of the composed [[qualityGate]] — public so tests
+    * and pipelines can reason about the gate without re-deriving them.
+    * Chosen so every branch of the gate is exercised (and therefore
+    * oracle-checked) on the synthetic corpus; a production pipeline passes
+    * its own.
+    */
+  val GateMinWords: Long = 16L
+  val GateMaxWords: Long = 90L
+  val GateMinScoreMicro: Long = 360000L
+  val GatePiiPerKword: Long = 50L
+
+  /** Composed keep/drop gate — the C4/Gopher-style document filter a
+    * training pipeline actually runs, as ONE operator: language-ID,
+    * quality score, length bounds, and PII density decided in a single
+    * pass with a named first-failing rule per doc.
+    *
+    * Everything is a narrow codegen projection over ONE scan: the stats
+    * struct is computed once (aliased, then field-projected — CollapseProject
+    * keeps one kernel eval per row), the PII counts are `regexp_count` over
+    * the same row, and no shuffle exists anywhere but the presentation sort.
+    * At 100 TB this runs map-only at input parallelism, which is the point
+    * of composing the gate instead of joining four per-op outputs — the
+    * JOIN of t1/t2/t7 outputs would shuffle the corpus three times for a
+    * row-local decision.
+    *
+    * Rule order is the documented funnel priority: too_short, too_long,
+    * no_lang, low_quality, pii_heavy; `drop_reason` is NULL for kept docs
+    * and `keep` mirrors it as 1/0.
+    */
+  def qualityGate(docs: DataFrame,
+                  minWords: Long = GateMinWords,
+                  maxWords: Long = GateMaxWords,
+                  minScoreMicro: Long = GateMinScoreMicro,
+                  piiPerKword: Long = GatePiiPerKword): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("text"), statsCol(col("text")).as("st"))
+      .select(
+        col("doc_id"),
+        col("st").getField("n_words").as("n_words"),
+        langPredFromStats(col("st")).as("lang_pred"),
+        qualityScoreMicroFromStats(col("st")).as("score_micro"),
+        regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(LongDigitPattern)).cast("long").as("n_digit_runs"))
+    scored
+      .withColumn("drop_reason",
+        when(col("n_words").isNull || col("n_words") < minWords, lit("too_short"))
+          .when(col("n_words") > maxWords, lit("too_long"))
+          .when(col("lang_pred") === "und", lit("no_lang"))
+          .when(col("score_micro") < minScoreMicro, lit("low_quality"))
+          .when((col("n_emails") + col("n_digit_runs")) * lit(1000L) >
+            col("n_words") * lit(piiPerKword), lit("pii_heavy"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", when(col("drop_reason").isNull, lit(1)).otherwise(lit(0)))
+      .orderBy("doc_id")
+  }
+
+  def qualityGateSql(table: String,
+                     minWords: Long = GateMinWords,
+                     maxWords: Long = GateMaxWords,
+                     minScoreMicro: Long = GateMinScoreMicro,
+                     piiPerKword: Long = GatePiiPerKword): String = {
+    val w = sqlWords("text")
+    val hitExpr = StopwordProfiles.map { case (l, sw) =>
+      val lst = sw.map(s => s"'$s'").mkString("[", ",", "]")
+      l -> s"CAST(len(list_filter($w, x -> list_contains($lst, x))) AS BIGINT) AS hits_$l"
+    }
+    val langs = hitExpr.map(_._1)
+    val langCases = langs.zipWithIndex.map { case (l, i) =>
+      val conds = (s"hits_$l > 0" +: langs.drop(i + 1).map(l2 => s"hits_$l >= hits_$l2"))
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val score = sqlMicro(
+      "0.4 * (CAST(hits_en AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)")
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(len($w) AS BIGINT) AS n_words,
+       |  ${hitExpr.map(_._2).mkString(",\n  ")},
+       |  CAST(len(list_filter($w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha_words,
+       |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$LongDigitPattern')) AS BIGINT) AS n_digit_runs
+       |  FROM $table),
+       |scored AS (SELECT doc_id, n_words,
+       |  CASE $langCases ELSE 'und' END AS lang_pred,
+       |  CASE WHEN n_words > 0 THEN $score ELSE 0 END AS score_micro,
+       |  n_emails, n_digit_runs FROM base),
+       |gated AS (SELECT *,
+       |  CASE WHEN n_words IS NULL OR n_words < $minWords THEN 'too_short'
+       |       WHEN n_words > $maxWords THEN 'too_long'
+       |       WHEN lang_pred = 'und' THEN 'no_lang'
+       |       WHEN score_micro < $minScoreMicro THEN 'low_quality'
+       |       WHEN (n_emails + n_digit_runs) * 1000 > n_words * $piiPerKword
+       |         THEN 'pii_heavy'
+       |       ELSE NULL END AS drop_reason
+       |  FROM scored)
+       |SELECT doc_id, n_words, lang_pred, score_micro, n_emails, n_digit_runs,
+       |  drop_reason, CAST(drop_reason IS NULL AS INT) AS keep
+       |FROM gated ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprinting: a rolling polynomial hash over word hashes
     * (mod 1e9+7 — keeps every intermediate < 2^35, ANSI-overflow-safe), plus
     * a winnowing-style min-hash over 4-gram window hashes.

@@ -88,7 +88,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("t-block text analysis ops are shuffle-free narrow projections") {
     Seq("t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
-        "t6_repetition", "t7_redact").foreach { q =>
+        "t6_repetition", "t7_redact", "t9_quality_gate").foreach { q =>
       val p = plan(q)
       // the only exchange allowed is the final presentation orderBy
       val body = p.substring(0, math.max(0, p.indexOf("Sort")))
@@ -101,7 +101,8 @@ class PlanSpec extends AnyFunSuite {
     Seq("t1_langid" -> "graft_text_stats",
         "t2_quality" -> "graft_text_stats",
         "t3_token_counts" -> "graft_text_stats",
-        "t4_fingerprint" -> "graft_fingerprint").foreach { case (q, fn) =>
+        "t4_fingerprint" -> "graft_fingerprint",
+        "t9_quality_gate" -> "graft_text_stats").foreach { case (q, fn) =>
       val p = plan(q)
       assert(p.contains(fn), s"$q must use the native $fn expression:\n$p")
       assert(!p.contains("lambdafunction"),
@@ -210,6 +211,15 @@ class PlanSpec extends AnyFunSuite {
   test("d7 contamination probes broadcast (no shuffle of the corpus side for the join)") {
     val p = plan("d7_contamination")
     assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+  }
+
+  test("d11 bloom decontamination: might_contain pre-filter guards the exact verify join") {
+    val p = plan("d11_contamination_bloom")
+    // the bloom literal must filter the corpus-shingle side BEFORE any join
+    // (the whole point: only surviving shingles reach the shuffle at 100 TB)
+    assert(p.contains("might_contain"), s"bloom pre-filter missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bloom decontamination must stay an equi-join:\n$p")
   }
 
   test("p2 stratified sample is a shuffle-free codegen filter") {

@@ -31,6 +31,52 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------- text analysis ----------
 
+  test("qualityGate: six outcomes with the documented funnel priority") {
+    val out = TextAnalysis.qualityGate(docsDf(
+      // 18 words, 10 en stopwords, all alpha -> score ~0.55: kept
+      0L -> "the cat and the dog sat on the mat with a hat and a bat and more words",
+      // 1 word AND zero stopwords: the length rule outranks no_lang
+      1L -> "xyzzy",
+      // 100 words AND zero stopwords: too_long outranks no_lang
+      2L -> Seq.fill(100)("w").mkString(" "),
+      // 20 words, zero stopword hits in any profile
+      3L -> Seq.fill(20)("xyzzy").mkString(" "),
+      // 20 words, 1 stopword, 1 alpha word -> score ~0.065 < 0.36
+      4L -> ("the " + (1 to 19).map(i => s"z$i").mkString(" ")),
+      // 18 words, en, score ok; 1 email + 1 long digit run = 2000 per-kword
+      // units > 18 * 50
+      5L -> "the cat and the dog sat on the mat with a hat user5@example.com 5551234567 extra words here now"
+    )).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("drop_reason")).getOrElse("kept"), r.getAs[Int]("keep")))
+    }.toMap
+    assert(out(0L) == (("kept", 1)))
+    assert(out(1L) == (("too_short", 0)))
+    assert(out(2L) == (("too_long", 0)))
+    assert(out(3L) == (("no_lang", 0)))
+    assert(out(4L) == (("low_quality", 0)))
+    assert(out(5L) == (("pii_heavy", 0)))
+  }
+
+  // ---------- bloom decontamination ----------
+
+  test("contaminationBloom: identical to exact contamination incl. null text") {
+    val corpus = docsDf(0L -> "a b c d e", 1L -> "x y z w v", 2L -> (null: String))
+    val probes = docsDf(100L -> "b c d q r") // shares exactly shingle "b c d" with doc 0
+    def rows(df: DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toSeq
+    val exact = rows(Dedup.contamination(corpus, probes, n = 3))
+    assert(exact == Seq(0L -> 1L))
+    assert(rows(Dedup.contaminationBloom(corpus, probes, n = 3)) == exact)
+  }
+
+  test("contaminationBloom: empty probe set is an empty result, not a null-bloom failure") {
+    val corpus = docsDf(0L -> "a b c d e")
+    val out = Dedup.contaminationBloom(corpus, docsDf(), n = 3)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("doc_id", "n_hits"))
+  }
+
   test("langId: stopword argmax with fixed priority tie-break") {
     val df = TextAnalysis.langId(docsDf(
       0L -> "the cat and the dog",          // en
