@@ -222,6 +222,8 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    "t10_quality_threshold" -> ((s, dir) =>
+      TextAnalysis.qualityThreshold(docs(s, dir))),
     "t9_quality_gate" -> ((s, dir) => {
       // plant PII on every 3rd doc (t7's construct-identically-in-both-
       // engines pattern) so the gate's pii_heavy branch is oracle-exercised
@@ -493,6 +495,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
+    "t10_quality_threshold" -> TextAnalysis.qualityThresholdSql("documents"),
     "t9_quality_gate" -> TextAnalysis.qualityGateSql(
       "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
         "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +

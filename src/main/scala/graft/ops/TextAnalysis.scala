@@ -350,6 +350,61 @@ object TextAnalysis {
        |FROM gated ORDER BY doc_id""".stripMargin
   }
 
+  /** Dynamic per-language quality floor: keep a doc iff its quality score
+    * reaches the language's p-th percentile — the data-driven variant of
+    * [[qualityGate]]'s fixed threshold (a fixed cut tuned on English drops
+    * half of another language; a per-lang percentile self-calibrates).
+    *
+    * Shape at 100 TB: the threshold table is ONE ROW PER LANGUAGE, so it
+    * comes from a regular partial-agg shuffle and BROADCASTS back — never a
+    * `Window.partitionBy(lang)` over the corpus, which would sort each
+    * language's 10^11 rows in its own task. The percentile is EXACT yet
+    * scale-safe: `percentile_disc` aggregates a count-map keyed by the
+    * VALUE, and score_micro is quantized to <= 1e6 distinct values, so the
+    * aggregation state is O(distinct scores) = O(1e6) per language, not
+    * O(docs). (Spark's DOUBLE return is cast back to BIGINT — discrete
+    * percentiles return an actual member value, so the cast is exact.)
+    * The join-back is null-safe (`<=>`) per the r4 null-key lesson.
+    */
+  def qualityThreshold(docs: DataFrame, p: Double = 0.10): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val scored = docs
+      .select(col("doc_id"), col("lang"), statsCol(col("text")).as("st"))
+      .select(col("doc_id"), col("lang"),
+        qualityScoreMicroFromStats(col("st")).as("score_micro"))
+    val th = scored.groupBy(col("lang"))
+      .agg(expr(s"CAST(percentile_disc($p) WITHIN GROUP (ORDER BY score_micro) AS BIGINT)")
+        .as("thresh_micro"))
+      .withColumnRenamed("lang", "lang_t")
+    scored.join(broadcast(th), col("lang") <=> col("lang_t"))
+      .select(col("doc_id"), col("lang"), col("score_micro"), col("thresh_micro"),
+        when(col("score_micro") >= col("thresh_micro"), lit(1)).otherwise(lit(0))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
+  def qualityThresholdSql(table: String, p: Double = 0.10): String = {
+    val w = sqlWords("text")
+    val stop = StopwordProfiles.head._2.map(s => s"'$s'").mkString("[", ",", "]")
+    val score = sqlMicro(
+      "0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)")
+    s"""WITH base AS (SELECT doc_id, lang,
+       |  CAST(len($w) AS BIGINT) AS n_words,
+       |  CAST(len(list_filter($w, x -> list_contains($stop, x))) AS BIGINT) AS stop_hits,
+       |  CAST(len(list_filter($w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha_words
+       |  FROM $table),
+       |scored AS (SELECT doc_id, lang,
+       |  CASE WHEN n_words > 0 THEN $score ELSE 0 END AS score_micro FROM base),
+       |th AS (SELECT lang, CAST(percentile_disc($p) WITHIN GROUP (ORDER BY score_micro) AS BIGINT) AS thresh_micro
+       |  FROM scored GROUP BY lang)
+       |SELECT doc_id, scored.lang AS lang, score_micro, thresh_micro,
+       |  CAST(score_micro >= thresh_micro AS INT) AS kept
+       |FROM scored JOIN th ON scored.lang IS NOT DISTINCT FROM th.lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprinting: a rolling polynomial hash over word hashes
     * (mod 1e9+7 — keeps every intermediate < 2^35, ANSI-overflow-safe), plus
     * a winnowing-style min-hash over 4-gram window hashes.

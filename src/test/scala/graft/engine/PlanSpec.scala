@@ -213,6 +213,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
   }
 
+  test("t10 quality threshold: per-lang floor is agg+broadcast-join, never a corpus window") {
+    val p = plan("t10_quality_threshold")
+    assert(!p.contains("Window"),
+      s"per-lang percentile must not be a Window over the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the one-row-per-lang threshold table must broadcast back:\n$p")
+    // exact percentile via the count-map aggregate, with a partial phase
+    assert(p.contains("ObjectHashAggregate"), s"percentile agg missing:\n$p")
+  }
+
   test("d11 bloom decontamination: might_contain pre-filter guards the exact verify join") {
     val p = plan("d11_contamination_bloom")
     // the bloom literal must filter the corpus-shingle side BEFORE any join

@@ -58,6 +58,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == (("pii_heavy", 0)))
   }
 
+  test("qualityThreshold: per-lang p10 floor is an exact member value; null lang survives") {
+    import spark.implicits._
+    // en scores are strictly increasing with word count here; 10 docs ->
+    // p10 = the lowest score (exactly one doc sits AT the floor and is kept)
+    val docs = ((1 to 10).map(i =>
+        (i.toLong, "en", ("the " * i).trim)) :+
+        ((99L, null.asInstanceOf[String], "the a and of")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.qualityThreshold(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score_micro"), r.getAs[Long]("thresh_micro"), r.getAs[Int]("kept"))))
+      .toMap
+    val enScores = (1 to 10).map(i => out(i.toLong)._1)
+    assert(enScores == enScores.sorted && enScores.distinct.size == 10)
+    val floor = enScores.min
+    (1 to 10).foreach { i =>
+      assert(out(i.toLong)._2 == floor) // the floor IS a member value
+      assert(out(i.toLong)._3 == (if (out(i.toLong)._1 >= floor) 1 else 0))
+    }
+    assert(out(1L)._3 == 1) // the doc AT the p10 floor is kept, not dropped
+    // the null-lang group forms its own stratum and is never lost to the join
+    assert(out(99L)._2 == out(99L)._1 && out(99L)._3 == 1)
+    // p=0.5 over 10 distinct scores: floor = 5th value -> exactly 4 dropped
+    val strict = TextAnalysis.qualityThreshold(docs, p = 0.5).collect()
+      .filter(_.getAs[String]("lang") == "en")
+    assert(strict.count(_.getAs[Int]("kept") == 0) == 4)
+    assert(strict.count(_.getAs[Int]("kept") == 1) == 6)
+  }
+
   // ---------- bloom decontamination ----------
 
   test("contaminationBloom: identical to exact contamination incl. null text") {
