@@ -323,6 +323,8 @@ object SparkEntry {
     "p1_prep_funnel" -> ((s, dir) => Prep.funnel(docs(s, dir))),
     "p2_sample" -> ((s, dir) =>
       Prep.stratifiedSample(docs(s, dir), SampleRates, defaultRate = 0.35)),
+    "p9_mixture" -> ((s, dir) =>
+      Prep.mixtureSample(docs(s, dir), MixtureWeights, MixtureBudgetChars)),
     "p3_url_hosts" -> ((s, dir) => {
       Corpus.ensure(s, dir)
       Prep.urlHostStats(s.read.parquet(Corpus.pagesPath(dir)))
@@ -407,6 +409,11 @@ object SparkEntry {
   // mixture weights for the p2 stratified-sampling query (es exercises the
   // defaultRate fallback branch)
   private val SampleRates = Seq("en" -> 0.75, "zh" -> 0.2, "de" -> 0.5, "fr" -> 0.05)
+  // p9 mixture: src5's quota exceeds its mass (rate saturates at 1.0), the
+  // others land fractional, 15 unlisted sources are excluded by weight 0
+  private val MixtureWeights =
+    Seq("src0" -> 4L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L, "src5" -> 8L)
+  private val MixtureBudgetChars = 20000L
 
   def oracleSql: Map[String, String] = Map(
     "x1_extract_text" ->
@@ -527,6 +534,8 @@ object SparkEntry {
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
     "p1_prep_funnel" -> Prep.funnelSql("documents"),
     "p2_sample" -> Prep.stratifiedSampleSql("documents", SampleRates, defaultRate = 0.35),
+    "p9_mixture" ->
+      Prep.mixtureSampleSql("documents", MixtureWeights, MixtureBudgetChars),
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksAutoSql("documents"),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,

@@ -104,6 +104,66 @@ object Prep {
        |WHERE g < rate_micro ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-budget mixture sampling — the closed-loop form of [[stratifiedSample]]:
+    * instead of taking fixed rates, derive each source's keep-rate from its
+    * OBSERVED character mass so the sampled corpus hits a target mixture.
+    * Given integer weight parts `weights` (summing to W) and a total budget
+    * of `budgetChars`, source s gets rate = min(1, budget·w_s / (W·chars_s))
+    * — i.e. the sample aims at budget·w_s/W characters from s; a source too
+    * small for its quota saturates at 1.0 (all kept; the shortfall is the
+    * mixture report's business, not silently rebalanced). Unlisted sources
+    * get weight 0 and are excluded.
+    *
+    * Shape at 100 TB: the observed-mass table is one row per source (partial
+    * agg), rates derive from it row-locally and BROADCAST back (null-safe
+    * `<=>`), and the gate itself is [[stratifiedSample]]'s deterministic
+    * hash predicate — codegen filter, reproducible across retries and
+    * partition layouts, resumable. Rate arithmetic is double with a fixed
+    * operation order mirrored token-for-token in the SQL so IEEE rounding
+    * cannot diverge between engines.
+    */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Long)],
+                    budgetChars: Long, salt: String = "mix9"): DataFrame = {
+    val wSum = weights.map(_._2).sum
+    require(wSum > 0, "mixtureSample needs at least one positive weight")
+    val wCol = weights.foldRight(lit(0L)) { case ((s0, w), acc) =>
+      when(col("source") === s0, lit(w)).otherwise(acc)
+    }
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+      .select(col("source").as("source_r"),
+        least(lit(1000000L),
+          floor(lit(budgetChars.toDouble) * wCol.cast("double") /
+            (lit(wSum.toDouble) * col("chars").cast("double")) * lit(1000000.0))
+            .cast("long"))
+          .as("rate_micro"))
+    docs.join(broadcast(rates), col("source") <=> col("source_r"))
+      .where(h32(concat(col("doc_id").cast("string"), lit(":" + salt))) % 1000000L
+        < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rate_micro"))
+      .orderBy("doc_id")
+  }
+
+  def mixtureSampleSql(table: String, weights: Seq[(String, Long)],
+                       budgetChars: Long, salt: String = "mix9"): String = {
+    val wSum = weights.map(_._2).sum
+    val wCase = weights.map { case (s0, w) => s"WHEN source = '$s0' THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    // wCol references mass's source column; operation order mirrors the
+    // Spark side exactly: ((budget * w) / (wSum * chars)) * 1e6
+    s"""WITH mass AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM $table GROUP BY source),
+       |rates AS (SELECT source AS source_r,
+       |  least(1000000, CAST(floor(
+       |    CAST($budgetChars AS DOUBLE) * CAST(($wCase) AS DOUBLE) /
+       |    (CAST($wSum AS DOUBLE) * CAST(chars AS DOUBLE)) * 1000000.0)
+       |    AS BIGINT)) AS rate_micro FROM mass)
+       |SELECT doc_id, source, n_chars, rate_micro
+       |FROM $table t JOIN rates r ON t.source IS NOT DISTINCT FROM r.source_r
+       |WHERE ${sqlH32(s"CAST(doc_id AS VARCHAR) || ':$salt'")} % 1000000 < rate_micro
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def funnelSql(table: String, lang: String = "en", minScoreMicro: Long = 250000L): String = {
     val w = sqlWords("text")
     val stop = TextAnalysis.StopwordProfiles.head._2.map(s => s"'$s'").mkString("[", ",", "]")

@@ -223,6 +223,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"percentile agg missing:\n$p")
   }
 
+  test("p9 mixture sampling: mass agg broadcasts back; gate is a codegen hash filter, no window") {
+    val p = plan("p9_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source rate table must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in the mixture plan:\n$p")
+    assert(!p.contains("lambdafunction"), s"gate must stay codegen:\n$p")
+  }
+
   test("d11 bloom decontamination: might_contain pre-filter guards the exact verify join") {
     val p = plan("d11_contamination_bloom")
     // the bloom literal must filter the corpus-shingle side BEFORE any join

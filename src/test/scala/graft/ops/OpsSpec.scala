@@ -87,6 +87,35 @@ class OpsSpec extends AnyFunSuite {
     assert(strict.count(_.getAs[Int]("kept") == 1) == 6)
   }
 
+  test("mixtureSample: rates derive from observed mass; saturation; unlisted sources excluded") {
+    import spark.implicits._
+    // srcA: 4 docs x 100 chars = 400; srcB: 2 x 100 = 200; srcC unlisted
+    val docs = Seq(
+      (0L, "srcA", 100L), (1L, "srcA", 100L), (2L, "srcA", 100L), (3L, "srcA", 100L),
+      (4L, "srcB", 100L), (5L, "srcB", 100L),
+      (6L, "srcC", 100L)
+    ).toDF("doc_id", "source", "n_chars")
+    // weights A=1, B=1 (W=2), budget 400: rate_A = 400*1/(2*400) = 0.5,
+    // rate_B = 400*1/(2*200) = 1.0 (saturated), srcC weight 0 -> excluded
+    val out = Prep.mixtureSample(docs, Seq("srcA" -> 1L, "srcB" -> 1L), 400L).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(!bySrc.contains("srcC"))
+    assert(bySrc("srcB").map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(4L, 5L),
+      "saturated source keeps every doc")
+    assert(out.forall(r => r.getAs[String]("source") match {
+      case "srcA" => r.getAs[Long]("rate_micro") == 500000L
+      case "srcB" => r.getAs[Long]("rate_micro") == 1000000L
+      case _ => false
+    }))
+    // the srcA subset is exactly the deterministic hash gate at 0.5 — a
+    // re-run (resumability) returns the same rows
+    val again = Prep.mixtureSample(docs, Seq("srcA" -> 1L, "srcB" -> 1L), 400L).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == again.map(_.getAs[Long]("doc_id")).toSeq)
+    // a budget twice the corpus saturates every listed source
+    val all = Prep.mixtureSample(docs, Seq("srcA" -> 1L, "srcB" -> 1L), 1200L).collect()
+    assert(all.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
   // ---------- bloom decontamination ----------
 
   test("contaminationBloom: identical to exact contamination incl. null text") {
