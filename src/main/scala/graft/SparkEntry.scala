@@ -224,29 +224,16 @@ object SparkEntry {
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     "t10_quality_threshold" -> ((s, dir) =>
       TextAnalysis.qualityThreshold(docs(s, dir))),
-    "t9_quality_gate" -> ((s, dir) => {
-      // plant PII on every 3rd doc (t7's construct-identically-in-both-
-      // engines pattern) so the gate's pii_heavy branch is oracle-exercised
-      val planted = concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" contact: user"), col("doc_id").cast("string"),
-            lit("@example.com or call 5551234567 now")))
-          .otherwise(lit("")))
+    "t9_quality_gate" -> ((s, dir) =>
+      // plant PII on every 3rd doc (the shared plantedPii construct) so the
+      // gate's pii_heavy branch is oracle-exercised
       TextAnalysis.qualityGate(
-        docs(s, dir).select(col("doc_id"), planted.as("text")))
-    }),
-    "t7_redact" -> ((s, dir) => {
+        docs(s, dir).select(col("doc_id"), plantedPii.as("text")))),
+    "t7_redact" -> ((s, dir) =>
       // synthetic corpus has no PII, so plant deterministic email/number
-      // strings in-query (the f1 construct-input-identically-in-both-engines
-      // pattern) and scrub them
-      val planted = concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" contact: user"), col("doc_id").cast("string"),
-            lit("@example.com or call 5551234567 now")))
-          .otherwise(lit("")))
+      // strings in-query (the shared plantedPii construct) and scrub them
       TextAnalysis.redactPii(
-        docs(s, dir).select(col("doc_id"), planted.as("text")))
-    }),
+        docs(s, dir).select(col("doc_id"), plantedPii.as("text")))),
     // --- deduplication family ---
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "d2_minhash_lsh" -> ((s, dir) => Dedup.lshCandidatePairs(docs(s, dir))),
@@ -409,6 +396,18 @@ object SparkEntry {
   // mixture weights for the p2 stratified-sampling query (es exercises the
   // defaultRate fallback branch)
   private val SampleRates = Seq("en" -> 0.75, "zh" -> 0.2, "de" -> 0.5, "fr" -> 0.05)
+  // the planted-PII construct shared by t7 and t9 — ONE Spark definition and
+  // ONE SQL mirror, because the construct-identically-in-both-engines
+  // pattern requires all consuming sites to stay token-identical
+  private def plantedPii: org.apache.spark.sql.Column = concat(col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com or call 5551234567 now")))
+      .otherwise(lit("")))
+  private val PlantedPiiSqlTable: String =
+    "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
+      "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +
+      "ELSE '' END AS text FROM documents)"
   // p9 mixture: src5's quota exceeds its mass (rate saturates at 1.0), the
   // others land fractional, 15 unlisted sources are excluded by weight 0
   private val MixtureWeights =
@@ -503,14 +502,8 @@ object SparkEntry {
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
     "t10_quality_threshold" -> TextAnalysis.qualityThresholdSql("documents"),
-    "t9_quality_gate" -> TextAnalysis.qualityGateSql(
-      "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
-        "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +
-        "ELSE '' END AS text FROM documents)"),
-    "t7_redact" -> TextAnalysis.redactPiiSql(
-      "(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
-        "THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or call 5551234567 now' " +
-        "ELSE '' END AS text FROM documents)"),
+    "t9_quality_gate" -> TextAnalysis.qualityGateSql(PlantedPiiSqlTable),
+    "t7_redact" -> TextAnalysis.redactPiiSql(PlantedPiiSqlTable),
     "d1_dedup_exact" -> Dedup.exactSql("documents"),
     "d2_minhash_lsh" -> Dedup.lshCandidatePairsSql("documents"),
     "d3_simhash" -> Dedup.simhashSql("documents"),

@@ -80,7 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain(bloom_binary, xxhash64_value) takes exactly 2 args")
+        BloomFilterMightContain(children(0), children(1))
+      }
     ))
   }
 }

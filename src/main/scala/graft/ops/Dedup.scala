@@ -515,31 +515,35 @@ object Dedup {
     *
     * This variant builds a bloom filter over the probe shingles as a
     * distributed partial aggregate (Spark's own `BloomFilterAggregate`, the
-    * expression `InjectRuntimeFilter` plants under shuffle joins), pulls
-    * only the finished sketch to the driver — size is bounded by `numBits`
-    * (default 2^23 bits = 1 MB) regardless of corpus or probe size, the
-    * same O(1)-driver-state posture as the d6 convergence scalar — and
-    * plants it as a literal `might_contain` filter on the corpus shingles
-    * BEFORE the shuffle. Both sides key on `xxhash64(s)`, the symmetry the
-    * optimizer rule itself uses. A bloom has no false negatives, so the
-    * pre-filter only discards shingles that cannot match; the surviving
-    * ~hits + fpp·|corpus| rows go through the exact equi-join, making the
-    * OUTPUT exactly [[contamination]]'s — the bloom changes the plan, never
-    * the answer (the DuckDB oracle is the same SQL as d7's for that reason).
+    * expression `InjectRuntimeFilter` plants under shuffle joins) and feeds
+    * it to the `might_contain` pre-filter on the corpus shingles as a
+    * SCALAR SUBQUERY — exactly the shape the optimizer rule itself plants:
+    * the sketch (bounded by `numBits`, default 2^23 bits = 1 MB, regardless
+    * of corpus or probe size) is computed once per query and broadcast as a
+    * subquery result, never collected to the driver and never embedded as a
+    * plan literal that every stage's task binary would re-ship. Both sides
+    * key on `xxhash64(s)`, the optimizer rule's own symmetry. An empty
+    * probe set needs no special case: the aggregate yields NULL and
+    * `might_contain(NULL, x)` filters everything — no hits, same as the
+    * exact form. A bloom has no false negatives, so the pre-filter only
+    * discards shingles that cannot match; the surviving ~hits +
+    * fpp·|corpus| rows go through the exact equi-join, making the OUTPUT
+    * exactly [[contamination]]'s — the bloom changes the plan, never the
+    * answer (the DuckDB oracle is the same SQL as d7's for that reason).
     */
   def contaminationBloom(docs: DataFrame, probes: DataFrame, n: Int = 6,
                          estProbeShingles: Long = 1000000L,
                          numBits: Long = 1L << 23): DataFrame = {
-    val docSh = shingleRows(docs, n, distinct = true)
+    val spark = docs.sparkSession
     val probeSh = shingleRows(probes, n, distinct = true).select(col("s")).distinct()
-    val bf = probeSh
-      .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
-        lit(estProbeShingles), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    val candidates =
-      if (bf == null) docSh.where(lit(false)) // empty probe set: no hits
-      else docSh.where(
-        call_function("graft_might_contain", lit(bf), xxhash64(col("s"))))
+    shingleRows(docs, n, distinct = true).createOrReplaceTempView("graft_bloom_corpus_sh")
+    probeSh.createOrReplaceTempView("graft_bloom_probe_sh")
+    val candidates = spark.sql(
+      s"""SELECT doc_id, s FROM graft_bloom_corpus_sh
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(s), ${estProbeShingles}L, ${numBits}L)
+         |   FROM graft_bloom_probe_sh),
+         |  xxhash64(s))""".stripMargin)
     candidates.join(probeSh, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))

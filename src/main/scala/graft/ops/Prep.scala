@@ -75,13 +75,22 @@ object Prep {
   /** The keep-predicate of [[stratifiedSample]] as a reusable codegen
     * Column (shared with the composed pipeline p8).
     */
+  /** The deterministic per-doc sampling gate in [0, 1e6) — ONE definition
+    * (plus [[sqlSampleGate]], its SQL mirror) shared by p2, p8 and p9 so the
+    * resumability semantics cannot drift between the samplers.
+    */
+  private[ops] def sampleGate(salt: String): org.apache.spark.sql.Column =
+    h32(concat(col("doc_id").cast("string"), lit(":" + salt))) % 1000000L
+
+  private[ops] def sqlSampleGate(salt: String): String =
+    s"${sqlH32(s"CAST(doc_id AS VARCHAR) || ':$salt'")} % 1000000"
+
   private[ops] def sampleKeep(rates: Seq[(String, Double)],
       defaultRate: Double, salt: String): org.apache.spark.sql.Column = {
-    val gate = h32(concat(col("doc_id").cast("string"), lit(":" + salt))) % 1000000L
     val rateCol = rates.foldRight(lit((defaultRate * 1e6).toLong)) { case ((l, r), acc) =>
       when(col("lang") === l, lit((r * 1e6).toLong)).otherwise(acc)
     }
-    gate < rateCol
+    sampleGate(salt) < rateCol
   }
 
   def stratifiedSample(docs: DataFrame, rates: Seq[(String, Double)],
@@ -98,7 +107,7 @@ object Prep {
       .mkString("CASE ", " ", s" ELSE ${(defaultRate * 1e6).toLong} END")
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang,
-       |    ${sqlH32(s"CAST(doc_id AS VARCHAR) || ':$salt'")} % 1000000 AS g,
+       |    ${sqlSampleGate(salt)} AS g,
        |    $cases AS rate_micro
        |  FROM $table)
        |WHERE g < rate_micro ORDER BY doc_id""".stripMargin
@@ -120,7 +129,12 @@ object Prep {
     * hash predicate — codegen filter, reproducible across retries and
     * partition layouts, resumable. Rate arithmetic is double with a fixed
     * operation order mirrored token-for-token in the SQL so IEEE rounding
-    * cannot diverge between engines.
+    * cannot diverge between engines. Degenerate masses are guarded BEFORE
+    * the division (weight 0 -> rate 0 always; weighted source with zero or
+    * NULL observed chars -> saturates like any quota-starved source): an
+    * unguarded x/0 would throw under Spark's ANSI mode while DuckDB's
+    * inf-cast path silently kept the source, and `least(1e6, NULL)` skips
+    * NULLs in BOTH engines — turning an unknown rate into keep-everything.
     */
   def mixtureSample(docs: DataFrame, weights: Seq[(String, Long)],
                     budgetChars: Long, salt: String = "mix9"): DataFrame = {
@@ -132,14 +146,15 @@ object Prep {
     val rates = docs.groupBy(col("source"))
       .agg(sum(col("n_chars")).as("chars"))
       .select(col("source").as("source_r"),
-        least(lit(1000000L),
-          floor(lit(budgetChars.toDouble) * wCol.cast("double") /
-            (lit(wSum.toDouble) * col("chars").cast("double")) * lit(1000000.0))
-            .cast("long"))
+        when(wCol === 0L, lit(0L))
+          .when(col("chars").isNull || col("chars") <= 0L, lit(1000000L))
+          .otherwise(least(lit(1000000L),
+            floor(lit(budgetChars.toDouble) * wCol.cast("double") /
+              (lit(wSum.toDouble) * col("chars").cast("double")) * lit(1000000.0))
+              .cast("long")))
           .as("rate_micro"))
     docs.join(broadcast(rates), col("source") <=> col("source_r"))
-      .where(h32(concat(col("doc_id").cast("string"), lit(":" + salt))) % 1000000L
-        < col("rate_micro"))
+      .where(sampleGate(salt) < col("rate_micro"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("rate_micro"))
       .orderBy("doc_id")
   }
@@ -154,13 +169,15 @@ object Prep {
     s"""WITH mass AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
        |  FROM $table GROUP BY source),
        |rates AS (SELECT source AS source_r,
-       |  least(1000000, CAST(floor(
+       |  CASE WHEN ($wCase) = 0 THEN 0
+       |       WHEN chars IS NULL OR chars <= 0 THEN 1000000
+       |       ELSE least(1000000, CAST(floor(
        |    CAST($budgetChars AS DOUBLE) * CAST(($wCase) AS DOUBLE) /
        |    (CAST($wSum AS DOUBLE) * CAST(chars AS DOUBLE)) * 1000000.0)
-       |    AS BIGINT)) AS rate_micro FROM mass)
+       |    AS BIGINT)) END AS rate_micro FROM mass)
        |SELECT doc_id, source, n_chars, rate_micro
        |FROM $table t JOIN rates r ON t.source IS NOT DISTINCT FROM r.source_r
-       |WHERE ${sqlH32(s"CAST(doc_id AS VARCHAR) || ':$salt'")} % 1000000 < rate_micro
+       |WHERE ${sqlSampleGate(salt)} < rate_micro
        |ORDER BY doc_id""".stripMargin
   }
 

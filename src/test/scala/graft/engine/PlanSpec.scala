@@ -231,13 +231,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), s"gate must stay codegen:\n$p")
   }
 
-  test("d11 bloom decontamination: might_contain pre-filter guards the exact verify join") {
-    val p = plan("d11_contamination_bloom")
-    // the bloom literal must filter the corpus-shingle side BEFORE any join
-    // (the whole point: only surviving shingles reach the shuffle at 100 TB)
-    assert(p.contains("might_contain"), s"bloom pre-filter missing from the plan:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"bloom decontamination must stay an equi-join:\n$p")
+  test("d11 bloom decontamination: might_contain pre-filter sits BELOW the verify join, corpus side") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    Corpus.ensure(spark, sfDir)
+    val sp = SparkEntry.queries("d11_contamination_bloom")(spark, sfDir)
+      .queryExecution.sparkPlan
+    def blooms(p: SparkPlan): Seq[FilterExec] =
+      p.collect { case f: FilterExec if f.condition.toString.contains("might_contain") => f }
+    val joins = sp.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"verify equi-join missing:\n$sp")
+    // the outermost join is the exact verify; the bloom must prune its
+    // corpus side (the one carrying doc_id) BEFORE the join — only
+    // surviving shingles may reach the shuffle at 100 TB
+    val verify = joins.head
+    val corpusSide = Seq(verify.left, verify.right)
+      .filter(_.output.exists(_.name == "doc_id"))
+    assert(corpusSide.size == 1, s"exactly one join side carries doc_id:\n$sp")
+    assert(blooms(corpusSide.head).nonEmpty,
+      s"bloom pre-filter must sit below the join on the corpus side:\n$sp")
+    // every bloom filter lives BELOW the join (the optimizer legitimately
+    // propagates a copy to the probe side through the s-equi-join
+    // constraint; a bloom ABOVE the join would mean the shuffle ran first)
+    assert(blooms(sp).size == blooms(verify.left).size + blooms(verify.right).size,
+      s"might_contain must never sit above the verify join:\n$sp")
+    assert(!sp.toString.contains("CartesianProduct"),
+      s"bloom decontamination must stay an equi-join:\n$sp")
   }
 
   test("p2 stratified sample is a shuffle-free codegen filter") {

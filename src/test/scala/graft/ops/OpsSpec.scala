@@ -116,6 +116,23 @@ class OpsSpec extends AnyFunSuite {
     assert(all.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("mixtureSample: zero-mass and NULL-mass sources neither crash (ANSI /0) nor leak") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "srcA", Some(100L)),
+      (1L, "srcZero", Some(0L)), (2L, "srcZero", Some(0L)), // weighted, zero mass
+      (3L, "srcNull", None), (4L, "srcNull", None)          // UNLISTED, null mass
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Prep.mixtureSample(docs, Seq("srcA" -> 1L, "srcZero" -> 1L), 100L).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // weighted source with no observed mass saturates (quota-starved), no /0
+    assert(bySrc("srcZero").map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    assert(bySrc("srcZero").forall(_.getAs[Long]("rate_micro") == 1000000L))
+    // an unlisted source is excluded even when its NULL mass makes the raw
+    // rate expression NULL (least() would have skipped the NULL -> keep-all)
+    assert(!bySrc.contains("srcNull"))
+  }
+
   // ---------- bloom decontamination ----------
 
   test("contaminationBloom: identical to exact contamination incl. null text") {
