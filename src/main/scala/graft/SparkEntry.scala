@@ -87,6 +87,23 @@ object SparkEntry {
       WindowedSpots.parseTop(s.read.parquet(Corpus.spotsPath(dir)), triuMode = true)
         .orderBy(col("doc_id"), col("head"), col("tail"))
     }),
+    "x5_incremental" -> ((s, dir) => {
+      // digest-level incremental re-extraction: `prev` simulates a prior
+      // run covering 80% of urls, with a seventh of its stored digests
+      // corrupted (stand-in for pages whose html changed since that run) —
+      // so the operator must reuse the clean 80%, re-extract the drifted
+      // and missing rest, and land byte-identical to the full extraction
+      // (the golden oracle, same as x1)
+      val p = pages(s, dir)
+      val prev = Pipeline
+        .extractWithDigest(p.filter(pmod(xxhash64(col("url")), lit(5)) =!= 0))
+        .withColumn("html_x64",
+          when(pmod(xxhash64(col("url")), lit(7)) === 0, col("html_x64") + 1)
+            .otherwise(col("html_x64")))
+      Pipeline.extractIncremental(p, prev)
+        .select(col("url"), col("text"), col("nTokens"), col("nLines"), col("nKv"))
+        .orderBy(col("url"))
+    }),
     // --- relational engine-support operators on driver tables ---
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -165,6 +182,22 @@ object SparkEntry {
       // substantive row set at the correctness sf (10min -> only 6 rows)
       graft.streaming.Streams.intervalJoinOneShot(
         s.read.parquet(s"$dir/events.parquet"), lagMinutes = 240)),
+    "q14_dim_prune" -> ((s, dir) => {
+      // dynamic partition pruning: the lang-partitioned pages fact joined
+      // to a FILE-BACKED language-dim filtered to tier1 — the tier filter
+      // cannot fold to a static IN-list, so pruning must happen at runtime
+      // from the broadcast dim scan (PlanSpec gates the
+      // dynamicpruningexpression in the fact scan's PartitionFilters)
+      Corpus.ensure(s, dir)
+      val fact = s.read.parquet(Corpus.pagesPath(dir))
+      val dim = s.read.parquet(Corpus.langDimPath(dir))
+        .filter(col("tier") === "tier1")
+      fact.join(broadcast(dim), "lang")
+        .groupBy(col("lang"), col("tier"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+        .orderBy("lang")
+    }),
     "q10_region_rev" -> ((s, dir) => {
       // classic star-chain rollup (TPC-H Q5 shape): fact joined through a
       // BROADCAST dimension chain customer -> nation -> region; at 10^12
@@ -260,6 +293,7 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       Dedup.lineDedup(s.read.parquet(Corpus.pagesPath(dir)))
     }),
+    "d12_best_canonical" -> ((s, dir) => Dedup.bestCanonical(docs(s, dir))),
     // --- embedding similarity / ANN ---
     // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
     // LSH-sub-bucketed (hot-cell guard), the rest keep exact within-cell pairs
@@ -327,6 +361,10 @@ object SparkEntry {
       // work at the correctness sf)
       Prep.endToEnd(docs(s, dir), SampleRates, defaultRate = 0.35,
         capPerSource = 15)),
+    "p10_url_latest" -> ((s, dir) => {
+      Corpus.ensure(s, dir)
+      Prep.latestSnapshot(s.read.parquet(Corpus.pagesPath(dir)))
+    }),
     "p5_host_cap" -> ((s, dir) => {
       Corpus.ensure(s, dir)
       Prep.hostCap(s.read.parquet(Corpus.pagesPath(dir)))
@@ -422,6 +460,17 @@ object SparkEntry {
     "x3_lineage" ->
       s"SELECT bucket, CAST(count(*) AS BIGINT) AS nDocs, CAST(sum(nTokens) AS BIGINT) AS nTokens, CAST(sum(nKv) AS BIGINT) AS nKv FROM read_parquet('$G') GROUP BY bucket ORDER BY bucket",
     "x4_spots_window" -> WindowedSpots.parseTopSql(S, triuMode = true),
+    // x5 must land byte-identical to the FULL extraction no matter what
+    // subset the prior run covered — so its oracle is exactly x1's golden
+    "x5_incremental" ->
+      s"SELECT url, text, nTokens, nLines, nKv FROM read_parquet('$G') ORDER BY url",
+    "q14_dim_prune" ->
+      s"""SELECT f.lang, d.tier, CAST(count(*) AS BIGINT) AS n_pages,
+         |  CAST(sum(length(f.text)) AS BIGINT) AS sum_chars
+         |FROM read_parquet('${Corpus.pagesPath("sf0.01")}/*/*.parquet', hive_partitioning=1) f
+         |JOIN read_parquet('${Corpus.langDimPath("sf0.01")}/*.parquet') d USING (lang)
+         |WHERE d.tier = 'tier1'
+         |GROUP BY f.lang, d.tier ORDER BY f.lang""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -513,6 +562,7 @@ object SparkEntry {
     "d7_contamination" -> Dedup.contaminationSql("documents", "doc_id % 100 = 0"),
     "d8_line_dedup" -> Dedup.lineDedupSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "d9_dup_spans" -> Dedup.dupSpansSql("documents"),
+    "d12_best_canonical" -> Dedup.bestCanonicalSql("documents"),
     "d10_excise" -> Dedup.exciseSpansSql("documents"),
     "d11_contamination_bloom" ->
       Dedup.contaminationBloomSql("documents", "doc_id % 50 = 0"),
@@ -533,6 +583,8 @@ object SparkEntry {
     "p4_pack" -> Prep.packChunksAutoSql("documents"),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,
       defaultRate = 0.35, capPerSource = 15),
+    "p10_url_latest" ->
+      Prep.latestSnapshotSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p6_robots" -> Prep.robotsGateSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p7_crawl_freshness" -> Prep.crawlFreshnessSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),

@@ -42,6 +42,20 @@ object Corpus {
   def spotsPath(sfDir: String): String = s"${corpusDir(sfDir)}/spots.parquet"
   def mediaPath(sfDir: String): String = s"${corpusDir(sfDir)}/media.parquet"
   def spotsJsonPath(sfDir: String): String = s"${corpusDir(sfDir)}/spots.json"
+  def langDimPath(sfDir: String): String = s"${corpusDir(sfDir)}/langdim.parquet"
+
+  /** Tiny language-dimension table (lang, tier, weight) — the dim side of
+    * the q14 dynamic-partition-pruning join over the lang-partitioned
+    * pages table. File-backed ON PURPOSE: an inline LocalRelation would
+    * let Catalyst fold the tier filter into a static IN-list, and the gate
+    * is that the partition pruning happens at RUNTIME from the dim scan.
+    */
+  final case class LangDim(lang: String, tier: String, weight: Double)
+
+  def langDimRows: Seq[LangDim] =
+    CorpusGen.Langs.zipWithIndex.map { case (l, i) =>
+      LangDim(l, s"tier${i / 3 + 1}", 1.0 / (i + 1))
+    }
 
   /** Oracle-side golden: annotation -> token sample -> decode, NEVER
     * touching HTML (independent path from the engine's parse+lineize).
@@ -120,6 +134,10 @@ object Corpus {
       spark.range(0, math.min(n, 2000).toLong, 1, 8)
         .map(i => graft.ops.Media.rowFor(i))
         .write.mode("overwrite").parquet(mediaPath(sfDir))
+    }
+    if (!exists(langDimPath(sfDir))) {
+      spark.createDataset(langDimRows).coalesce(1)
+        .write.mode("overwrite").parquet(langDimPath(sfDir))
     }
     if (!exists(spotsJsonPath(sfDir))) {
       // JSON fixture dump (SURVEY.md §2 A1: annotation files are JSON in

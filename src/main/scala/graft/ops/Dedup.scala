@@ -474,6 +474,69 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-aware canonical per near-dup cluster — what a production
+    * dedup keeps: not the minimum doc_id but the HIGHEST-QUALITY member of
+    * each [[dedupComponents]] component (CCNet/RefinedWeb keep-best-copy),
+    * with min-doc_id only as the final tie-break. Emits one row per
+    * component: (component, n_members, best_doc, best_score_micro).
+    *
+    * Shape at 100 TB: component labels join the [[TextAnalysis]] quality
+    * micro-score (one narrow native-expression pass), then winners fall
+    * out of the agg+join idiom — NOT a window over the component key:
+    * stage 1 collapses each component to (n_members, best_score) with
+    * map-side partial agg (a giant boilerplate cluster collapses inside
+    * its input partitions), stage 2 equi-joins the best score back and
+    * min-reduces doc_id among score-tied members. Every shuffle keys on
+    * component with a partial aggregate in front; AQE splits whatever
+    * skew survives the partials.
+    */
+  def bestCanonical(docs: DataFrame, k: Int = 8, n: Int = 4): DataFrame =
+    bestCanonicalOver(dedupComponents(docs, k, n), docs)
+
+  /** The selection stage over explicit `(doc_id, component)` labels —
+    * public so a pipeline that already materialized its component table
+    * (the common case: components are computed once, canonicals re-picked
+    * per policy) composes without re-running the LSH graph, and so the
+    * quality-beats-id / tie-break semantics are testable without
+    * depending on which docs the LSH graph happens to link.
+    */
+  def bestCanonicalOver(comps: DataFrame, docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScoreMicroFromStats(
+        TextAnalysis.statsCol(col("text"))).as("score_micro"))
+    val j = comps.join(scored, "doc_id")
+    val best = j.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), max(col("score_micro")).as("best_score_micro"))
+      .withColumnRenamed("component", "comp")
+    j.join(best, col("component") === col("comp")
+        && col("score_micro") === col("best_score_micro"))
+      .groupBy(col("comp"), col("n_members"), col("best_score_micro"))
+      .agg(min(col("doc_id")).as("best_doc"))
+      .select(col("comp").as("component"), col("n_members"),
+        col("best_doc"), col("best_score_micro"))
+      .orderBy("component")
+  }
+
+  /** DuckDB mirror: [[dedupComponentsSql]]'s recursive-CTE labels nested
+    * as a derived table, joined to the shared [[TextAnalysis.sqlStatsRel]]
+    * score, winners via the same two-stage best-score/min-id reduction.
+    */
+  def bestCanonicalSql(table: String, k: Int = 8, n: Int = 4): String =
+    s"""WITH comps AS (${dedupComponentsSql(table, k, n)}),
+       |scored AS (SELECT doc_id, ${TextAnalysis.sqlScoreMicroExpr} AS score_micro
+       |  FROM ${TextAnalysis.sqlStatsRel(table)}),
+       |j AS (SELECT c.doc_id, c.component, s.score_micro
+       |  FROM comps c JOIN scored s USING (doc_id)),
+       |best AS (SELECT component AS comp, CAST(count(*) AS BIGINT) AS n_members,
+       |    max(score_micro) AS best_score_micro
+       |  FROM j GROUP BY component)
+       |SELECT b.comp AS component, b.n_members, min(j.doc_id) AS best_doc,
+       |  b.best_score_micro
+       |FROM j JOIN best b ON j.component = b.comp
+       |  AND j.score_micro = b.best_score_micro
+       |GROUP BY b.comp, b.n_members, b.best_score_micro
+       |ORDER BY component""".stripMargin
+
   /** Benchmark decontamination: flag corpus docs sharing any word n-gram
     * with a PROBE set (eval benchmarks, held-out suites). The probe side is
     * tiny by construction, so its distinct shingles BROADCAST and the doc

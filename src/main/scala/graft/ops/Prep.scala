@@ -277,20 +277,28 @@ object Prep {
     * these patterns all match at most once, so 'g' vs first-match cannot
     * diverge).
     */
+  /** [[normalizeUrl]] as a DuckDB expression over `e` — ONE definition
+    * shared by [[urlHostStatsSql]] and [[latestSnapshotSql]] (the
+    * [[shardsForSql]] lesson: hand-inlined copies of a shared rule are
+    * where cross-engine bugs breed).
+    */
+  private[ops] def sqlNormalizeUrl(e: String): String =
+    s"""regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(lower($e), '^https?://', ''),
+       |          '^www\\.', ''),
+       |        '#.*$$', ''),
+       |      '[?&]utm_[^&#]*', '', 'g'),
+       |    '^([^?]*)&', '\\1?')""".stripMargin
+
   def urlHostStatsSql(pagesGlob: String): String = {
     val noisy = s"CASE WHEN ${sqlH32("url")} % 3 = 0 " +
       "THEN 'HTTPS://WWW.' || substring(url, 9) || '?id=7&utm_source=news&utm_campaign=x#frag' " +
       "ELSE url END"
     val block = HostBlocklist.map(h => s"'$h'").mkString(", ")
-    s"""WITH n AS (SELECT regexp_replace(
-       |    regexp_replace(
-       |      regexp_replace(
-       |        regexp_replace(
-       |          regexp_replace(lower($noisy), '^https?://', ''),
-       |          '^www\\.', ''),
-       |        '#.*$$', ''),
-       |      '[?&]utm_[^&#]*', '', 'g'),
-       |    '^([^?]*)&', '\\1?') AS norm_url
+    s"""WITH n AS (SELECT ${sqlNormalizeUrl(noisy)} AS norm_url
        |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
        |h AS (SELECT norm_url, regexp_extract(norm_url, '^([^/]+)', 1) AS host FROM n)
        |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
@@ -607,6 +615,78 @@ object Prep {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY lang, shard, chunk_id
        |ORDER BY lang, shard, chunk_id""".stripMargin
+  }
+
+  /** URL-snapshot selection — the crawl-consolidation pass that precedes
+    * every content stage: a crawl store holds MANY captures of the same
+    * page (re-crawls, scheme/www/tracking-param url variants); training
+    * prep keeps exactly ONE — the latest capture per canonical url
+    * ([[normalizeUrl]]). Emits (curl, n_snaps, latest_ts, latest_url,
+    * latest_text_h) per canonical url.
+    *
+    * The synthetic corpus holds one capture per url, so a deterministic
+    * third of pages gain a re-crawl in-query: the noisy-url variant
+    * (uppercase scheme + www. + tracking param + fragment — canonicalizes
+    * back to the same page) captured an h32-derived 1-900 s later with
+    * amended text (the construct-input-identically-in-both-engines
+    * pattern, like [[urlHostStats]]).
+    *
+    * Shape at 100 TB: ONE aggregate — groupBy(canonical url) with count +
+    * max(struct(ts, url, text_h)). The struct max is an ordinary
+    * partial-aggregable Max under the lexicographic struct order, so a
+    * hot url (a page recrawled daily for years) collapses map-side; no
+    * window over the url key, no join-back — the struct carries the whole
+    * winning row out of the aggregate. Determinism contract: (warc_ts,
+    * url) is unique per canonical url — the natural crawl-store key — and
+    * the trailing text hash makes the order total even when it is not.
+    */
+  def latestSnapshot(pages: DataFrame): DataFrame = {
+    val recrawls = pages
+      .filter(h32(concat(col("url"), lit(":rc"))) % 3 === 0)
+      .select(
+        concat(lit("HTTPS://WWW."), substring(col("url"), 9, 1000000),
+          lit("?utm_source=recrawl#top")).as("url"),
+        timestamp_millis(unix_millis(col("warc_ts"))
+          + (h32(concat(col("url"), lit(":rcts"))) % 900 + 1) * 1000L).as("warc_ts"),
+        concat(col("text"), lit(" [recrawl]")).as("text"))
+    latestSnapshotOf(pages.select(col("url"), col("warc_ts"), col("text"))
+      .unionByName(recrawls))
+  }
+
+  /** The pure operator over any `(url, warc_ts, text)` snapshot store —
+    * split out so edge cases (ts ties, single captures) unit-test without
+    * the synthetic re-crawl construct.
+    */
+  def latestSnapshotOf(snaps: DataFrame): DataFrame =
+    snaps
+      .select(normalizeUrl(col("url")).as("curl"), col("warc_ts").as("ts"),
+        col("url"), md5(col("text")).as("text_h"))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_snaps"),
+        max(struct(col("ts"), col("url"), col("text_h"))).as("w"))
+      .select(col("curl"), col("n_snaps"), col("w.ts").as("latest_ts"),
+        col("w.url").as("latest_url"), col("w.text_h").as("latest_text_h"))
+      .orderBy("curl")
+
+  def latestSnapshotSql(pagesGlob: String): String = {
+    val rel = s"read_parquet('$pagesGlob', hive_partitioning=1)"
+    val rcTs = s"make_timestamp(epoch_ms(warc_ts) * 1000 " +
+      s"+ (${sqlH32("url || ':rcts'")} % 900 + 1) * 1000000)"
+    s"""WITH snaps AS (
+       |  SELECT url, warc_ts, text FROM $rel
+       |  UNION ALL
+       |  SELECT 'HTTPS://WWW.' || substring(url, 9) || '?utm_source=recrawl#top',
+       |    $rcTs, text || ' [recrawl]'
+       |  FROM $rel WHERE ${sqlH32("url || ':rc'")} % 3 = 0),
+       |n AS (SELECT ${sqlNormalizeUrl("url")} AS curl, warc_ts AS ts, url,
+       |    md5(text) AS text_h
+       |  FROM snaps),
+       |g AS (SELECT curl, CAST(count(*) AS BIGINT) AS n_snaps,
+       |    max({'ts': ts, 'url': url, 'text_h': text_h}) AS w
+       |  FROM n GROUP BY curl)
+       |SELECT curl, n_snaps, w.ts AS latest_ts, w.url AS latest_url,
+       |  w.text_h AS latest_text_h
+       |FROM g ORDER BY curl""".stripMargin
   }
 
   def packChunksSql(table: String, budget: Long = 256L, nShards: Int = 8): String =

@@ -100,22 +100,38 @@ object TextAnalysis {
         qualityScoreMicroFromStats(col("st")).as("score_micro"))
       .orderBy("doc_id")
 
-  def qualitySql(table: String): String = {
+  /** The quality micro-score as a DuckDB expression over a relation that
+    * carries (n_words, stop_hits, alpha_words) — ONE definition shared by
+    * [[qualitySql]] and [[Dedup.bestCanonicalSql]] (the shardsForSql
+    * lesson: a hand-inlined copy of a shared rule is where cross-engine
+    * bugs breed).
+    */
+  private[ops] def sqlScoreMicroExpr: String =
+    "CASE WHEN n_words > 0 THEN " + sqlMicro(
+      "0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+        "+ 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)") + " ELSE 0 END"
+
+  /** The per-doc stats relation `(doc_id, n_words, sum_wlen, stop_hits,
+    * alpha_words)` over `table` — the DuckDB mirror of [[statsCol]]'s
+    * head-profile fields; shared with [[Dedup.bestCanonicalSql]].
+    */
+  private[ops] def sqlStatsRel(table: String): String = {
     val w = sqlWords("text")
     val stop = StopwordProfiles.head._2.map(s => s"'$s'").mkString("[", ",", "]")
-    s"""SELECT doc_id, n_words, sum_wlen, stop_hits, alpha_words,
-       |  CASE WHEN n_words > 0 THEN ${sqlMicro(
-        "0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
-          "+ 0.3 * (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
-          "+ 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)")} ELSE 0 END AS score_micro
-       |FROM (SELECT doc_id,
+    s"""(SELECT doc_id,
        |  CAST(len($w) AS BIGINT) AS n_words,
        |  CAST(list_reduce(list_prepend(0, list_transform($w, x -> length(x))), (a,x) -> a+x) AS BIGINT) AS sum_wlen,
        |  CAST(len(list_filter($w, x -> list_contains($stop, x))) AS BIGINT) AS stop_hits,
        |  CAST(len(list_filter($w, x -> regexp_matches(x, '^[a-z]+$$'))) AS BIGINT) AS alpha_words
-       |  FROM $table)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM $table)""".stripMargin
   }
+
+  def qualitySql(table: String): String =
+    s"""SELECT doc_id, n_words, sum_wlen, stop_hits, alpha_words,
+       |  $sqlScoreMicroExpr AS score_micro
+       |FROM ${sqlStatsRel(table)}
+       |ORDER BY doc_id""".stripMargin
 
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs | digit runs | single other non-space char).

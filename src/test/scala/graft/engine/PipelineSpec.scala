@@ -80,6 +80,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.count() + half.count() == pages.count())
   }
 
+  test("incremental re-extraction: kernel leg bounded by the delta, result equals full extract") {
+    ensured()
+    val pages = spark.read.parquet(Corpus.pagesPath(sfDir))
+    // prior run covered urls with pmod(xxhash64(url), 5) != 0; a seventh of
+    // those digests are corrupted (stand-in for html drift since that run)
+    val covered = pages.filter(pmod(xxhash64(col("url")), lit(5)) =!= 0)
+    val prev = Pipeline.extractWithDigest(covered)
+      .withColumn("html_x64",
+        when(pmod(xxhash64(col("url")), lit(7)) === 0, col("html_x64") + 1)
+          .otherwise(col("html_x64")))
+      .persist()
+    val inc = Pipeline.extractIncremental(pages, prev)
+    // 1) byte-identical to the full extraction
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("url"), md5(col("text")).as("h"), col("nTokens"), col("nKv"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(key(inc).sameElements(key(Pipeline.extract(pages).toDF())))
+    // 2) the kernel leg is the delta, not the corpus: missing + drifted
+    val nMissing = pages.count() - covered.count()
+    val nDrifted = covered.filter(pmod(xxhash64(col("url")), lit(7)) === 0).count()
+    val cur = pages.select(col("url"), xxhash64(col("html")).as("html_x64"))
+    val todo = cur.join(prev.select("url", "html_x64"), Seq("url", "html_x64"), "left_anti")
+    assert(todo.count() == nMissing + nDrifted,
+      s"kernel leg must re-extract exactly the missing+drifted set")
+    // 3) deleted urls drop: a prev row whose url left the crawl never survives
+    val ghost = prev.limit(1).withColumn("url", lit("https://gone.example/x"))
+    val withGhost = Pipeline.extractIncremental(pages, prev.unionByName(ghost))
+    assert(withGhost.filter(col("url") === "https://gone.example/x").count() == 0)
+    assert(withGhost.count() == pages.count())
+    prev.unpersist()
+  }
+
   test("detail sink: decoded-vs-golden detail is all-TP with exact record counts") {
     ensured()
     import spark.implicits._

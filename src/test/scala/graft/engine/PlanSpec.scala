@@ -510,4 +510,41 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
     assert(exchanges <= 3, s"window + agg + output sort only, got $exchanges:\n$p")
   }
+
+  test("q14: dim filter prunes fact partitions at RUNTIME (dynamic partition pruning)") {
+    val p = plan("q14_dim_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruningexpression partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
+  test("p10 url-latest: ONE aggregate carries the winning row — no window, no join-back") {
+    val p = plan("p10_url_latest")
+    assert(!p.contains("Join"), s"snapshot selection must not join:\n$p")
+    assert(!p.contains("Window"), s"no window over the url key:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial"),
+      s"struct max must keep a map-side partial phase:\n$p")
+  }
+
+  test("d12 best-canonical: selection stage is agg+join, never a window over the component key") {
+    // gate the SELECTION stage over leaf label/doc frames — the full d12
+    // plan legitimately contains WindowGroupLimit nodes from the upstream
+    // LSH bucket caps (gated separately); the claim here is that picking
+    // winners adds no window over the component key
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "component")
+    val docs = Seq((1L, "a b"), (2L, "the cat sat"), (3L, "c")).toDF("doc_id", "text")
+    val p = graft.ops.Dedup.bestCanonicalOver(comps, docs)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"no window over component:\n$p")
+    assert(p.contains("partial_max") && p.contains("partial_min"),
+      s"both reduction stages must keep map-side partials:\n$p")
+  }
+
+  test("x5 incremental: delta routing is semi/anti joins; kernel leg stays UDF-free") {
+    val p = plan("x5_incremental")
+    assert(p.contains("LeftAnti"), s"changed/new rows route via anti join:\n$p")
+    assert(p.contains("LeftSemi"), s"unchanged rows route via semi join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"no interpreted UDF in the incremental path:\n$p")
+  }
 }

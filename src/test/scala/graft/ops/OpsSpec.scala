@@ -839,4 +839,54 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("chunk_tokens"), r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
     assert(out.toSeq == Seq((0L, 2L, 6L, 0L, 1L), (1L, 2L, 4L, 2L, 3L)))
   }
+
+  test("latestSnapshotOf: latest capture per canonical url; ts ties break by url") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val snaps = Seq(
+      ("https://a.example/p", ts("2024-01-01 00:00:00"), "old body"),
+      // url variant of the same page, captured later: must win AND collapse
+      ("HTTPS://WWW.a.example/p?utm_source=x#frag", ts("2024-03-01 00:00:00"), "new body"),
+      // non-tracking param is page identity: separate canonical
+      ("https://a.example/p?id=2", ts("2024-02-01 00:00:00"), "other page"),
+      ("https://b.example/q", ts("2024-01-05 00:00:00"), "only capture"),
+      // exact ts tie between two variants of one page: max url wins
+      ("https://c.example/r", ts("2024-01-01 00:00:00"), "v1"),
+      ("https://www.c.example/r", ts("2024-01-01 00:00:00"), "v2")
+    ).toDF("url", "warc_ts", "text")
+    val out = Prep.latestSnapshotOf(snaps).collect()
+    assert(out.length == 4, out.mkString("; "))
+    val byCurl = out.map(r => r.getAs[String]("curl") -> r).toMap
+    assert(byCurl("a.example/p").getAs[Long]("n_snaps") == 2L)
+    assert(byCurl("a.example/p").getAs[java.sql.Timestamp]("latest_ts")
+      == ts("2024-03-01 00:00:00"))
+    assert(byCurl("a.example/p").getAs[String]("latest_url")
+      == "HTTPS://WWW.a.example/p?utm_source=x#frag")
+    assert(byCurl("a.example/p?id=2").getAs[Long]("n_snaps") == 1L)
+    assert(byCurl("b.example/q").getAs[Long]("n_snaps") == 1L)
+    // 'https://www.' > 'https://c' lexicographically at the 9th char (w > c)
+    assert(byCurl("c.example/r").getAs[String]("latest_url")
+      == "https://www.c.example/r")
+  }
+
+  test("bestCanonicalOver: quality beats doc_id; score ties fall to min doc_id") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "component")
+    val docs = Seq(
+      // component 1: doc 3 is stopword-rich (highest score) despite max id
+      (1L, "zzz qqq vvv"),
+      (2L, "zzz qqq vvv www"),
+      (3L, "the cat and the dog sat on the mat with the hat"),
+      // component 7: singleton
+      (7L, "lone document body"),
+      // component 8: identical texts -> identical scores -> min id wins
+      (8L, "same words here exactly"),
+      (9L, "same words here exactly")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bestCanonicalOver(comps, docs).collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("best_doc"))).toSeq
+    assert(out == Seq((1L, 3L, 3L), (7L, 1L, 7L), (8L, 2L, 8L)), out.mkString("; "))
+  }
 }
