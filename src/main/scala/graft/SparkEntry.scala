@@ -198,6 +198,17 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("sum_chars"))
         .orderBy("lang")
     }),
+    "q15_pivot" -> ((s, dir) =>
+      // pivot with an EXPLICIT value list: compiles to one aggregate pass
+      // (conditional per-type counts) — pivot WITHOUT values would first
+      // run a distinct job over the corpus to discover columns, which is
+      // the shape to refuse at 10^12 rows
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
     "q10_region_rev" -> ((s, dir) => {
       // classic star-chain rollup (TPC-H Q5 shape): fact joined through a
       // BROADCAST dimension chain customer -> nation -> region; at 10^12
@@ -518,6 +529,14 @@ object SparkEntry {
     "q8_asof" -> graft.ops.AsOf.asOfJoinSql("events"),
     "q13_interval_join" ->
       graft.streaming.Streams.intervalJoinOneShotSql("events", lagMinutes = 240),
+    "q15_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q10_region_rev" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -136,9 +136,14 @@ object Pipeline {
     * `pages` — the property the oracle pins — while the kernel leg's cost
     * is proportional to the CHANGE RATE, not the corpus: at 10^12 docs a
     * 1% drift re-parses 10^10 pages, not 10^12. The price is one url+digest
-    * equi-join between crawl and prev (both sides shuffle once; partial
-    * projections keep the fat html column off the prev side's wire; AQE
-    * splits hot-url skew).
+    * equi-join between crawl and prev: the prev side ships only
+    * (url, digest), but the crawl side carries html through the anti-join
+    * shuffle — the same wide-dependency class as [[saltedByHost]]'s salt
+    * repartition, i.e. one corpus-wide shuffle, not a new cost tier. On a
+    * real deployment both tables are bucket-partitioned by url
+    * ([[writeDecoded]]'s layout), so a storage-partitioned (bucketed) join
+    * co-locates the sides and removes even that shuffle. AQE splits
+    * hot-url skew either way.
     */
   def extractIncremental(pages: DataFrame, prev: DataFrame,
       buckets: Int = DefaultBuckets): DataFrame = {

@@ -511,6 +511,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"window + agg + output sort only, got $exchanges:\n$p")
   }
 
+  test("q15 pivot: explicit value list keeps it pure aggregation (no distinct-discovery, no join)") {
+    val p = plan("q15_pivot")
+    assert(!p.contains("Join"), s"pivot must not join:\n$p")
+    // Spark plans explicit-values pivot as TWO aggregate stages — pre-reduce
+    // by (entity, type), then transpose by entity — each with a map-side
+    // partial; plus the output sort: three exchanges, zero extra jobs. The
+    // regression this pins out is pivot WITHOUT values, which runs a
+    // corpus-wide distinct-discovery job before planning even starts.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"two agg stages + output sort only, got $exchanges:\n$p")
+    assert(p.contains("partial_count"), s"pre-reduce must keep a partial phase:\n$p")
+  }
+
   test("q14: dim filter prunes fact partitions at RUNTIME (dynamic partition pruning)") {
     val p = plan("q14_dim_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
