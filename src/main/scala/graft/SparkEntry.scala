@@ -266,6 +266,7 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    "t11_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
     "t10_quality_threshold" -> ((s, dir) =>
       TextAnalysis.qualityThreshold(docs(s, dir))),
     "t9_quality_gate" -> ((s, dir) =>
@@ -357,6 +358,8 @@ object SparkEntry {
       Prep.stratifiedSample(docs(s, dir), SampleRates, defaultRate = 0.35)),
     "p9_mixture" -> ((s, dir) =>
       Prep.mixtureSample(docs(s, dir), MixtureWeights, MixtureBudgetChars)),
+    "p11_temperature" -> ((s, dir) =>
+      Prep.temperatureMixture(docs(s, dir), MixtureBudgetChars)),
     "p3_url_hosts" -> ((s, dir) => {
       Corpus.ensure(s, dir)
       Prep.urlHostStats(s.read.parquet(Corpus.pagesPath(dir)))
@@ -569,6 +572,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
+    "t11_lm_score" -> TextAnalysis.lmScoreSql("documents"),
     "t10_quality_threshold" -> TextAnalysis.qualityThresholdSql("documents"),
     "t9_quality_gate" -> TextAnalysis.qualityGateSql(PlantedPiiSqlTable),
     "t7_redact" -> TextAnalysis.redactPiiSql(PlantedPiiSqlTable),
@@ -598,6 +602,8 @@ object SparkEntry {
     "p2_sample" -> Prep.stratifiedSampleSql("documents", SampleRates, defaultRate = 0.35),
     "p9_mixture" ->
       Prep.mixtureSampleSql("documents", MixtureWeights, MixtureBudgetChars),
+    "p11_temperature" ->
+      Prep.temperatureMixtureSql("documents", MixtureBudgetChars),
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksAutoSql("documents"),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,

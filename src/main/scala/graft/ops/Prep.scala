@@ -181,6 +181,75 @@ object Prep {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-based mixture resampling (mT5 §3.2 / Pile-style
+    * α-smoothing, fixed at α = 1/2): instead of [[mixtureSample]]'s
+    * *stated* target weights, each source's weight is derived from its own
+    * observed mass, q_s ∝ sqrt(chars_s) — big sources are down-weighted,
+    * small sources up-weighted, the standard low-resource-balancing move.
+    * Keep-rate = min(1, budget·q_s / chars_s); a quota bigger than the
+    * source saturates at keep-everything, exactly like [[mixtureSample]].
+    *
+    * α = 1/2 is deliberate: IEEE-754 requires sqrt be correctly rounded, so
+    * Spark and DuckDB agree bit-for-bit, while a general pow(x, α) does
+    * not. The normalizer Σ sqrt(chars) would still be an ORDER-SENSITIVE
+    * float sum across sources, so each sqrt is first quantized to milli
+    * units (floor·1e3 — a long) and the normalizer sums LONGS: order-free,
+    * engine-exact, and the milli scale cancels in the q_s/S ratio. A source
+    * with no measurable mass (NULL/zero chars) carries no sqrt weight and
+    * drops out — unlike p9 there is no stated weight owed to it.
+    *
+    * Shape at 100 TB: identical to [[mixtureSample]] — one partial-agg
+    * mass row per source, a one-row integer normalizer cross-broadcast
+    * under it, rates BROADCAST back (null-safe `<=>`), and the per-doc
+    * gate is the deterministic codegen hash filter (reproducible across
+    * retries and partition layouts).
+    */
+  def temperatureMixture(docs: DataFrame, budgetChars: Long,
+                         salt: String = "mix11"): DataFrame = {
+    val mass = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+      .select(col("source").as("source_r"), col("chars"),
+        when(col("chars").isNull || col("chars") <= 0L, lit(0L))
+          .otherwise(floor(sqrt(col("chars").cast("double")) * lit(1000.0))
+            .cast("long")).as("s_milli"))
+    val total = mass.agg(sum(col("s_milli")).as("s_total"))
+    val rates = mass.crossJoin(broadcast(total))
+      .select(col("source_r"),
+        when(col("s_milli") <= 0L || col("s_total") <= 0L, lit(0L))
+          .otherwise(least(lit(1000000L),
+            floor(lit(budgetChars.toDouble) * col("s_milli").cast("double") /
+              (col("s_total").cast("double") * col("chars").cast("double")) *
+              lit(1000000.0)).cast("long")))
+          .as("rate_micro"))
+    docs.join(broadcast(rates), col("source") <=> col("source_r"))
+      .where(sampleGate(salt) < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rate_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[temperatureMixture]] — same quantized-sqrt integer
+    * normalizer, same `(budget * s) / (S * chars) * 1e6` operation order.
+    */
+  def temperatureMixtureSql(table: String, budgetChars: Long,
+                            salt: String = "mix11"): String =
+    s"""WITH mass AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM $table GROUP BY source),
+       |q AS (SELECT source AS source_r, chars,
+       |  CASE WHEN chars IS NULL OR chars <= 0 THEN 0
+       |       ELSE CAST(floor(sqrt(CAST(chars AS DOUBLE)) * 1000.0) AS BIGINT)
+       |  END AS s_milli FROM mass),
+       |tot AS (SELECT CAST(sum(s_milli) AS BIGINT) AS s_total FROM q),
+       |rates AS (SELECT source_r,
+       |  CASE WHEN s_milli <= 0 OR s_total <= 0 THEN 0
+       |       ELSE least(1000000, CAST(floor(
+       |    CAST($budgetChars AS DOUBLE) * CAST(s_milli AS DOUBLE) /
+       |    (CAST(s_total AS DOUBLE) * CAST(chars AS DOUBLE)) * 1000000.0)
+       |    AS BIGINT)) END AS rate_micro FROM q CROSS JOIN tot)
+       |SELECT doc_id, source, n_chars, rate_micro
+       |FROM $table t JOIN rates r ON t.source IS NOT DISTINCT FROM r.source_r
+       |WHERE ${sqlSampleGate(salt)} < rate_micro
+       |ORDER BY doc_id""".stripMargin
+
   def funnelSql(table: String, lang: String = "en", minScoreMicro: Long = 250000L): String = {
     val w = sqlWords("text")
     val stop = TextAnalysis.StopwordProfiles.head._2.map(s => s"'$s'").mkString("[", ",", "]")

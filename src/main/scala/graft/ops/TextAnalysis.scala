@@ -443,4 +443,120 @@ object TextAnalysis {
        |  CASE WHEN len($sh) > 0 THEN list_min(list_transform($sh, s -> ${sqlH32("s")})) ELSE NULL END AS winnow_fp
        |FROM $table ORDER BY doc_id""".stripMargin
   }
+
+  /** OOV sentinel for [[lmScore]]'s capped vocabulary. Tokens come from a
+    * space-split so no real token can contain a space, but a literal
+    * "<unk>" token in the corpus would simply merge with the OOV mass —
+    * identically in both engines, so the oracle stays exact.
+    */
+  val UnkToken: String = "<unk>"
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al. 2020
+    * §4.3, the Wikipedia-LM perplexity filter, rebuilt without KenLM): train
+    * an add-one-smoothed bigram LM on a deterministic reference slice of
+    * the corpus (`doc_id % trainMod == 0` stands in for the curated
+    * reference corpus), then score EVERY document by its mean per-bigram
+    * probability `P(w_i | w_{i-1}) = (c_bigram + 1) / (c_unigram + V + 1)`.
+    * Low scores flag out-of-domain / gibberish text exactly as high
+    * perplexity does (the score is a monotone proxy chosen to keep the
+    * arithmetic rational: log/exp differ in the last ulp across engines,
+    * while IEEE +,*,/ are exact-rounded and identical everywhere).
+    *
+    * Hash-exactness: each per-bigram probability becomes an integer micro
+    * value ([[ColFns.micro]] — floor is safe, round is not) and per-doc
+    * totals are LONG sums, so the oracle compare never depends on float
+    * summation order.
+    *
+    * Scale shape: the vocabulary cap bounds the model BY CONSTRUCTION —
+    * OOV maps to [[UnkToken]], so the unigram table is <= v+1 rows and the
+    * bigram table <= (v+1)^2, and both broadcast to the scorers (never a
+    * corpus-wide shuffle join). Bigrams are built INSIDE the token array
+    * (zip_with of the mapped array against its own tail — two lambda
+    * projections per doc, the documented trade against the alternative
+    * posexplode + lag window, which would shuffle every TOKEN in the
+    * corpus). The only corpus-scale shuffle is the per-doc score sum, and
+    * its map-side partial phase collapses each doc to one row per
+    * partition before the wire.
+    */
+  def lmScore(docs: DataFrame, v: Int = 64, trainMod: Int = 5): DataFrame = {
+    val trainPred = col("doc_id") % trainMod === 0
+    val words = docs.select(col("doc_id"),
+      filter(split(col("text"), " ", -1), w => w =!= "").as("ws"))
+    // reference vocabulary: top-v tokens of the training slice, fully
+    // deterministic tie-break (count desc, token asc), carried as ONE
+    // sorted-array row that broadcasts under every scorer
+    val vocabArr = words.filter(trainPred)
+      .select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(v)
+      .agg(sort_array(collect_list(col("tok"))).as("vocab"))
+    val mapped = words.crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"),
+        transform(col("ws"),
+          w => when(array_contains(col("vocab"), w), w)
+            .otherwise(lit(UnkToken))).as("ms"))
+    val bigrams = mapped.select(col("doc_id"),
+      when(size(col("ms")) >= 2,
+        zip_with(
+          slice(col("ms"), lit(1), size(col("ms")) - 1),
+          slice(col("ms"), lit(2), size(col("ms")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")).as("bs"))
+    val uni = mapped.filter(trainPred)
+      .select(explode(col("ms")).as("u_tok"))
+      .groupBy(col("u_tok")).agg(count(lit(1)).as("c_u"))
+    val big = bigrams.filter(trainPred)
+      .select(explode(col("bs")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val probs = bigrams.select(col("doc_id"), explode(col("bs")).as("b"))
+      .join(broadcast(big), Seq("b"), "left")
+      .join(broadcast(uni), substring_index(col("b"), " ", 1) === col("u_tok"), "left")
+      .select(col("doc_id"),
+        micro((coalesce(col("c_b"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c_u"), lit(0L)) + lit((v + 1).toDouble))).as("p_micro"))
+    val perDoc = probs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"),
+        // integer division of two positive longs — exact in both engines;
+        // NULL (not 0) for docs too short to have a bigram
+        expr("sum_p_micro div n_bigrams").as("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[lmScore]] — same slice, same capped-vocab mapping,
+    * same add-one arithmetic with the multiply-after-divide order, same
+    * integer-micro summation.
+    */
+  def lmScoreSql(table: String, v: Int = 64, trainMod: Int = 5): String = {
+    val w = sqlWords("text")
+    s"""WITH w AS (SELECT doc_id, $w AS ws FROM $table),
+       |vt AS (SELECT tok FROM (SELECT unnest(ws) AS tok FROM w WHERE doc_id % $trainMod = 0)
+       |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT $v),
+       |voc AS (SELECT list_sort(list(tok)) AS vocab FROM vt),
+       |m AS (SELECT doc_id, list_transform(ws, x ->
+       |    CASE WHEN list_contains(vocab, x) THEN x ELSE '$UnkToken' END) AS ms
+       |  FROM w CROSS JOIN voc),
+       |bg AS (SELECT doc_id, CASE WHEN len(ms) >= 2
+       |    THEN list_transform(generate_series(1, len(ms)-1), i -> ms[i] || ' ' || ms[i+1])
+       |    ELSE [] END AS bs FROM m),
+       |uni AS (SELECT u_tok, CAST(count(*) AS BIGINT) AS c_u
+       |  FROM (SELECT unnest(ms) AS u_tok FROM m WHERE doc_id % $trainMod = 0) GROUP BY u_tok),
+       |big AS (SELECT b, CAST(count(*) AS BIGINT) AS c_b
+       |  FROM (SELECT unnest(bs) AS b FROM bg WHERE doc_id % $trainMod = 0) GROUP BY b),
+       |pr AS (SELECT e.doc_id,
+       |    CAST(floor((COALESCE(bi.c_b, 0) + 1.0) / (COALESCE(u.c_u, 0) + ${v + 1}.0) * 1000000.0) AS BIGINT) AS p_micro
+       |  FROM (SELECT doc_id, unnest(bs) AS b FROM bg) e
+       |  LEFT JOIN big bi USING (b)
+       |  LEFT JOIN uni u ON u.u_tok = string_split(e.b, ' ')[1]),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(p_micro) AS BIGINT) AS sum_p_micro FROM pr GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(a.sum_p_micro, 0) AS sum_p_micro,
+       |  a.sum_p_micro // a.n_bigrams AS score_micro
+       |FROM (SELECT doc_id FROM $table) d LEFT JOIN ag a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

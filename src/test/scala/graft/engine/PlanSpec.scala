@@ -560,4 +560,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"unchanged rows route via semi join:\n$p")
     assert(!p.contains("ScalaUDF"), s"no interpreted UDF in the incremental path:\n$p")
   }
+
+  test("t11 lm score: LM tables broadcast to every scorer, never a corpus shuffle join") {
+    val p = plan("t11_lm_score")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"bigram + unigram LM lookups must be broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"vocab row must broadcast, not cartesian:\n$p")
+    // the only sort-merge join allowed is the final doc_id join-back; the
+    // token/bigram streams themselves must never shuffle for a join
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"LM scoring must not shuffle-join the token stream:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"per-doc score sum needs a map-side partial phase:\n$p")
+  }
 }

@@ -889,4 +889,51 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("best_doc"))).toSeq
     assert(out == Seq((1L, 3L, 3L), (7L, 1L, 7L), (8L, 2L, 8L)), out.mkString("; "))
   }
+
+  test("temperatureMixture: sqrt smoothing up-weights small sources; tiny quota saturates") {
+    import spark.implicits._
+    val docs = (
+      (0L until 40L).map(i => (i, "big", 10L)) ++
+        (100L until 120L).map(i => (i, "small", 5L)) ++
+        Seq((200L, "tiny", 1L))
+      ).toDF("doc_id", "source", "n_chars")
+    val out = Prep.temperatureMixture(docs, budgetChars = 150L).collect()
+    val rates = out.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("rate_micro"))).toSet
+    // masses: big 400 (s_milli 20000), small 100 (10000), tiny 1 (1000);
+    // S = 31000. big 150*20000/(31000*400) -> 241935 micro; small
+    // 150*10000/(31000*100) -> 483870 (proportional would give both
+    // ~299401 — the sqrt shifts mass to the small source); tiny's quota
+    // exceeds its size -> saturates at keep-everything
+    assert(rates == Set(("big", 241935L), ("small", 483870L),
+      ("tiny", 1000000L)), rates)
+    assert(out.count(_.getAs[String]("source") == "tiny") == 1)
+    // the hash gate is deterministic: identical re-run, identical survivors
+    assert(Prep.temperatureMixture(docs, 150L).collect().toSeq == out.toSeq)
+  }
+
+  test("lmScore: add-one bigram LM over the capped train-slice vocab") {
+    // train slice (doc_id % 2 == 0) = docs {0, 2, 4}; token counts a:3 b:3
+    // c:1 -> v=2 vocab [a, b] (tie a/b broken token-asc), c and z map to
+    // <unk>. Train unigrams a:3 b:3 <unk>:1; train bigrams "a b":2 "b a":2
+    // "b <unk>":1; V+1 = 3 smoothing.
+    val out = TextAnalysis.lmScore(docsDf(
+      0L -> "a b a b c",
+      1L -> "a b z",
+      2L -> "b a",
+      3L -> "q", // one token: no bigram, score NULL
+      4L -> ""   // zero tokens
+    ), v = 2, trainMod = 2).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_p_micro"),
+        Option(r.get(r.fieldIndex("score_micro"))).map(_.asInstanceOf[Long])))
+    // p(a b) = (2+1)/(3+3) = .5 ; p(b a) = .5 ; p(b <unk>) = (1+1)/(3+3)
+    // -> 333333 micro (floored); doc0 sum 1833333 over 4 -> 458333
+    assert(out.toSeq == Seq(
+      (0L, 4L, 1833333L, Some(458333L)),
+      (1L, 2L, 833333L, Some(416666L)),
+      (2L, 1L, 500000L, Some(500000L)),
+      (3L, 0L, 0L, None),
+      (4L, 0L, 0L, None)), out.mkString("; "))
+  }
 }
