@@ -267,6 +267,7 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     "t11_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
+    "t12_phrase_merge" -> ((s, dir) => TextAnalysis.phraseMerge(docs(s, dir))),
     "t10_quality_threshold" -> ((s, dir) =>
       TextAnalysis.qualityThreshold(docs(s, dir))),
     "t9_quality_gate" -> ((s, dir) =>
@@ -573,6 +574,7 @@ object SparkEntry {
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
     "t11_lm_score" -> TextAnalysis.lmScoreSql("documents"),
+    "t12_phrase_merge" -> TextAnalysis.phraseMergeSql("documents"),
     "t10_quality_threshold" -> TextAnalysis.qualityThresholdSql("documents"),
     "t9_quality_gate" -> TextAnalysis.qualityGateSql(PlantedPiiSqlTable),
     "t7_redact" -> TextAnalysis.redactPiiSql(PlantedPiiSqlTable),

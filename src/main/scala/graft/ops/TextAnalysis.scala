@@ -559,4 +559,93 @@ object TextAnalysis {
        |FROM (SELECT doc_id FROM $table) d LEFT JOIN ag a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Phrase-merge induction — BPE-style merge learning lifted to the word
+    * level (Sennrich et al. 2016 / word2vec phrase detection): for each of
+    * `rounds` rounds, count every adjacent word pair corpus-wide, pick THE
+    * most frequent pair (count desc, pair asc — fully deterministic; pairs
+    * below `minCount` never merge), and rewrite every document with the
+    * winning pair fused into one `w1_w2` token. Returns each doc's merged
+    * text plus how many merges landed in it.
+    *
+    * Merge application is a non-overlapping left-to-right literal string
+    * replace on the space-delimited form (` w1 w2 ` -> ` w1_w2 ` inside a
+    * padded copy): back-to-back occurrences share their delimiter space, so
+    * the second of two ADJACENT phrase occurrences survives unmerged until
+    * a later round — the documented trade that makes each rewrite ONE
+    * codegen string pass with bit-identical semantics in both engines
+    * (classic BPE resolves the run in one pass; this converges to the same
+    * fixpoint over rounds).
+    *
+    * Scale shape: the whole k-round loop is ONE declarative plan with NO
+    * driver-side collect — each round is a corpus bigram count (map-side
+    * partial agg over bounded pair keys), a 1-row TakeOrdered winner
+    * broadcast under every rewriter (left join on TRUE, so a round with no
+    * qualifying pair is an identity rewrite, never a row loss), and a
+    * map-only string rewrite. The original word count rides along as a
+    * column, so the final merge accounting needs no join back.
+    */
+  def phraseMerge(docs: DataFrame, rounds: Int = 3,
+                  minCount: Long = 2L): DataFrame = {
+    def wordsOf(t: Column): Column = filter(split(t, " ", -1), w => w =!= "")
+    def bigramsOf(t: Column): Column = {
+      val ws = wordsOf(t)
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))
+    }
+    var cur = docs.select(col("doc_id"), col("text").as("t"),
+      size(wordsOf(col("text"))).cast("long").as("n0"))
+    for (_ <- 1 to rounds) {
+      val best = cur.select(explode(bigramsOf(col("t"))).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .orderBy(col("n").desc, col("b").asc).limit(1)
+        .select(col("b"), regexp_replace(col("b"), " ", "_").as("m"))
+      val padded = concat(lit(" "), col("t"), lit(" "))
+      cur = cur.join(broadcast(best), lit(true), "left")
+        .select(col("doc_id"), col("n0"),
+          when(col("b").isNull, padded)
+            .otherwise(call_function("replace", padded,
+              concat(lit(" "), col("b"), lit(" ")),
+              concat(lit(" "), col("m"), lit(" ")))).as("pt"))
+        .select(col("doc_id"), col("n0"),
+          expr("substring(pt, 2, length(pt)-2)").as("t"))
+    }
+    cur.select(col("doc_id"), col("t").as("text"),
+      (col("n0") - size(wordsOf(col("t"))).cast("long")).as("n_merged"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[phraseMerge]] — the k rounds unrolled as a CTE
+    * chain (count -> 1-row winner -> padded replace -> strip), generated by
+    * the same loop so the two dialects cannot drift.
+    */
+  def phraseMergeSql(table: String, rounds: Int = 3,
+                     minCount: Long = 2L): String = {
+    def w(t: String) = sqlWords(t)
+    def bigrams(t: String): String = {
+      val ws = w(t)
+      s"""CASE WHEN len($ws) >= 2 THEN list_transform(generate_series(1, len($ws)-1),
+         |    i -> $ws[i] || ' ' || $ws[i+1]) ELSE [] END""".stripMargin
+    }
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"t0 AS (SELECT doc_id, text AS t, CAST(len(${w("text")}) AS BIGINT) AS n0 FROM $table)"
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      ctes += s"""c$r AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+                 |  FROM (SELECT unnest(${bigrams("t")}) AS b FROM t$p) GROUP BY b)""".stripMargin
+      ctes += s"""b$r AS (SELECT b, replace(b, ' ', '_') AS m FROM c$r
+                 |  WHERE n >= $minCount ORDER BY n DESC, b ASC LIMIT 1)""".stripMargin
+      ctes += s"""p$r AS (SELECT doc_id, n0, CASE WHEN b IS NULL THEN ' ' || t || ' '
+                 |  ELSE replace(' ' || t || ' ', ' ' || b || ' ', ' ' || m || ' ') END AS pt
+                 |  FROM t$p LEFT JOIN b$r ON TRUE)""".stripMargin
+      ctes += s"t$r AS (SELECT doc_id, n0, substring(pt, 2, length(pt)-2) AS t FROM p$r)"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id, t AS text,
+       |  CAST(n0 - len(${w("t")}) AS BIGINT) AS n_merged
+       |FROM t$rounds ORDER BY doc_id""".stripMargin
+  }
 }

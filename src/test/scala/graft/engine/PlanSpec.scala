@@ -561,6 +561,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"no interpreted UDF in the incremental path:\n$p")
   }
 
+  test("t12 phrase merge: every round's winner broadcasts; no shuffle join, no collect seam") {
+    val p = plan("t12_phrase_merge")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row winners must broadcast under the rewriters:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the left-on-TRUE winner broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the per-round winner must be a top-1, not a global sort:\n$p")
+  }
+
   test("t11 lm score: LM tables broadcast to every scorer, never a corpus shuffle join") {
     val p = plan("t11_lm_score")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length

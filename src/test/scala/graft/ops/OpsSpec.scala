@@ -912,6 +912,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Prep.temperatureMixture(docs, 150L).collect().toSeq == out.toSeq)
   }
 
+  test("phraseMerge: top pair fuses per round; adjacent occurrences share a delimiter") {
+    val out = TextAnalysis.phraseMerge(docsDf(
+      0L -> "new york is big",
+      1L -> "new york new york", // back-to-back: only the FIRST merges (delimiter shared)
+      2L -> "big apple is big"
+    ), rounds = 3, minCount = 2L).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("n_merged")))
+    // round 1 winner "new york" (3 > "is big" 2); round 2 winner "is big";
+    // round 3 has no pair with count >= 2 -> identity
+    assert(out.toSeq == Seq(
+      (0L, "new_york is_big", 2L),
+      (1L, "new_york new york", 1L),
+      (2L, "big apple is_big", 1L)), out.mkString("; "))
+  }
+
   test("lmScore: add-one bigram LM over the capped train-slice vocab") {
     // train slice (doc_id % 2 == 0) = docs {0, 2, 4}; token counts a:3 b:3
     // c:1 -> v=2 vocab [a, b] (tie a/b broken token-asc), c and z map to
