@@ -307,6 +307,7 @@ object SparkEntry {
       Dedup.lineDedup(s.read.parquet(Corpus.pagesPath(dir)))
     }),
     "d12_best_canonical" -> ((s, dir) => Dedup.bestCanonical(docs(s, dir))),
+    "d13_lsh_recall" -> ((s, dir) => Dedup.lshRecall(docs(s, dir))),
     // --- embedding similarity / ANN ---
     // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
     // LSH-sub-bucketed (hot-cell guard), the rest keep exact within-cell pairs
@@ -588,6 +589,7 @@ object SparkEntry {
     "d8_line_dedup" -> Dedup.lineDedupSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "d9_dup_spans" -> Dedup.dupSpansSql("documents"),
     "d12_best_canonical" -> Dedup.bestCanonicalSql("documents"),
+    "d13_lsh_recall" -> Dedup.lshRecallSql("documents"),
     "d10_excise" -> Dedup.exciseSpansSql("documents"),
     "d11_contamination_bloom" ->
       Dedup.contaminationBloomSql("documents", "doc_id % 50 = 0"),

@@ -256,22 +256,112 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  def lshCandidatePairsSql(table: String, k: Int = 8, n: Int = 4,
-                           bucketCap: Int = 10): String = {
+  /** The full production LSH pair chain (docs -> shingles -> signatures ->
+    * bands -> capped buckets -> distinct pairs) as a CTE block exposing
+    * `lshp(id_a, id_b)` — ONE definition shared by [[lshCandidatePairsSql]]
+    * and the [[lshRecallSql]] audit so the audited path and the production
+    * path can never drift (the [[sqlDupSpanCtes]] discipline).
+    */
+  private def sqlLshPairCtes(table: String, k: Int, n: Int,
+                             bucketCap: Int): String = {
     val w = sqlWords("text")
     val sh = sqlShingles("w", n)
     val slotHash = sqlH32("h || '|' || s")
-    s"""WITH docs AS (SELECT doc_id, $w AS w FROM $table),
+    s"""docs AS (SELECT doc_id, $w AS w FROM $table),
        |sh AS (SELECT doc_id, $sh AS shingles FROM docs),
        |sig AS (SELECT doc_id, list_transform(generate_series(0,${k - 1}),
        |    h -> list_min(list_transform(shingles, s -> $slotHash))) AS mh
        |  FROM sh WHERE len(shingles) > 0),
        |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
        |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b)),
-       |capped AS ${sqlCapBuckets("bands", "doc_id", bucketCap)}
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |capped AS ${sqlCapBuckets("bands", "doc_id", bucketCap)},
+       |lshp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def lshCandidatePairsSql(table: String, k: Int = 8, n: Int = 4,
+                           bucketCap: Int = 10): String =
+    s"""WITH ${sqlLshPairCtes(table, k, n, bucketCap)}
+       |SELECT id_a, id_b FROM lshp ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH recall audit — the measurement that turns [[capBuckets]]'s
+    * documented recall trade into a number a pipeline can track: ground
+    * truth is EXACT pairwise Jaccard inside a bounded, deterministic audit
+    * set (the `auditN` docs with the smallest h32(doc_id ':aud') priority —
+    * a hash-random sample independent of partition layout, the
+    * [[Prep.stratifiedSample]] rule in fixed-size form), and every true
+    * near-dup audit pair (jaccard >= `thresh`) is checked against the FULL
+    * production [[lshCandidatePairs]] output at the same (k, n, bucketCap).
+    * One row per true pair: (id_a, id_b, jac_micro, caught 0/1); recall is
+    * sum(caught)/count(*) downstream.
+    *
+    * Scale shape: the audit set is a TakeOrdered top-k (never a global
+    * sort) and its all-pairs truth stage is O(auditN^2) on <= auditN rows —
+    * a constant the caller dials (10^4 audit docs = 10^8 cheap set
+    * intersections, independent of corpus size). The corpus-scale LSH pair
+    * frame is touched exactly once, by a LEFT SEMI join against the
+    * BROADCAST truth pairs — the audit never joins the corpus the other
+    * way, so the production frame is filtered map-side and only the <=
+    * |truth| surviving rows reach the (tiny x tiny) caught/missed join.
+    */
+  def lshRecall(docs: DataFrame, k: Int = 8, n: Int = 4, bucketCap: Int = 10,
+                thresh: Double = 0.5, auditN: Int = 256): DataFrame = {
+    val audit = docs
+      .select(col("doc_id"), col("text"),
+        h32(concat(col("doc_id").cast("string"), lit(":aud"))).as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(auditN)
+      .select(col("doc_id"), col("text"))
+    val sets = shingleSets(audit, n)
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    val truth = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("i"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      // zero-shingle docs (shorter than n words) have no similarity to
+      // measure; dropping them keeps the 0/0 division out of BOTH engines
+      .filter(col("na") + col("nb") - col("i") > 0)
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= thresh)
+    val caught = lshCandidatePairsUnordered(docs, k, n, bucketCap)
+      .join(broadcast(truth.select(col("id_a"), col("id_b"))),
+        Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_a").as("ca"), col("id_b").as("cb"))
+    truth
+      .join(caught, col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
+      .select(col("id_a"), col("id_b"), micro(col("jac")).as("jac_micro"),
+        col("ca").isNotNull.cast("int").as("caught"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB mirror of [[lshRecall]]: the SHARED production pair CTEs
+    * ([[sqlLshPairCtes]]) plus the audit chain (hash-priority LIMIT, exact
+    * all-pairs Jaccard, left join to the production pairs).
+    */
+  def lshRecallSql(table: String, k: Int = 8, n: Int = 4, bucketCap: Int = 10,
+                   thresh: Double = 0.5, auditN: Int = 256): String = {
+    val w = sqlWords("text")
+    val sh = sqlShingles("w", n)
+    val pri = sqlH32("CAST(doc_id AS VARCHAR) || ':aud'")
+    s"""WITH ${sqlLshPairCtes(table, k, n, bucketCap)},
+       |aud AS (SELECT doc_id, text FROM $table ORDER BY $pri, doc_id LIMIT $auditN),
+       |aw AS (SELECT doc_id, $w AS w FROM aud),
+       |ash AS (SELECT doc_id, list_distinct($sh) AS shingles FROM aw),
+       |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+       |    CAST(len(a.shingles) AS BIGINT) AS na,
+       |    CAST(len(b.shingles) AS BIGINT) AS nb
+       |  FROM ash a JOIN ash b ON a.doc_id < b.doc_id),
+       |tt AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jac
+       |  FROM tr WHERE na + nb - i > 0)
+       |SELECT t.id_a, t.id_b, ${sqlMicro("t.jac")} AS jac_micro,
+       |  CAST(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS INT) AS caught
+       |FROM tt t LEFT JOIN lshp l ON t.id_a = l.id_a AND t.id_b = l.id_b
+       |WHERE t.jac >= $thresh
+       |ORDER BY t.id_a, t.id_b""".stripMargin
   }
 
   /** 32-bit SimHash over word hashes, explode + hash-aggregate form.

@@ -571,6 +571,17 @@ class PlanSpec extends AnyFunSuite {
       s"the per-round winner must be a top-1, not a global sort:\n$p")
   }
 
+  test("d13 lsh recall: bounded audit top-k; corpus pairs semi-joined against broadcast truth") {
+    val p = plan("d13_lsh_recall")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the audit set must be a top-k, never a global sort:\n$p")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).nonEmpty ||
+      "LeftSemi, BuildRight".r.findFirstIn(p).nonEmpty,
+      s"the production pair frame must be filtered by a broadcast semi join:\n$p")
+    assert(!"SortMergeJoin.*LeftSemi".r.findFirstIn(p).exists(_ => true),
+      s"the truth side must never shuffle the corpus pair frame:\n$p")
+  }
+
   test("t11 lm score: LM tables broadcast to every scorer, never a corpus shuffle join") {
     val p = plan("t11_lm_score")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length

@@ -219,6 +219,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("lshRecall: exact audit truth pairs with caught flags vs the production LSH pass") {
+    val rows = Dedup.lshRecall(dupDocs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("jac_micro"), r.getAs[Int]("caught")))
+    // 8-word docs -> five 4-gram shingles; 0/1 identical (jac 1), 0/2 and
+    // 1/2 share 4 of 6 distinct shingles (floor(4/6 * 1e6)); doc 3 disjoint.
+    // The jac-0.67 pairs happen NOT to band-collide at (k=8, rows=2) with
+    // these hash values — the audit reports that honestly (caught=0): this
+    // is the measured-recall-below-1 case the operator exists to surface
+    assert(rows.toSeq == Seq(
+      (0L, 1L, 1000000L, 1), (0L, 2L, 666666L, 0), (1L, 2L, 666666L, 0)),
+      rows.mkString("; "))
+    // bucketCap=1 starves every band bucket below pair size: the production
+    // pass emits nothing and the audit must report zero recall, not pass
+    val starved = Dedup.lshRecall(dupDocs, bucketCap = 1).collect()
+      .map(r => r.getAs[Int]("caught"))
+    assert(starved.toSeq == Seq(0, 0, 0), starved.mkString("; "))
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     val out = Dedup.simhash(dupDocs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
