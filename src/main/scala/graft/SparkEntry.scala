@@ -337,6 +337,10 @@ object SparkEntry {
       import s.implicits._
       Media.resize(media(s, dir).as[Media.MediaRow])
     }),
+    "m7_image_components" -> ((s, dir) => {
+      import s.implicits._
+      Media.imageComponents(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -630,6 +634,7 @@ object SparkEntry {
     "m4_image_ahash" -> Media.aHashSql(M),
     "m5_ahash_pairs" -> Media.aHashPairsSql(M),
     "m6_resize" -> Media.resizeSql(M),
+    "m7_image_components" -> Media.imageComponentsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

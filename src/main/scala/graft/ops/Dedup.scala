@@ -233,7 +233,15 @@ object Dedup {
     * kernel. Guards duplicate doc_ids within a bucket (no self-pairs,
     * matching the relational a.doc_id < b.doc_id the DuckDB mirrors use).
     */
-  private[ops] def bandedHammingPairs(banded: DataFrame, maxHamming: Int): DataFrame = {
+  private[ops] def bandedHammingPairs(banded: DataFrame, maxHamming: Int): DataFrame =
+    bandedHammingPairsUnordered(banded, maxHamming).orderBy("id_a", "id_b")
+
+  /** [[bandedHammingPairs]] without the final global sort, for composition
+    * ([[Media.imageComponents]]) — the [[lshCandidatePairsUnordered]] rule:
+    * no operator-embedded orderBy survives into a larger plan.
+    */
+  private[ops] def bandedHammingPairsUnordered(banded: DataFrame,
+                                               maxHamming: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     banded.groupBy(col("bkey"))
@@ -253,7 +261,6 @@ object Dedup {
       .toDF("id_a", "id_b", "hamming")
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
   }
 
   /** The full production LSH pair chain (docs -> shingles -> signatures ->

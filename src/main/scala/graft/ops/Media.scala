@@ -294,9 +294,12 @@ object Media {
     s"""${aHashCte(parquetGlob)}
        |SELECT * FROM ah ORDER BY doc_id""".stripMargin
 
-  /** The hash recomputation as a reusable CTE chain ending in `ah`. */
-  private def aHashCte(parquetGlob: String): String =
-    s"""WITH img AS (SELECT doc_id, payload, meta.width AS w, meta.height AS h,
+  /** The hash recomputation as a reusable CTE chain ending in `ah`.
+    * `recursive` prefixes WITH RECURSIVE for callers whose query tail
+    * recurses ([[imageComponentsSql]]).
+    */
+  private def aHashCte(parquetGlob: String, recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}img AS (SELECT doc_id, payload, meta.width AS w, meta.height AS h,
        |    ((3 * meta.width + 3) // 4) * 4 AS rowsize
        |  FROM read_parquet('$parquetGlob') WHERE kind = 'image'),
        |pxg AS (SELECT doc_id, w, h,
@@ -426,34 +429,44 @@ object Media {
     * corpus-scale run of flat images all hashing to 0 stays linear).
     */
   def aHashPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
-                 bucketCap: Int = 40): DataFrame = {
+                 bucketCap: Int = 40): DataFrame =
     // default maxHamming=3 == the 4-band pigeonhole bound, so default
     // recall is EXACT up to bucket-cap eviction (capBuckets runs before
     // the join: a pair evicted from every shared bucket is lost even at
     // hamming <= 3 — see the Dedup.capBuckets recall note; a hamming-4
     // pair is found only if it shares a band — callers raising maxHamming
-    // accept that mirrored recall trade)
+    // accept that mirrored recall trade).
+    // Shared no-self-join pair kernel (the Dedup.simhashPairs construction)
+    Dedup.bandedHammingPairs(aHashBanded(media, bucketCap), maxHamming)
+
+  /** The capped banded-signature frame both [[aHashPairs]] and
+    * [[imageComponents]] join on — ONE definition of the band keys.
+    */
+  private def aHashBanded(media: Dataset[MediaRow], bucketCap: Int): DataFrame = {
     val h = aHash(media)
     val bandKeys =
       (0 until 2).map(b => concat(lit(s"h$b:"),
         shiftright(col("ahash_hi"), 16 * b).bitwiseAND(lit(65535L)).cast("string"))) ++
       (0 until 2).map(b => concat(lit(s"l$b:"),
         shiftright(col("ahash_lo"), 16 * b).bitwiseAND(lit(65535L)).cast("string")))
-    val banded = Dedup.capBuckets(
+    Dedup.capBuckets(
       h.select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"),
         explode(array(bandKeys: _*)).as("bkey")), bucketCap)
-    // shared no-self-join pair kernel (the Dedup.simhashPairs construction)
-    Dedup.bandedHammingPairs(banded, maxHamming)
   }
 
+  /** The band-key expressions over `ah`, as SQL (shared by the m5 pair
+    * mirror and the m7 components mirror — one definition, no drift).
+    */
+  private def aHashBandsSql: String =
+    ((0 until 2).map(b => s"'h$b:' || ((ahash_hi >> ${16 * b}) & 65535)") ++
+      (0 until 2).map(b => s"'l$b:' || ((ahash_lo >> ${16 * b}) & 65535)"))
+      .mkString(", ")
+
   def aHashPairsSql(parquetGlob: String, maxHamming: Int = 3,
-                    bucketCap: Int = 40): String = {
-    val bands =
-      (0 until 2).map(b => s"'h$b:' || ((ahash_hi >> ${16 * b}) & 65535)") ++
-      (0 until 2).map(b => s"'l$b:' || ((ahash_lo >> ${16 * b}) & 65535)")
+                    bucketCap: Int = 40): String =
     s"""${aHashCte(parquetGlob)},
        |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
-       |    unnest([${bands.mkString(", ")}]) AS bkey FROM ah),
+       |    unnest([$aHashBandsSql]) AS bkey FROM ah),
        |capped AS ${graft.ops.Dedup.sqlCapBuckets("bands", "doc_id, ahash_hi, ahash_lo", bucketCap)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
@@ -462,5 +475,45 @@ object Media {
        |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Image near-dup CLUSTERS: connected components over the [[aHashPairs]]
+    * graph — the visual member of the pairs→clusters family (text d6,
+    * embeddings s6), sharing [[Dedup.componentsFrom]]'s min-label
+    * propagation core (bounded-lineage fixpoint, O(1) decimal convergence
+    * test). Nodes are ALL image rows (a narrow kind-pruned doc_id scan), so
+    * images with no near-dup stay singleton components. The pair leg uses
+    * the UNORDERED kernel — no operator-embedded global sort enters the
+    * fixpoint loop's plan.
+    */
+  def imageComponents(media: Dataset[MediaRow], maxHamming: Int = 3,
+                      bucketCap: Int = 40, maxIters: Int = 20): DataFrame = {
+    val nodes = media.toDF().filter(col("kind") === "image").select(col("doc_id"))
+    val pairs = Dedup
+      .bandedHammingPairsUnordered(aHashBanded(media, bucketCap), maxHamming)
+      .select(col("id_a"), col("id_b"))
+    Dedup.componentsFrom(nodes, pairs, maxIters)
   }
+
+  /** DuckDB mirror of [[imageComponents]]: the shared hash + band CTEs,
+    * the m5 pair predicate, then recursive-CTE reachability (the d6/s6
+    * oracle idiom) with min-label per node.
+    */
+  def imageComponentsSql(parquetGlob: String, maxHamming: Int = 3,
+                         bucketCap: Int = 40): String =
+    s"""${aHashCte(parquetGlob, recursive = true)},
+       |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
+       |    unnest([$aHashBandsSql]) AS bkey FROM ah),
+       |capped AS ${graft.ops.Dedup.sqlCapBuckets("bands", "doc_id, ahash_hi, ahash_lo", bucketCap)},
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+       |      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $maxHamming),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM img
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(lbl) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 }

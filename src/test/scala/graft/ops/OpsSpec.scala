@@ -732,6 +732,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("imageComponents: planted near-dups share a component; every image is a node") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(Media.rowFor).filter(_.kind == "image")
+    val comp = Media.imageComponents(rows.toDS()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.keySet == rows.map(_.doc_id).toSet,
+      "images with no near-dup must survive as singleton components")
+    Seq((6L, 8L), (16L, 18L), (26L, 28L), (36L, 38L)).foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"planted pair ($a,$b) split: ${comp(a)} vs ${comp(b)}")
+      assert(comp(a) <= a, s"component label must be the min member, got ${comp(a)}")
+    }
+  }
+
   test("ahash/resize refuse a lying BMP header instead of reading out of bounds") {
     // honest 4x2 image, then the header's height field inflated to 999
     val w = 4; val h = 2
