@@ -318,6 +318,7 @@ object SparkEntry {
     "s5_ann_recall" -> ((s, dir) => Similarity.ivfRecall(emb(s, dir))),
     "s6_embed_components" -> ((s, dir) =>
       Similarity.embedComponents(emb(s, dir), cellCap = 50)),
+    "s7_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -374,6 +375,7 @@ object SparkEntry {
       // auto-sized shard count (shardsFor): the oracle embeds the same
       // sizing rule, so the scale claim is itself under the hard gate
       Prep.packChunksAuto(docs(s, dir))),
+    "p12_pack_efficiency" -> ((s, dir) => Prep.packEfficiency(docs(s, dir))),
     "p8_end_to_end" -> ((s, dir) =>
       // the composed flagship prep chain: exact dedup -> LSH components ->
       // per-source cap -> stratified sample -> token packing, one oracle
@@ -603,6 +605,7 @@ object SparkEntry {
     "s4_lsh_buckets" -> Similarity.lshBucketsSql("embeddings"),
     "s5_ann_recall" -> Similarity.ivfRecallSql("embeddings"),
     "s6_embed_components" -> Similarity.embedComponentsSql("embeddings", cellCap = 50),
+    "s7_kmeans" -> Similarity.kmeansSql("embeddings"),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
@@ -614,6 +617,7 @@ object SparkEntry {
       Prep.temperatureMixtureSql("documents", MixtureBudgetChars),
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksAutoSql("documents"),
+    "p12_pack_efficiency" -> Prep.packEfficiencySql("documents"),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,
       defaultRate = 0.35, capPerSource = 15),
     "p10_url_latest" ->

@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval().asInstanceOf[Number].intValue())
       }
     ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_micro_vec"),
+      new ExpressionInfo(classOf[MicroVecExpression].getName, "graft_micro_vec"),
+      (children: Seq[Expression]) => MicroVecExpression(children.head)
+    ))
     // Spark's own runtime-filter bloom pair (BloomFilterAggregate /
     // BloomFilterMightContain, the expressions InjectRuntimeFilter plants
     // under shuffle joins) exposed as callable functions — they are NOT in

@@ -542,6 +542,45 @@ object Prep {
        |ORDER BY lang, shard, chunk_id""".stripMargin
   }
 
+  /** Packing-efficiency audit (p12) — the table a training run reads
+    * BEFORE accepting packed shards. In this packing a doc belongs to the
+    * chunk where it STARTS, so a long doc overruns the cut: per language
+    * this reports chunk counts, token mass, the overflow past the budget
+    * (what a strict fixed-length loader truncates or spills to padding),
+    * how many chunks reached the budget at all, and the exact fill ratio
+    * vs budget*n_chunks. One partial-agg shuffle on top of
+    * [[packChunksAuto]] — the packed frame is already one row per CHUNK,
+    * corpus-size-free. fill_micro stays hash-exact: one IEEE division of
+    * two exact integers (both < 2^53), floor-scaled to micro.
+    */
+  def packEfficiency(docs: DataFrame, budget: Long = 256L,
+      targetPerShard: Long = 1000000L): DataFrame =
+    packChunksAuto(docs, budget, targetPerShard)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("chunk_tokens")).as("total_tokens"),
+        sum(greatest(col("chunk_tokens") - lit(budget), lit(0L))).as("overflow_tokens"),
+        sum(when(col("chunk_tokens") >= budget, lit(1L)).otherwise(lit(0L))).as("full_chunks"))
+      .withColumn("fill_micro",
+        micro(col("total_tokens").cast("double") /
+          (col("n_chunks") * lit(budget)).cast("double")))
+      .orderBy("lang")
+
+  def packEfficiencySql(table: String, budget: Long = 256L,
+      targetPerShard: Long = 1000000L): String =
+    s"""WITH pk AS (${packChunksAutoSql(table, budget, targetPerShard)})
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(greatest(chunk_tokens - $budget, 0)) AS BIGINT) AS overflow_tokens,
+       |  CAST(sum(CASE WHEN chunk_tokens >= $budget THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks,
+       |  CAST(floor(CAST(sum(chunk_tokens) AS DOUBLE)
+       |    / CAST(count(*) * $budget AS DOUBLE) * 1000000.0) AS BIGINT) AS fill_micro
+       |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Concat-and-chunk token packing — how a training run turns a filtered
     * corpus into fixed-budget sequences: within each (lang, shard) stream,
     * docs are laid end-to-end in doc_id order and cut every `budget`

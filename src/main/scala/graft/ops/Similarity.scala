@@ -263,6 +263,138 @@ object Similarity {
        |FROM (SELECT DISTINCT q_id FROM br) qq LEFT JOIN h ON qq.q_id = h.q_id
        |ORDER BY qq.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- k-means
+
+  /** K-means (Lloyd) coarse-quantizer training + final assignment — the
+    * TRAINER the IVF tier above presupposes (there, the pre-assigned
+    * `label` column plays the centroid role; this op is where such an
+    * assignment comes from at corpus scale).
+    *
+    * Exactness across engines is the hard part: float sums depend on
+    * reduction order, so a grouped centroid mean over raw embeddings can
+    * never be oracle-compared. Everything here therefore runs in INTEGER
+    * micro units (`graft_micro_vec`: floor(x*1e6) per component):
+    *  - distances use the 3-dot identity ||q-c||^2 = q.q + c.c - 2 q.c;
+    *    each dot is the sequential double fold of [[ColFns.dot]] over
+    *    integer-valued doubles — with Dim=64 and |x|<=2 every partial sum
+    *    stays far below 2^53, so the fold is EXACT integer arithmetic,
+    *    order-identical to the DuckDB mirror.
+    *  - centroid updates sum micro components as LONGs per (cid, dim) —
+    *    order-free — and take the floored mean with pure long arithmetic
+    *    (`(s - pmod(s, n)) div n`), never a double division whose
+    *    numerator could exceed 2^53 at 10^12-row cluster sizes.
+    *
+    * Scale shape, per round: centroids (k x Dim, tiny) BROADCAST under a
+    * nested-loop join (never a shuffle of the corpus side); argmin via one
+    * `min(struct(dist, cid, q))` hash agg keyed on vec_id (map-side
+    * partials; (dist, cid) is unique per vec so the carried q never enters
+    * the comparison); the update is a partial-agg shuffle over k*Dim
+    * bounded keys. The tiny centroid frame is localCheckpointed each round
+    * (the [[Dedup.componentsFrom]] fixpoint idiom) so plan depth does not
+    * grow with rounds; no corpus data ever reaches the driver.
+    *
+    * Deterministic init: the k vectors with the smallest
+    * md5-priority h32(vec_id || ':km') (a TakeOrdered top-k, not a global
+    * sort), renumbered 1..k in priority order. Empty clusters keep their
+    * previous centroid (left-join + coalesce), so k never silently shrinks.
+    *
+    * Output: one row per vector — (vec_id, cid, dist_mic2) where dist_mic2
+    * is the exact squared distance to the final centroid in micro^2 units.
+    */
+  def kmeans(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+    val qd = emb
+      .select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
+      .withColumn("sq", dot(col("q"), col("q")))
+
+    val init = qd
+      .withColumn("pri", h32(concat(col("vec_id").cast("string"), lit(":km"))))
+      .orderBy(col("pri"), col("vec_id"))
+      .limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("pri"), col("vec_id"))))
+      .select(col("cid"), col("q").as("c"))
+
+    def withSc(cents: DataFrame): DataFrame =
+      cents.withColumn("sc", dot(col("c"), col("c")))
+
+    // one Lloyd assignment: winner centroid per vector (argmin dist, ties
+    // to the smaller cid; q rides in the struct — (dist, cid) is already
+    // unique per vec_id, so it never participates in the comparison).
+    def assign(cents: DataFrame): DataFrame =
+      qd.crossJoin(broadcast(withSc(cents)))
+        .withColumn("dist",
+          col("sq") + col("sc") - lit(2.0) * dot(col("q"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("q"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist").as("dist"), col("m.q").as("q"))
+
+    var cents = init.localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val upd = assign(cents)
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cd", expr("cast((s - pmod(s, n)) div n as double)"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cd")))).as("pc"))
+        .select(col("cid"), col("pc.cd").as("c_new"))
+      cents = cents
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c_new"), col("c")).as("c"))
+        .localCheckpoint()
+      r += 1
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_mic2"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[kmeans]]: the same rounds unrolled as CTE chains,
+    * micro-int quantization via list_transform, identical fold order in
+    * every dot, identical floored-mean long arithmetic (`//` on an exact
+    * multiple equals `div`), identical (dist, cid) tie order.
+    */
+  def kmeansSql(table: String, k: Int = 4, rounds: Int = 2): String = {
+    def dotq(a: String, b: String): String = sqlDot(a, b, Dim)
+    val sb = new StringBuilder
+    sb ++= s"""WITH q0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
+       |  FROM $table),
+       |qs AS (SELECT vec_id, q, ${dotq("q", "q")} AS sq FROM q0),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) AS cid, q AS c
+       |  FROM (SELECT vec_id, q, ${sqlH32("CAST(vec_id AS VARCHAR) || ':km'")} AS pri
+       |        FROM q0 ORDER BY pri, vec_id LIMIT $k)),
+       |c0 AS (SELECT cid, c FROM init)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = s"c${r - 1}"
+      sb ++= s""",
+       |a$r AS (SELECT vec_id, q, cid FROM (
+       |    SELECT vec_id, q, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT s.vec_id, s.q, c.cid,
+       |            s.sq + ${dotq("c.c", "c.c")} - 2 * ${dotq("s.q", "c.c")} AS dist
+       |          FROM qs s CROSS JOIN $p c)) WHERE rn = 1),
+       |u$r AS (SELECT cid, d, sum(CAST(q[d] AS BIGINT)) AS s, count(*) AS n
+       |  FROM a$r CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS d) ds
+       |  GROUP BY cid, d),
+       |n$r AS (SELECT cid, list(CAST((s - (((s % n) + n) % n)) // n AS DOUBLE) ORDER BY d) AS c
+       |  FROM u$r GROUP BY cid),
+       |c$r AS (SELECT p.cid, coalesce(n$r.c, p.c) AS c
+       |  FROM $p p LEFT JOIN n$r ON p.cid = n$r.cid)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist_mic2 FROM (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT s.vec_id, c.cid,
+       |          s.sq + ${dotq("c.c", "c.c")} - 2 * ${dotq("s.q", "c.c")} AS dist
+       |        FROM qs s CROSS JOIN c$rounds c)) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   /** Random-hyperplane LSH bucket assignment: 8 sign bits -> bucket id.
     * Pure narrow projection (the scale path: bucket-join for candidates).
     */

@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$p")
   }
 
+  test("s7: kmeans centroids broadcast under the assignment join; argmin is a hash agg") {
+    val p = plan("s7_kmeans")
+    // the corpus side must never shuffle for the centroid join: the tiny
+    // (k x Dim) centroid frame broadcasts under a nested-loop join
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never a partitioned cross product:\n$p")
+    // argmin = min(struct(dist, cid, q)) hash agg with map-side partials
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"argmin must aggregate, not window:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"quantization is the native graft_micro_vec, not an interpreted HOF:\n$p")
+  }
+
   test("s2/s3: per-query top-k is the two-stage shape, never one window per q_id") {
     Seq("s2_ann_brute", "s3_ann_ivf").foreach { q =>
       val p = plan(q)

@@ -419,6 +419,56 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.size < uncapped.size, "skewed cell must actually shrink")
   }
 
+  test("kmeans: two tight groups separate; members assign to their own centroid") {
+    // two clusters in micro-exact range (|x| <= 2): group A near +0.1*e_i
+    // pattern, group B near -0.1 — far apart relative to within-group jitter
+    def v(base: Float, jit: Float): Seq[Float] =
+      Seq.tabulate(64)(i => base + (if (i == 0) jit else 0f))
+    val df = embDf(
+      (0L, v(0.1f, 0.00f), 0), (1L, v(0.1f, 0.01f), 0), (2L, v(0.1f, -0.01f), 0),
+      (3L, v(-0.1f, 0.00f), 0), (4L, v(-0.1f, 0.01f), 0), (5L, v(-0.1f, -0.01f), 0))
+    val out = Similarity.kmeans(df, k = 2, rounds = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Int]("cid"), r.getAs[Long]("dist_mic2")))
+      .toMap
+    assert(out.size == 6, "one row per vector")
+    val aCids = Set(out(0L)._1, out(1L)._1, out(2L)._1)
+    val bCids = Set(out(3L)._1, out(4L)._1, out(5L)._1)
+    assert(aCids.size == 1 && bCids.size == 1 && aCids != bCids,
+      s"groups must land in distinct clusters: $out")
+    // after the mean update the centroid sits inside its group: distances
+    // are bounded by the within-group spread (0.01 micro = 1e4; squared
+    // with the mean offset stays far under the cross-group 0.2 gap)
+    assert(out.values.forall(_._2 < 400000000L), s"within-group dists only: $out")
+  }
+
+  test("kmeans: empty clusters carry their previous centroid; duplicates land at dist 0") {
+    // 2 distinct points, 3 copies each, k=3: at least one cluster must go
+    // empty in some round — it keeps its init centroid (left-join+coalesce)
+    // instead of silently shrinking k; the means over pure-duplicate
+    // clusters are the points themselves, so every vec ends at dist 0
+    def v(x: Float): Seq[Float] = Seq.tabulate(64)(_ => x)
+    val df = embDf(
+      (0L, v(0.2f), 0), (1L, v(0.2f), 0), (2L, v(0.2f), 0),
+      (3L, v(-0.2f), 0), (4L, v(-0.2f), 0), (5L, v(-0.2f), 0))
+    val out = Similarity.kmeans(df, k = 3, rounds = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Long]("dist_mic2")))
+    assert(out.length == 6)
+    assert(out.forall(r => r._3 == 0L), s"every copy sits ON its centroid: ${out.toSeq}")
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 3), s"cids stay in 1..k: ${out.toSeq}")
+    // the two distinct points keep distinct winners
+    assert(out.filter(_._1 < 3).map(_._2).toSet.size == 1)
+    assert(out.filter(_._1 >= 3).map(_._2).toSet.size == 1)
+    assert(out.filter(_._1 < 3).map(_._2).toSet != out.filter(_._1 >= 3).map(_._2).toSet)
+  }
+
+  test("kmeans: deterministic and partition-independent") {
+    def v(i: Long): Seq[Float] = Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f - 0.5f)
+    val rows = (0L until 40L).map(i => (i, v(i), 0))
+    val a = Similarity.kmeans(embDf(rows: _*), k = 4, rounds = 2).collect().toSeq
+    val b = Similarity.kmeans(embDf(rows: _*).repartition(7), k = 4, rounds = 2).collect().toSeq
+    assert(a == b, "micro-int arithmetic must make the result partition-order-free")
+  }
+
   test("lsh buckets: parallel vectors share a bucket; deterministic planes") {
     val out = Similarity.lshBuckets(embFixture).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
@@ -870,6 +920,26 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("chunk_tokens"), r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
     assert(out.toSeq == Seq((0L, 2L, 6L, 0L, 1L), (1L, 2L, 4L, 2L, 3L)))
+  }
+
+  test("packEfficiency: overflow / full-chunk / fill accounting per lang") {
+    import spark.implicits._
+    // shardsFor floors at 8 shards; ids congruent mod 8 keep the en docs
+    // in ONE (lang, shard) stream so they pack as the packChunks spec
+    // above — chunks of 6 and 4 tokens at budget 5 -> overflow 1, one
+    // full chunk, fill = 10/10 = 1.0
+    val docs = Seq(
+      (0L, "en", "a b c d"), (8L, "en", "e f"),
+      (16L, "en", "g h i"), (24L, "en", "j"),
+      // de: a single 2-token doc -> one underfull chunk, fill 2/5
+      (4L, "de", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val out = Prep.packEfficiency(docs, budget = 5L).collect()
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("overflow_tokens"),
+        r.getAs[Long]("full_chunks"), r.getAs[Long]("fill_micro")))).toMap
+    assert(out("en") == ((2L, 10L, 1L, 1L, 1000000L)), s"en: ${out("en")}")
+    assert(out("de") == ((1L, 2L, 0L, 0L, 400000L)), s"de: ${out("de")}")
   }
 
   test("latestSnapshotOf: latest capture per canonical url; ts ties break by url") {
