@@ -319,6 +319,7 @@ object SparkEntry {
     "s6_embed_components" -> ((s, dir) =>
       Similarity.embedComponents(emb(s, dir), cellCap = 50)),
     "s7_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
+    "s8_ann_ivf_trained" -> ((s, dir) => Similarity.trainedIvfTopK(emb(s, dir))),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -606,6 +607,7 @@ object SparkEntry {
     "s5_ann_recall" -> Similarity.ivfRecallSql("embeddings"),
     "s6_embed_components" -> Similarity.embedComponentsSql("embeddings", cellCap = 50),
     "s7_kmeans" -> Similarity.kmeansSql("embeddings"),
+    "s8_ann_ivf_trained" -> Similarity.trainedIvfTopKSql("embeddings"),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),

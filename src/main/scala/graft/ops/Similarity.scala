@@ -300,8 +300,15 @@ object Similarity {
     *
     * Output: one row per vector — (vec_id, cid, dist_mic2) where dist_mic2
     * is the exact squared distance to the final centroid in micro^2 units.
+    *
+    * [[kmeansAssign]] is the UNORDERED composition leg (the m7 lesson: no
+    * operator-embedded sort should enter a downstream chain); [[kmeans]]
+    * adds the oracle-determinism orderBy.
     */
-  def kmeans(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame =
+    kmeansAssign(emb, k, rounds).orderBy("vec_id")
+
+  def kmeansAssign(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
     val qd = emb
       .select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
       .withColumn("sq", dot(col("q"), col("q")))
@@ -348,7 +355,6 @@ object Similarity {
     }
     assign(cents)
       .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_mic2"))
-      .orderBy("vec_id")
   }
 
   /** DuckDB mirror of [[kmeans]]: the same rounds unrolled as CTE chains,
@@ -356,10 +362,20 @@ object Similarity {
     * every dot, identical floored-mean long arithmetic (`//` on an exact
     * multiple equals `div`), identical (dist, cid) tie order.
     */
-  def kmeansSql(table: String, k: Int = 4, rounds: Int = 2): String = {
+  def kmeansSql(table: String, k: Int = 4, rounds: Int = 2): String =
+    s"""WITH ${kmeansWithBody(table, k, rounds)}
+       |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist_mic2 FROM asg
+       |ORDER BY vec_id""".stripMargin
+
+  /** The shared CTE chain ending in `asg(vec_id, cid, dist)` — ONE
+    * definition used by [[kmeansSql]] and [[trainedIvfTopKSql]] (the
+    * shardsForSql lesson: hand-inlined copies of a shared rule are where
+    * cross-engine bugs breed).
+    */
+  private def kmeansWithBody(table: String, k: Int, rounds: Int): String = {
     def dotq(a: String, b: String): String = sqlDot(a, b, Dim)
     val sb = new StringBuilder
-    sb ++= s"""WITH q0 AS (SELECT vec_id,
+    sb ++= s"""q0 AS (SELECT vec_id,
        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
        |  FROM $table),
        |qs AS (SELECT vec_id, q, ${dotq("q", "q")} AS sq FROM q0),
@@ -384,16 +400,54 @@ object Similarity {
        |c$r AS (SELECT p.cid, coalesce(n$r.c, p.c) AS c
        |  FROM $p p LEFT JOIN n$r ON p.cid = n$r.cid)""".stripMargin
     }
-    sb ++= s"""
-       |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist_mic2 FROM (
+    sb ++= s""",
+       |asg AS (SELECT vec_id, cid, dist FROM (
        |  SELECT vec_id, cid, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |  FROM (SELECT s.vec_id, c.cid,
        |          s.sq + ${dotq("c.c", "c.c")} - 2 * ${dotq("s.q", "c.c")} AS dist
-       |        FROM qs s CROSS JOIN c$rounds c)) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       |        FROM qs s CROSS JOIN c$rounds c)) WHERE rn = 1)""".stripMargin
     sb.toString
   }
+
+  /** IVF top-k over the TRAINED quantizer — the [[ivfTopK]] search with
+    * the pre-assigned `label` column replaced by the [[kmeansAssign]]
+    * output, closing the train -> index -> search loop on the engine's own
+    * centroids. The assignment join rides the vec_id equi-key; the query
+    * side (with its cell ids) broadcasts exactly as in [[ivfTopK]]; the
+    * per-query top-k is the same skew-safe two-stage [[topK]]. Cosines run
+    * on the RAW float embeddings (the sequential fold), so search quality
+    * semantics match the s1-s3 tier; only cell membership comes from the
+    * trained model.
+    */
+  def trainedIvfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 3,
+      kCentroids: Int = 4, rounds: Int = 2): DataFrame = {
+    val asg = kmeansAssign(emb, kCentroids, rounds).select(col("vec_id"), col("cid"))
+    val e = withNorm(emb).join(asg, "vec_id")
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cid").as("q_cid"), col("nrm").as("q_nrm")))
+    val joined = e.join(q, col("cid") === col("q_cid"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    topK(joined, k)
+  }
+
+  def trainedIvfTopKSql(table: String, nQueries: Int = 8, k: Int = 3,
+      kCentroids: Int = 4, rounds: Int = 2): String =
+    s"""WITH ${kmeansWithBody(table, kCentroids, rounds)},
+       |e AS (SELECT t.vec_id, t.embedding, a.cid
+       |  FROM $table t JOIN asg a ON t.vec_id = a.vec_id),
+       |qq AS (SELECT vec_id AS q_id, embedding AS q_emb, cid AS q_cid
+       |  FROM e WHERE vec_id < $nQueries),
+       |s AS (SELECT qq.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("qq.q_emb", "e.embedding", Dim)} AS cos
+       |  FROM e JOIN qq ON e.cid = qq.q_cid),
+       |r AS (SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM s)
+       |SELECT q_id, n_id, CAST(rank AS INT) AS rank, ${sqlMicro("cos")} AS cos_micro
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
   /** Random-hyperplane LSH bucket assignment: 8 sign bits -> bucket id.
     * Pure narrow projection (the scale path: bucket-join for candidates).

@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
       s"quantization is the native graft_micro_vec, not an interpreted HOF:\n$p")
   }
 
+  test("s8: trained-IVF search — query side broadcast, staged top-k, no cartesian") {
+    val p = plan("s8_ann_ivf_trained")
+    assert(p.contains("BroadcastHashJoin"), s"query cell join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cell equi-join, never a cross product:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must push a map-side group limit:\n$p")
+  }
+
   test("s2/s3: per-query top-k is the two-stage shape, never one window per q_id") {
     Seq("s2_ann_brute", "s3_ann_ivf").foreach { q =>
       val p = plan(q)

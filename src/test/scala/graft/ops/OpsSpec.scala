@@ -461,12 +461,70 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 < 3).map(_._2).toSet != out.filter(_._1 >= 3).map(_._2).toSet)
   }
 
+  test("trainedIvfTopK: search restricted to the query's TRAINED cell") {
+    def v(base: Float, jit: Float): Seq[Float] =
+      Seq.tabulate(64)(i => base + (if (i == 0) jit else 0f))
+    val df = embDf(
+      (0L, v(0.1f, 0.00f), 0), (1L, v(0.1f, 0.01f), 0), (2L, v(0.1f, -0.01f), 0),
+      (3L, v(-0.1f, 0.00f), 0), (4L, v(-0.1f, 0.01f), 0), (5L, v(-0.1f, -0.01f), 0))
+    val out = Similarity.trainedIvfTopK(df, nQueries = 1, k = 3, kCentroids = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("cos_micro")))
+    // query 0 sits in the +0.1 group: its trained cell holds exactly
+    // {0,1,2}, so the top-3 is that cell — never a -0.1 vector
+    assert(out.length == 3, s"got ${out.toSeq}")
+    assert(out.map(_._2).toSet == Set(0L, 1L, 2L), s"cell members only: ${out.toSeq}")
+    assert(out.find(_._3 == 1).get._2 == 0L, "rank 1 is the query itself (cos 1)")
+    assert(out.find(_._3 == 1).get._4 >= 999999L)
+  }
+
   test("kmeans: deterministic and partition-independent") {
     def v(i: Long): Seq[Float] = Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f - 0.5f)
     val rows = (0L until 40L).map(i => (i, v(i), 0))
     val a = Similarity.kmeans(embDf(rows: _*), k = 4, rounds = 2).collect().toSeq
     val b = Similarity.kmeans(embDf(rows: _*).repartition(7), k = 4, rounds = 2).collect().toSeq
     assert(a == b, "micro-int arithmetic must make the result partition-order-free")
+  }
+
+  test("kmeans equals a plain-Scala Lloyd reference (third implementation)") {
+    // independent of BOTH engines: quantize, init, assign, update in
+    // straight Scala over collected arrays, then compare row-for-row
+    def vf(i: Long): Seq[Float] =
+      Seq.tabulate(64)(d => ((i * 11 + d * 3) % 17).toFloat / 17f - 0.5f)
+    val n = 40
+    val (k, rounds) = (4, 2)
+    val vecs: Map[Long, Array[Long]] = (0L until n).map(i =>
+      i -> vf(i).map(x => math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val initIds = (0L until n).sortBy(i => (h32(s"$i:km"), i)).take(k)
+    var cents: Map[Int, Array[Long]] =
+      initIds.zipWithIndex.map { case (id, ix) => (ix + 1) -> vecs(id).clone() }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assignAll(): Map[Long, (Int, Long)] = vecs.map { case (id, q) =>
+      id -> cents.toSeq.map { case (c, cv) => (d2(q, cv), c) }.min.swap
+    }
+    for (_ <- 1 to rounds) {
+      val byC = assignAll().toSeq.groupBy(_._2._1)
+      cents = cents.map { case (c, old) =>
+        c -> byC.get(c).map { members =>
+          val qs = members.map(m => vecs(m._1))
+          Array.tabulate(64) { d =>
+            val s = qs.map(_(d)).sum; val m = qs.size.toLong
+            (s - (((s % m) + m) % m)) / m
+          }
+        }.getOrElse(old)
+      }
+    }
+    val expect = assignAll()
+    val got = Similarity.kmeans(embDf((0L until n).map(i => (i, vf(i), 0)): _*), k, rounds)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cid"), r.getAs[Long]("dist_mic2")))).toMap
+    assert(got == expect.map { case (id, (c, d)) => id -> ((c, d)) },
+      s"spark=${got.toSeq.sortBy(_._1).take(8)} ref=${expect.toSeq.sortBy(_._1).take(8)}")
   }
 
   test("lsh buckets: parallel vectors share a bucket; deterministic planes") {
