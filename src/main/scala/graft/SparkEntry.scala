@@ -287,6 +287,7 @@ object SparkEntry {
     "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "d6_dedup_components" -> ((s, dir) => Dedup.dedupComponents(docs(s, dir))),
+    "d14_leak_split" -> ((s, dir) => Dedup.leakageSafeSplit(docs(s, dir), testPermille = 300)),
     "d7_contamination" -> ((s, dir) => {
       // benchmark-decontamination shape: probe set = every 100th doc (a
       // stand-in for a small eval suite), broadcast against the corpus
@@ -592,6 +593,7 @@ object SparkEntry {
     "d4_jaccard" -> Dedup.jaccardPairsSql("documents"),
     "d5_simhash_pairs" -> Dedup.simhashPairsSql("documents"),
     "d6_dedup_components" -> Dedup.dedupComponentsSql("documents"),
+    "d14_leak_split" -> Dedup.leakageSafeSplitSql("documents", testPermille = 300),
     "d7_contamination" -> Dedup.contaminationSql("documents", "doc_id % 100 = 0"),
     "d8_line_dedup" -> Dedup.lineDedupSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "d9_dup_spans" -> Dedup.dupSpansSql("documents"),

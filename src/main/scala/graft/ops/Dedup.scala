@@ -571,6 +571,36 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** Leakage-safe train/test split — the assignment a training run must
+    * make BEFORE holding out an eval set: a deterministic hash split at
+    * DOCUMENT granularity leaks (near-duplicates of a test doc land in
+    * train — the memorized-eval failure Lee et al. measure), so the split
+    * key is the [[dedupComponents]] COMPONENT label: every member of a
+    * near-dup cluster rides the same hash draw and lands on the same side
+    * by construction. testPermille sets the expected test share.
+    *
+    * Shape at 100 TB: ONE narrow codegen projection (md5-derived hash of
+    * the component label, [[Prep.stratifiedSample]]'s gate idiom —
+    * reproducible, partition-independent, resumable) on top of the d6
+    * component table; no shuffle beyond what d6 already did. Output:
+    * (doc_id, component, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, k: Int = 8, n: Int = 4,
+      testPermille: Int = 100): DataFrame =
+    dedupComponents(docs, k, n)
+      .withColumn("split",
+        when(pmod(h32(concat(col("component").cast("string"), lit(":split"))),
+          lit(1000L)) < testPermille, lit("test")).otherwise(lit("train")))
+      .orderBy("doc_id")
+
+  def leakageSafeSplitSql(table: String, k: Int = 8, n: Int = 4,
+      testPermille: Int = 100): String =
+    s"""WITH comp AS (${dedupComponentsSql(table, k, n)})
+       |SELECT doc_id, component,
+       |  CASE WHEN ${sqlH32("CAST(component AS VARCHAR) || ':split'")} % 1000 < $testPermille
+       |    THEN 'test' ELSE 'train' END AS split
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** Quality-aware canonical per near-dup cluster — what a production
     * dedup keeps: not the minimum doc_id but the HIGHEST-QUALITY member of
     * each [[dedupComponents]] component (CCNet/RefinedWeb keep-best-copy),

@@ -356,6 +356,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("leakageSafeSplit: near-dup cluster members always land on the same side") {
+    val text1 = "alpha beta gamma delta epsilon zeta"
+    val text2 = "one two three four five six seven"
+    val df = docsDf(
+      1L -> text1, 2L -> text1, 3L -> text1,
+      4L -> text2, 5L -> text2,
+      6L -> "completely different words here now ok")
+    val got = Dedup.leakageSafeSplit(df, testPermille = 500)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("component"), r.getAs[String]("split")))
+    assert(got.map(_._1).toSeq == (1L to 6L), "one row per doc, ordered")
+    // the leakage invariant: same component => same split, no exceptions
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).toSet.size == 1, s"component $c split across sides: ${rows.toSeq}")
+    }
+    // split matches the documented hash rule exactly (reproducible gate)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    got.foreach { case (_, c, sp) =>
+      val expect = if (h32(s"$c:split") % 1000 < 500) "test" else "train"
+      assert(sp == expect, s"component $c: got $sp, hash says $expect")
+    }
+  }
+
   test("dedup results invariant to input partitioning") {
     val repartitioned = dupDocs.repartition(7)
     assert(Dedup.lshCandidatePairs(dupDocs).collect().toSeq ==
