@@ -307,8 +307,24 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       Dedup.lineDedup(s.read.parquet(Corpus.pagesPath(dir)))
     }),
+    "t13_clean_lines" -> ((s, dir) => {
+      // C4 line cleaning over the pages table; corpus-appropriate params
+      // (the synthetic nav/footer lines carry no terminal punctuation, so
+      // requirePunct=false here — OpsSpec pins the C4-default punct path)
+      Corpus.ensure(s, dir)
+      TextAnalysis.cleanLines(s.read.parquet(Corpus.pagesPath(dir)),
+        minWords = 2, requirePunct = false,
+        blocklist = Seq("Privacy", "Login"), minKeptLines = 3)
+    }),
     "d12_best_canonical" -> ((s, dir) => Dedup.bestCanonical(docs(s, dir))),
     "d13_lsh_recall" -> ((s, dir) => Dedup.lshRecall(docs(s, dir))),
+    "d15_incremental_gate" -> ((s, dir) => {
+      // incremental-crawl shape: every 10th doc is "today's increment",
+      // the rest are the standing corpus's band-bucket index
+      val d = docs(s, dir)
+      Dedup.incrementalGate(d.filter(col("doc_id") % 10 =!= 7),
+        d.filter(col("doc_id") % 10 === 7))
+    }),
     // --- embedding similarity / ANN ---
     // cellCap=50 exercises BOTH paths at sf0.01: labels with >50 members are
     // LSH-sub-bucketed (hot-cell guard), the rest keep exact within-cell pairs
@@ -599,6 +615,12 @@ object SparkEntry {
     "d9_dup_spans" -> Dedup.dupSpansSql("documents"),
     "d12_best_canonical" -> Dedup.bestCanonicalSql("documents"),
     "d13_lsh_recall" -> Dedup.lshRecallSql("documents"),
+    "d15_incremental_gate" ->
+      Dedup.incrementalGateSql("documents", "doc_id % 10 = 7"),
+    "t13_clean_lines" -> TextAnalysis.cleanLinesSql(
+      s"${Corpus.pagesPath("sf0.01")}/*/*.parquet",
+      minWords = 2, requirePunct = false,
+      blocklist = Seq("Privacy", "Login"), minKeptLines = 3),
     "d10_excise" -> Dedup.exciseSpansSql("documents"),
     "d11_contamination_bloom" ->
       Dedup.contaminationBloomSql("documents", "doc_id % 50 = 0"),

@@ -187,16 +187,26 @@ object Dedup {
                         bucketCap: Int = 10): DataFrame =
     lshCandidatePairsUnordered(docs, k, n, bucketCap).orderBy("id_a", "id_b")
 
-  /** [[lshCandidatePairs]] without the final global sort, for composition. */
-  def lshCandidatePairsUnordered(docs: DataFrame, k: Int = 8, n: Int = 4,
-                                 bucketCap: Int = 10): DataFrame = {
+  /** LSH band rows (doc_id, bkey): the minhash signature split into k/2
+    * two-slot bands, each hashed to one 128-bit band-bucket key. Shared by
+    * the intra-corpus pair join ([[lshCandidatePairsUnordered]]) and the
+    * incremental corpus-membership gate ([[incrementalGate]]) so the two
+    * paths band identically — an increment checked against an index built
+    * by the other path can never miss on key-construction drift.
+    */
+  private[ops] def minhashBandRows(docs: DataFrame, k: Int, n: Int): DataFrame = {
     val sigs = minhashSignatures(docs, k, n)
     val bandKeys = (0 until k / 2).map(b =>
       md5(concat(lit(b.toString), lit(":"),
         col(s"m${2 * b}").cast("string"), lit(","),
         col(s"m${2 * b + 1}").cast("string"))))
-    val banded = capBuckets(
-      sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey")), bucketCap)
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey"))
+  }
+
+  /** [[lshCandidatePairs]] without the final global sort, for composition. */
+  def lshCandidatePairsUnordered(docs: DataFrame, k: Int = 8, n: Int = 4,
+                                 bucketCap: Int = 10): DataFrame = {
+    val banded = capBuckets(minhashBandRows(docs, k, n), bucketCap)
     // pairs WITHOUT a self-join: collect each capped bucket's members (<=
     // bucketCap by construction, so the list is bounded) and emit pairs in
     // a typed kernel. A self-join would recompute the whole signature
@@ -269,8 +279,11 @@ object Dedup {
     * and the [[lshRecallSql]] audit so the audited path and the production
     * path can never drift (the [[sqlDupSpanCtes]] discipline).
     */
-  private def sqlLshPairCtes(table: String, k: Int, n: Int,
-                             bucketCap: Int): String = {
+  /** The shingle -> signature -> band chain as a CTE block exposing
+    * `bands(doc_id, bkey)` — the SQL mirror of [[minhashBandRows]], shared
+    * by [[sqlLshPairCtes]] and [[incrementalGateSql]] (one definition).
+    */
+  private[ops] def sqlBandCtes(table: String, k: Int, n: Int): String = {
     val w = sqlWords("text")
     val sh = sqlShingles("w", n)
     val slotHash = sqlH32("h || '|' || s")
@@ -280,7 +293,12 @@ object Dedup {
        |    h -> list_min(list_transform(shingles, s -> $slotHash))) AS mh
        |  FROM sh WHERE len(shingles) > 0),
        |bands AS (SELECT doc_id, md5(b || ':' || mh[2*b+1] || ',' || mh[2*b+2]) AS bkey
-       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b)),
+       |  FROM sig, generate_series(0,${k / 2 - 1}) AS t(b))""".stripMargin
+  }
+
+  private def sqlLshPairCtes(table: String, k: Int, n: Int,
+                             bucketCap: Int): String = {
+    s"""${sqlBandCtes(table, k, n)},
        |capped AS ${sqlCapBuckets("bands", "doc_id", bucketCap)},
        |lshp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
@@ -747,6 +765,69 @@ object Dedup {
     */
   def contaminationBloomSql(table: String, probePred: String, n: Int = 6): String =
     contaminationSql(table, probePred, n)
+
+  /** Incremental near-dup gate — the production shape of LSH dedup once a
+    * corpus exists: a crawl INCREMENT is checked against the standing
+    * corpus's band-bucket index instead of re-running pair generation over
+    * corpus+increment (at 10^12 standing docs, re-deduping the world to
+    * admit a day's crawl is the difference between a job sized by the
+    * increment and a job sized by the corpus). Each new doc reports how
+    * many of its k/2 LSH bands hit an existing corpus bucket and a 0/1
+    * `hit` flag; a pipeline quarantines hits (likely near-dups of existing
+    * content) and routes misses into [[lshCandidatePairs]] WITHIN the
+    * increment for intra-batch dedup.
+    *
+    * Scale shape: the corpus side collapses to DISTINCT band keys — one
+    * partial-agg shuffle the first time, and in production that distinct
+    * frame IS the persistent index (write it once, re-read per increment;
+    * appending the admitted increment's bands keeps it current). The join
+    * needs NO bucket cap: after the distinct, the hottest boilerplate
+    * bucket is ONE row, so join output is bounded by |increment| * k/2
+    * band rows — linear in the increment, never quadratic. The hit count
+    * needs no distinct-agg: a doc's band keys are distinct by construction
+    * (the band index is hashed into the key). Banding is [[minhashBandRows]]
+    * — the SAME construction the intra-corpus pair pass uses, so an index
+    * built by one path is exact for the other. Short docs (< n words) have
+    * no bands and surface with shared_bands = 0, preserving row count.
+    *
+    * Recall contract: a miss means no band collision, the standard LSH
+    * guarantee at the (k, n) operating point — identical to what a full
+    * re-dedup's candidate stage would have found for those pairs, because
+    * the index is uncapped (capBuckets exists to bound PAIR joins; a
+    * membership probe has no quadratic mode to bound).
+    */
+  def incrementalGate(corpus: DataFrame, newDocs: DataFrame,
+                      k: Int = 8, n: Int = 4): DataFrame = {
+    val corpusB = minhashBandRows(corpus, k, n).select(col("bkey")).distinct()
+    val hits = minhashBandRows(newDocs, k, n)
+      .join(corpusB, "bkey")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_bands"))
+    newDocs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_bands"), lit(0L)).as("shared_bands"))
+      .withColumn("hit", (col("shared_bands") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[incrementalGate]] over one table split by
+    * `newPred` (a doc_id predicate, the [[contaminationSql]] convention):
+    * increment = rows matching, standing corpus = the rest. Shares
+    * [[sqlBandCtes]] with the pair-pass mirrors — one band definition.
+    */
+  def incrementalGateSql(table: String, newPred: String,
+                         k: Int = 8, n: Int = 4): String =
+    s"""WITH ${sqlBandCtes(table, k, n)},
+       |corpus_b AS (SELECT DISTINCT bkey FROM bands WHERE NOT ($newPred)),
+       |new_b AS (SELECT doc_id, bkey FROM bands WHERE $newPred),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_bands
+       |  FROM new_b JOIN corpus_b USING (bkey) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(h.shared_bands, CAST(0 AS BIGINT)) AS shared_bands,
+       |  CAST(CASE WHEN COALESCE(h.shared_bands, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS hit
+       |FROM (SELECT doc_id FROM $table WHERE $newPred) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Per-doc DISTINCT shingle set as one array column, computed map-side in
     * the typed kernel (no shuffle; used to rescore candidate pairs exactly).

@@ -648,4 +648,94 @@ object TextAnalysis {
        |  CAST(n0 - len(${w("t")}) AS BIGINT) AS n_merged
        |FROM t$rounds ORDER BY doc_id""".stripMargin
   }
+
+  /** C4-style LINE-level cleaning (Raffel et al., the famous pass that made
+    * C4 out of Common Crawl) over extracted pages — the granularity the
+    * doc-level [[qualityGate]] cannot reach: a page whose body is fine but
+    * whose nav/footer boilerplate is noise should lose the LINES, not the
+    * document. Per line (after stripping only ' ' padding, both engines'
+    * trim(x, ' ')): keep iff it has >= `minWords` words, ends in a terminal
+    * mark ('.', '!', '?', '"') when `requirePunct`, and contains no
+    * `blocklist` needle; whole docs containing a `docDropMarkers` needle
+    * ("lorem ipsum", '{' — C4's policy-page and code tells) drop outright,
+    * as do docs with fewer than `minKeptLines` survivors. Needle matching
+    * is CASE-SENSITIVE by contract: the corpus is multilingual and Java
+    * `toLowerCase` vs SQL `lower()` disagree outside ASCII (the Turkish-I
+    * class of divergence), so callers pass the case variants they mean.
+    * Terminal-mark tests use endsWith — code-point-representation-proof in
+    * both engines, unlike last-char indexing (UTF-16 units vs code points).
+    *
+    * Scale shape: purely row-local — ONE typed map pass, zero shuffles
+    * (the final orderBy is oracle determinism only); at 100 TB it runs
+    * map-only at input parallelism, upstream of [[Dedup.lineDedup]] (clean
+    * first, then dedup survivors — C4's own order). Output keeps the
+    * audit trail: (url, cleaned text, n_lines in, n_kept).
+    */
+  def cleanLines(pages: DataFrame, minWords: Int = 3,
+                 requirePunct: Boolean = true,
+                 blocklist: Seq[String] = Seq("javascript", "cookie"),
+                 docDropMarkers: Seq[String] = Seq("lorem ipsum", "{"),
+                 minKeptLines: Int = 3): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val terminal = Seq(".", "!", "?", "\"")
+    pages.select(col("url"), col("text")).as[(String, String)]
+      .flatMap { case (url, text) =>
+        if (text == null || docDropMarkers.exists(text.contains(_)))
+          Iterator.empty
+        else {
+          val ls = text.split("\n", -1)
+          val kept = ls.filter { raw =>
+            var a = 0
+            var b = raw.length
+            while (a < b && raw.charAt(a) == ' ') a += 1
+            while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+            val t = raw.substring(a, b)
+            var words = 0
+            var i = 0
+            while (i < t.length) { // count ' '-separated non-empty runs
+              if (t.charAt(i) != ' ' && (i == 0 || t.charAt(i - 1) == ' '))
+                words += 1
+              i += 1
+            }
+            t.nonEmpty && words >= minWords &&
+              (!requirePunct || terminal.exists(t.endsWith(_))) &&
+              !blocklist.exists(t.contains(_))
+          }
+          if (kept.length < minKeptLines) Iterator.empty
+          else Iterator((url, kept.mkString("\n"), ls.length.toLong,
+            kept.length.toLong))
+        }
+      }
+      .toDF("url", "text", "n_lines", "n_kept")
+      .orderBy("url")
+  }
+
+  /** DuckDB mirror of [[cleanLines]] over the hive-partitioned pages glob.
+    * The strip-then-test is inlined per predicate (SQL lambdas have no
+    * `let`); string needles are escaped with doubled quotes.
+    */
+  def cleanLinesSql(pagesGlob: String, minWords: Int = 3,
+                    requirePunct: Boolean = true,
+                    blocklist: Seq[String] = Seq("javascript", "cookie"),
+                    docDropMarkers: Seq[String] = Seq("lorem ipsum", "{"),
+                    minKeptLines: Int = 3): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val t = "trim(x, ' ')"
+    val punct = if (!requirePunct) ""
+      else Seq(".", "!", "?", "\"").map(m => s"ends_with($t, ${q(m)})")
+        .mkString(" AND (", " OR ", ")")
+    val blocked = blocklist.map(n => s" AND NOT contains($t, ${q(n)})").mkString
+    val docGate = docDropMarkers.map(n => s" AND NOT contains(text, ${q(n)})").mkString
+    s"""WITH e AS (SELECT url, string_split(text, chr(10)) AS ls
+       |    FROM read_parquet('$pagesGlob', hive_partitioning=1)
+       |    WHERE text IS NOT NULL$docGate),
+       |f AS (SELECT url, len(ls) AS n_lines,
+       |    list_filter(ls, x -> $t <> ''
+       |      AND len(list_filter(string_split($t, ' '), w -> w <> '')) >= $minWords$punct$blocked) AS ks
+       |  FROM e)
+       |SELECT url, array_to_string(ks, chr(10)) AS text,
+       |  CAST(n_lines AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
+       |FROM f WHERE len(ks) >= $minKeptLines ORDER BY url""".stripMargin
+  }
 }

@@ -615,4 +615,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"per-doc score sum needs a map-side partial phase:\n$p")
   }
+
+  test("d15 incremental gate: index is an aggregated distinct, no window, no cartesian") {
+    val p = plan("d15_incremental_gate")
+    assert(!p.contains("Window"),
+      s"membership probe must never window over a band key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bkey probe must stay an equi-join:\n$p")
+    // the standing-corpus side must collapse to distinct band keys (the
+    // persistent index) BEFORE the join — a raw band-rows join would make
+    // the hot boilerplate bucket quadratic again
+    assert(p.contains("HashAggregate"), s"corpus bands must aggregate to an index:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"hit count needs a map-side partial phase:\n$p")
+  }
+
+  test("t13 clean lines: map-only kernel — no shuffle before the output sort") {
+    val p = plan("t13_clean_lines")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"line cleaning is row-local; only the presentation sort may exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"no join/window belongs in a per-row pass:\n$p")
+  }
 }

@@ -285,6 +285,67 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("incrementalGate: band hits against the standing-corpus index") {
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight")
+    val increment = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta", // exact copy: all 4 bands hit
+      11L -> "red green blue yellow purple orange cyan pink", // disjoint: no hits
+      12L -> "tiny")                                          // < n words: no bands at all
+    val got = Dedup.incrementalGate(corpus, increment)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((10L, 4L, 1), (11L, 0L, 0), (12L, 0L, 0)))
+  }
+
+  test("incrementalGate: increment-only rows keep row count (left join, never inner)") {
+    // empty standing corpus: every increment doc must still surface, hit=0
+    val out = Dedup.incrementalGate(docsDf(), docsDf(
+        1L -> "alpha beta gamma delta epsilon",
+        2L -> "one two three four five"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 0L, 0), (2L, 0L, 0)))
+  }
+
+  test("cleanLines: C4 line rules — punct, min words, blocklist, doc-level gates") {
+    import spark.implicits._
+    val pages = Seq(
+      "u1" -> Seq(
+        "This is a good first sentence.", // kept
+        "Is this kept too?",              // kept (terminal ?)
+        "  padded but fine!  ",           // kept: predicate sees the stripped line, output keeps the raw one
+        "short.",                         // dropped: < 3 words
+        "no terminal punctuation here",   // dropped: no terminal mark
+        "please enable javascript now.",  // dropped: blocklist needle
+        "").mkString("\n"),
+      // doc-level marker drops the whole page even with 2 good lines
+      "u2" -> "Good line one stays here.\nAnother good line stays.\nlorem ipsum dolor sit.",
+      // survives line rules but fails the min-kept-lines floor
+      "u3" -> "Only one good line survives here.\nbad\nbad",
+      // '{' marker (C4's code tell) drops the page outright
+      "u4" -> "Braces { appear here.\nGood line two is present.\nGood line three is present."
+    ).toDF("url", "text")
+    val out = TextAnalysis.cleanLines(pages).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("u1"))
+    val r = out.head
+    assert(r.getString(1) ==
+      "This is a good first sentence.\nIs this kept too?\n  padded but fine!  ")
+    assert(r.getLong(2) == 7L && r.getLong(3) == 3L) // 6 lines + trailing ""
+  }
+
+  test("cleanLines: requirePunct=false keeps unpunctuated prose; needles stay case-sensitive") {
+    import spark.implicits._
+    val pages = Seq(
+      "u1" -> "plain words no punctuation\nJavascript is a proper noun here\nenable javascript now"
+    ).toDF("url", "text")
+    val out = TextAnalysis.cleanLines(pages, minWords = 2, requirePunct = false,
+        blocklist = Seq("javascript"), minKeptLines = 1)
+      .collect()
+    // lowercase needle drops line 3 only; capitalized "Javascript" survives
+    assert(out.head.getString(1) ==
+      "plain words no punctuation\nJavascript is a proper noun here")
+  }
+
   test("stratified sampling: rate edges, default fallback, threshold monotonicity") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh", s"text $i"))
