@@ -337,6 +337,9 @@ object SparkEntry {
       Similarity.embedComponents(emb(s, dir), cellCap = 50)),
     "s7_kmeans" -> ((s, dir) => Similarity.kmeans(emb(s, dir))),
     "s8_ann_ivf_trained" -> ((s, dir) => Similarity.trainedIvfTopK(emb(s, dir))),
+    // cellCap=50 as in s1/s6: the trained cells at sf0.01 (500 vecs / 4
+    // centroids) are all hot, so the sub-bucket guard path is what runs
+    "s9_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir), cellCap = 50)),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -359,6 +362,10 @@ object SparkEntry {
     "m7_image_components" -> ((s, dir) => {
       import s.implicits._
       Media.imageComponents(media(s, dir).as[Media.MediaRow])
+    }),
+    "m8_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      Media.audioStats(media(s, dir).as[Media.MediaRow])
     }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
@@ -394,6 +401,8 @@ object SparkEntry {
       // sizing rule, so the scale claim is itself under the hard gate
       Prep.packChunksAuto(docs(s, dir))),
     "p12_pack_efficiency" -> ((s, dir) => Prep.packEfficiency(docs(s, dir))),
+    // nBuckets=16 so sf0.01's 500 docs spread ~31/bucket — both stages real
+    "p13_epoch_order" -> ((s, dir) => Prep.epochOrder(docs(s, dir), epoch = 3, nBuckets = 16)),
     "p8_end_to_end" -> ((s, dir) =>
       // the composed flagship prep chain: exact dedup -> LSH components ->
       // per-source cap -> stratified sample -> token packing, one oracle
@@ -632,6 +641,7 @@ object SparkEntry {
     "s6_embed_components" -> Similarity.embedComponentsSql("embeddings", cellCap = 50),
     "s7_kmeans" -> Similarity.kmeansSql("embeddings"),
     "s8_ann_ivf_trained" -> Similarity.trainedIvfTopKSql("embeddings"),
+    "s9_semdedup" -> Similarity.semDedupSql("embeddings", cellCap = 50),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
@@ -644,6 +654,7 @@ object SparkEntry {
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksAutoSql("documents"),
     "p12_pack_efficiency" -> Prep.packEfficiencySql("documents"),
+    "p13_epoch_order" -> Prep.epochOrderSql("documents", epoch = 3),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,
       defaultRate = 0.35, capPerSource = 15),
     "p10_url_latest" ->
@@ -665,6 +676,7 @@ object SparkEntry {
     "m5_ahash_pairs" -> Media.aHashPairsSql(M),
     "m6_resize" -> Media.resizeSql(M),
     "m7_image_components" -> Media.imageComponentsSql(M),
+    "m8_audio_stats" -> Media.audioStatsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

@@ -131,14 +131,17 @@ object Media {
     }
 
     /** Walk RIFF chunks: "fmt " yields the sample rate, "data" the payload
-      * size — a real parser, tolerant of extra chunks and chunk order.
+      * offset + size — a real parser, tolerant of extra chunks and chunk
+      * order. Returns (sampleRate, dataOffset, dataLen); shared by the
+      * metadata decode and the PCM stats kernel.
       */
-    def decodeWav(b: Array[Byte]): MediaParsed = {
+    def wavData(b: Array[Byte]): (Int, Int, Int) = {
       require(b.length >= 12 &&
         b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a WAV")
       var off = 12
       var sampleRate = 0
+      var dataOff = -1
       var dataLen = -1
       while (off + 8 <= b.length && (sampleRate == 0 || dataLen < 0)) {
         val id = new String(b, off, 4, "US-ASCII")
@@ -149,12 +152,17 @@ object Media {
           s"corrupt RIFF chunk '$id': size=$size at offset $off of ${b.length}")
         id match {
           case "fmt " => sampleRate = rdLe32(b, off + 12)
-          case "data" => dataLen = size
+          case "data" => dataOff = off + 8; dataLen = size
           case _      => ()
         }
         off += 8 + size + (size & 1) // RIFF chunks are word-aligned
       }
       require(sampleRate > 0 && dataLen >= 0, "missing fmt/data chunk")
+      (sampleRate, dataOff, dataLen)
+    }
+
+    def decodeWav(b: Array[Byte]): MediaParsed = {
+      val (sampleRate, _, dataLen) = wavData(b)
       MediaParsed(-1L, "audio", 0, 0, sampleRate, dataLen)
     }
 
@@ -384,6 +392,68 @@ object Media {
        |  ELSE '' END AS frames
        |FROM read_parquet('$parquetGlob')
        |ORDER BY doc_id""".stripMargin
+
+  final case class AudioStatsRow(doc_id: Long, sample_rate: Int,
+      n_samples: Long, duration_ms: Long, peak_dev: Long, sq_mean: Long,
+      dc_mean: Long)
+
+  /** Audio-level stats over the DECODED PCM samples — the gate an audio
+    * pipeline runs before spending GPU time: silence (peak_dev ~ 0),
+    * clipping (peak_dev = 127/128 with a high mean square), DC offset
+    * (dc_mean far from 128), plus exact duration from the fmt-chunk rate.
+    * 8-bit unsigned PCM: deviation = sample - 128. All-integer (long sums,
+    * floored means — non-negative, so both engines' integer division IS
+    * floor), map-only through the typed kernel: zero shuffles, runs at
+    * input parallelism at any corpus size. The RIFF walk is the same
+    * [[MediaKernel.wavData]] the metadata decode uses — stats can never
+    * disagree with the decode about where the samples live.
+    */
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val (sr, dataOff, len) = MediaKernel.wavData(r.media)
+      var i = 0
+      var peak = 0L
+      var sq = 0L
+      var s = 0L
+      while (i < len) {
+        val v = r.media(dataOff + i) & 0xFF
+        val d = v - 128
+        val a = if (d < 0) -d else d
+        if (a > peak) peak = a
+        sq += d.toLong * d
+        s += v
+        i += 1
+      }
+      AudioStatsRow(r.doc_id, sr, len.toLong,
+        len.toLong * 1000L / sr,
+        peak,
+        if (len > 0) sq / len else 0L,
+        if (len > 0) s / len else 0L)
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB mirror recomputing every stat from the write-side truth
+    * (payload sample string + intended sampleRate), independent of the
+    * engine's RIFF walk.
+    */
+  def audioStatsSql(parquetGlob: String): String =
+    s"""WITH au AS (SELECT doc_id, payload, meta.sampleRate AS sr,
+       |    length(payload) AS n,
+       |    list_transform(generate_series(1, length(payload)),
+       |      i -> ord(substring(payload, i, 1))) AS cs
+       |  FROM read_parquet('$parquetGlob') WHERE kind = 'audio')
+       |SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+       |  CAST(n AS BIGINT) AS n_samples,
+       |  CAST((n * 1000) // sr AS BIGINT) AS duration_ms,
+       |  CAST(COALESCE(list_max(list_transform(cs, c -> abs(c - 128))), 0)
+       |    AS BIGINT) AS peak_dev,
+       |  CAST(CASE WHEN n > 0 THEN
+       |    list_sum(list_transform(cs, c -> (c - 128) * (c - 128))) // n
+       |    ELSE 0 END AS BIGINT) AS sq_mean,
+       |  CAST(CASE WHEN n > 0 THEN list_sum(cs) // n ELSE 0 END
+       |    AS BIGINT) AS dc_mean
+       |FROM au ORDER BY doc_id""".stripMargin
 
   final case class ResizeRow(doc_id: Long, gray: String)
 

@@ -797,6 +797,60 @@ object Prep {
        |FROM g ORDER BY curl""".stripMargin
   }
 
+  /** Deterministic epoch-order shuffle — the reproducible GLOBAL permutation
+    * a training run reads its corpus in (every serious pipeline pins this:
+    * re-running epoch 3 must stream the same examples in the same order on
+    * any cluster size). Each doc gets position `pos` (1..N) in the order of
+    * its salted hash h32(doc_id || ':ep' || epoch): a new epoch = a new salt
+    * = an independent permutation, no RNG state anywhere.
+    *
+    * The naive form — `row_number() OVER (ORDER BY key)` — is a
+    * SINGLE-PARTITION window: the whole corpus funnels through one task.
+    * This is the distributed global-rank idiom instead:
+    *  - bucket = the key's high bits (`key div width`, `nBuckets` RANGE
+    *    buckets — uniform because the key is a hash), so global key order
+    *    == (bucket, key) order;
+    *  - per-bucket rank via `row_number() OVER (PARTITION BY bucket)` —
+    *    nBuckets parallel bounded windows, never one task;
+    *  - bucket base offsets from a tiny count agg (nBuckets rows) with a
+    *    running sum over THAT frame only, broadcast back;
+    *  - pos = offset + within-bucket rank. Exactly the single-window
+    *    answer (which is what the oracle computes), at map-side cost.
+    *
+    * (pos, doc_id) is collision-free: ties on the hash break by doc_id
+    * inside each bucket, and buckets partition the key space.
+    */
+  def epochOrder(docs: DataFrame, epoch: Int = 0, nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0, "power-of-two buckets")
+    val width = (1L << 32) / nBuckets
+    val keyed = docs
+      .select(col("doc_id"),
+        h32(concat(col("doc_id").cast("string"), lit(s":ep$epoch"))).as("k"))
+      .withColumn("bucket", expr(s"k div ${width}L"))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+    keyed.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"),
+        (col("off") + row_number().over(w).cast("long")).as("pos"))
+      .orderBy("pos")
+  }
+
+  /** DuckDB mirror of [[epochOrder]]: the single-window form the two-stage
+    * construction provably equals.
+    */
+  def epochOrderSql(table: String, epoch: Int = 0): String =
+    s"""WITH k AS (SELECT doc_id,
+       |    ${sqlH32(s"CAST(doc_id AS VARCHAR) || ':ep$epoch'")} AS k
+       |  FROM $table)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM k ORDER BY pos""".stripMargin
+
   def packChunksSql(table: String, budget: Long = 256L, nShards: Int = 8): String =
     s"""WITH t AS (SELECT doc_id, lang, doc_id % $nShards AS shard,
        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens

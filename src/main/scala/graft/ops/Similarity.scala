@@ -449,6 +449,127 @@ object Similarity {
        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, ${sqlMicro("cos")} AS cos_micro
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over embeddings —
+    * k-means the corpus into cells, find within-cell cosine near-dup groups,
+    * and keep ONE representative per group: the member FARTHEST from its
+    * cluster centroid (the paper's keep-low-centroid-similarity rule —
+    * prototypical members carry the least marginal information, edge
+    * members the most). This is the embedding-space analogue of
+    * [[Dedup.bestCanonical]]: there the keep policy is a text-quality
+    * score, here it is centroid distance.
+    *
+    * Composition (every stage is an already-gated construction):
+    *  - cells come from [[kmeansAssign]] — whose exact integer `dist_mic2`
+    *    is precisely the keep-rule key, so the policy costs NO extra pass
+    *    and is bit-identical across engines (no float sums anywhere);
+    *  - within-cell pairs >= `thresh` use the s1 hot-cell guard: a cell
+    *    larger than `cellCap` is LSH-sub-bucketed so the pair join never
+    *    goes quadratic on a skewed cell (SemDeDup's own clusters are
+    *    size-skewed on web data — boilerplate collapses into few cells);
+    *  - duplicate groups = [[Dedup.componentsFrom]] (bounded-lineage
+    *    min-label propagation; pairs never cross cells, so components
+    *    can't either);
+    *  - the keeper is picked agg+join, never a window over the component
+    *    key: max(dist_mic2) per component map-side, then min(vec_id) among
+    *    ties — a giant boilerplate component collapses inside its input
+    *    partitions (the d12 idiom, gated by PlanSpec).
+    *
+    * Output: one row per vector — (vec_id, cid, component, dist_mic2,
+    * kept) where kept=1 marks the component's survivor; singletons are
+    * their own component and always kept. `sum(1 - kept)` is the prune
+    * mass the paper reports.
+    */
+  def semDedup(emb: DataFrame, kCentroids: Int = 4, rounds: Int = 2,
+               thresh: Double = 0.3, cellCap: Int = 10000): DataFrame = {
+    val asg = kmeansAssign(emb, kCentroids, rounds)
+    val e = withNorm(emb).join(asg.select(col("vec_id"), col("cid")), "vec_id")
+    val sizes = broadcast(e.groupBy(col("cid")).agg(count(lit(1)).as("cell_n")))
+    val keyed = e.join(sizes, "cid")
+      .withColumn("jk",
+        when(col("cell_n") > cellCap,
+          concat_ws(":", lit("H"), col("cid"), bucketCol(col("embedding"))))
+          .otherwise(concat_ws(":", lit("L"), col("cid"))))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    val cos = dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    val pairs = a
+      .join(b, col("a.jk") === col("b.jk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
+      .filter(col("cos") >= thresh)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup
+      .componentsFrom(emb.select(col("vec_id").as("doc_id")), pairs, maxIters = 20)
+      .select(col("doc_id").as("vec_id"), col("component"))
+    semDedupKeepOver(asg.join(comp, "vec_id")).orderBy("vec_id")
+  }
+
+  /** The keep-rule stage over an explicit `(vec_id, cid, component,
+    * dist_mic2)` frame — public for the same reason as
+    * [[Dedup.bestCanonicalOver]]: components + assignments are computed
+    * once and keepers re-picked per policy, and the max-dist / min-id-tie
+    * semantics are gateable without depending on which vectors the cosine
+    * graph happens to link. Two-stage agg+join, never a window over the
+    * component key.
+    */
+  def semDedupKeepOver(tagged: DataFrame): DataFrame = {
+    val best = tagged.groupBy(col("component")).agg(max(col("dist_mic2")).as("bd"))
+    val keeper = tagged.join(best, "component")
+      .filter(col("dist_mic2") === col("bd"))
+      .groupBy(col("component")).agg(min(col("vec_id")).as("keep_id"))
+    tagged.join(keeper, "component")
+      .select(col("vec_id"), col("cid"), col("component"), col("dist_mic2"),
+        (col("vec_id") === col("keep_id")).cast("int").as("kept"))
+  }
+
+  /** DuckDB mirror of [[semDedup]]: shares [[kmeansWithBody]] (one trainer
+    * definition with s7/s8) and the s1/s6 pair + recursive-components
+    * chains; the keep rule is the same two-stage max-then-min-tie form.
+    */
+  def semDedupSql(table: String, kCentroids: Int = 4, rounds: Int = 2,
+                  thresh: Double = 0.3, cellCap: Int = 10000): String = {
+    def lits(p: Int): String = planes(p).mkString("[", ",", "]")
+    val bits = (0 until NumPlanes).map { p =>
+      val d = s"list_reduce(list_transform(generate_series(1,$Dim), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * (${lits(p)})[i]), (x,y) -> x+y)"
+      s"(CASE WHEN ($d) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE ${kmeansWithBody(table, kCentroids, rounds)},
+       |sz AS (SELECT cid, count(*) AS cell_n FROM asg GROUP BY cid),
+       |kk AS (SELECT t.vec_id, t.embedding, a.cid,
+       |    CASE WHEN sz.cell_n > $cellCap
+       |      THEN 'H:' || a.cid || ':' || CAST($bits AS BIGINT)
+       |      ELSE 'L:' || a.cid END AS jk
+       |  FROM $table t JOIN asg a ON t.vec_id = a.vec_id
+       |  JOIN sz ON a.cid = sz.cid),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${sqlCosine("a.embedding", "b.embedding", Dim)} AS cos
+       |  FROM kk a JOIN kk b
+       |    ON a.jk = b.jk AND a.vec_id < b.vec_id),
+       |pair AS (SELECT id_a, id_b FROM p WHERE cos >= $thresh),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pair
+       |  UNION ALL SELECT id_b, id_a FROM pair),
+       |reach(node, lbl) AS (
+       |  SELECT vec_id, vec_id FROM $table
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node AS vec_id, min(lbl) AS component
+       |  FROM reach GROUP BY node),
+       |tg AS (SELECT c.vec_id, a.cid, c.component,
+       |    CAST(a.dist AS BIGINT) AS dist_mic2
+       |  FROM comp c JOIN asg a ON c.vec_id = a.vec_id),
+       |bd AS (SELECT component, max(dist_mic2) AS bd FROM tg GROUP BY component),
+       |kp AS (SELECT tg.component, min(tg.vec_id) AS keep_id
+       |  FROM tg JOIN bd ON tg.component = bd.component
+       |  WHERE tg.dist_mic2 = bd.bd GROUP BY tg.component)
+       |SELECT tg.vec_id, tg.cid, tg.component, tg.dist_mic2,
+       |  CAST(CASE WHEN tg.vec_id = kp.keep_id THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM tg JOIN kp ON tg.component = kp.component
+       |ORDER BY tg.vec_id""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucket assignment: 8 sign bits -> bucket id.
     * Pure narrow projection (the scale path: bucket-join for candidates).
     */

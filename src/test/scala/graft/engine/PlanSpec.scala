@@ -575,6 +575,36 @@ class PlanSpec extends AnyFunSuite {
       s"both reduction stages must keep map-side partials:\n$p")
   }
 
+  test("m8 audio stats: map-only kernel — no hash shuffle, only the determinism sort") {
+    val p = plan("m8_audio_stats")
+    assert(!p.contains("hashpartitioning"),
+      s"PCM stats must not shuffle the corpus:\n$p")
+    assert(!p.contains("ScalaUDF"), s"typed kernel, not an interpreted UDF:\n$p")
+  }
+
+  test("s9 semdedup keep stage: agg+join, never a window over the component key") {
+    // same shape as the d12 gate: the full s9 plan legitimately contains
+    // Window nodes (kmeans init top-k, upstream caps); the claim is that
+    // keeper selection adds none over the skewable component key
+    import spark.implicits._
+    val tagged = Seq((1L, 1, 1L, 9L), (2L, 1, 1L, 9L), (3L, 2, 3L, 0L))
+      .toDF("vec_id", "cid", "component", "dist_mic2")
+    val p = graft.ops.Similarity.semDedupKeepOver(tagged)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"no window over component:\n$p")
+    assert(p.contains("partial_max") && p.contains("partial_min"),
+      s"both reduction stages must keep map-side partials:\n$p")
+  }
+
+  test("p13 epoch order: rank window is bucket-partitioned; offsets broadcast") {
+    val p = plan("p13_epoch_order")
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"the corpus-sized window must partition by bucket (never one task):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nBuckets-row offset frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+  }
+
   test("x5 incremental: delta routing is semi/anti joins; kernel leg stays UDF-free") {
     val p = plan("x5_incremental")
     assert(p.contains("LeftAnti"), s"changed/new rows route via anti join:\n$p")

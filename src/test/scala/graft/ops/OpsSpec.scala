@@ -565,6 +565,39 @@ class OpsSpec extends AnyFunSuite {
     assert(out.find(_._3 == 1).get._4 >= 999999L)
   }
 
+  test("semDedup: one keeper per near-dup component, the member farthest from its centroid") {
+    def v(base: Float, jit: Float): Seq[Float] =
+      Seq.tabulate(64)(i => base + (if (i == 0) jit else 0f))
+    // two tight groups (within-group cosine ~1, cross-group negative) plus
+    // one orthogonal singleton (alternating signs: cosine ~0 to both groups)
+    val df = embDf(
+      (0L, v(0.1f, 0.00f), 0), (1L, v(0.1f, 0.01f), 0), (2L, v(0.1f, -0.01f), 0),
+      (3L, v(-0.1f, 0.00f), 0), (4L, v(-0.1f, 0.01f), 0), (5L, v(-0.1f, -0.01f), 0),
+      (6L, Seq.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f), 0))
+    val out = Similarity.semDedup(df, kCentroids = 2, rounds = 2, thresh = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("dist_mic2"), r.getAs[Int]("kept")))
+    assert(out.length == 7, "one row per vector, singletons included")
+    val byComp = out.groupBy(_._2)
+    assert(byComp.keySet == Set(0L, 3L, 6L),
+      s"components are the two groups + the singleton: ${out.toSeq}")
+    assert(byComp(0L).map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(byComp(3L).map(_._1).toSet == Set(3L, 4L, 5L))
+    // exactly one keeper per component; the keeper realizes the component's
+    // max centroid distance (SemDeDup keeps the least-prototypical member),
+    // ties broken to the smaller vec_id
+    byComp.foreach { case (c, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.length == 1, s"component $c: exactly one keeper: ${members.toSeq}")
+      val maxD = members.map(_._3).max
+      val expect = members.filter(_._3 == maxD).map(_._1).min
+      assert(kept.head._1 == expect,
+        s"component $c keeper must be farthest-from-centroid (min-id ties): ${members.toSeq}")
+    }
+    assert(byComp(6L).head._4 == 1, "singleton is its own keeper")
+  }
+
   test("kmeans: deterministic and partition-independent") {
     def v(i: Long): Seq[Float] = Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f - 0.5f)
     val rows = (0L until 40L).map(i => (i, v(i), 0))
@@ -656,6 +689,31 @@ class OpsSpec extends AnyFunSuite {
     extra.write(fmtAndData)               // fmt + data chunks
     val parsed = Media.MediaKernel.decodeWav(extra.toByteArray)
     assert(parsed.sample_rate == 22050 && parsed.payload_len == 4)
+  }
+
+  test("audioStats: exact integer PCM stats on hand-computed samples") {
+    import spark.implicits._
+    // devs: 0, +127, -128, 0 -> peak 128; sq = (0+16129+16384+0)/4 = 8128;
+    // dc = (128+255+0+128)/4 = 127 (floored); duration = 4*1000/8000 = 0ms
+    val s1 = Array[Byte](128.toByte, 255.toByte, 0.toByte, 128.toByte)
+    // pure silence at the midpoint: peak/sq 0, dc exactly 128; 2000 samples
+    // at 16 kHz = 125 ms
+    val s2 = Array.fill(2000)(128.toByte)
+    val rows = Seq(
+      Media.MediaRow(1L, "audio", Media.wavBytes(8000, s1),
+        Media.MediaMeta(0, 0, 8000, 4), new String(s1.map(b => (b & 0xFF).toChar))),
+      Media.MediaRow(2L, "audio", Media.wavBytes(16000, s2),
+        Media.MediaMeta(0, 0, 16000, 2000), "x"),
+      // an image row must be filtered out, not parsed as WAV
+      Media.rowFor(0L))
+    val out = Media.audioStats(spark.createDataset(rows)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("sample_rate"), r.getAs[Long]("n_samples"),
+          r.getAs[Long]("duration_ms"), r.getAs[Long]("peak_dev"),
+          r.getAs[Long]("sq_mean"), r.getAs[Long]("dc_mean"))).toMap
+    assert(out.keySet == Set(1L, 2L), "audio rows only")
+    assert(out(1L) == ((8000, 4L, 0L, 128L, 8128L, 127L)), s"got ${out(1L)}")
+    assert(out(2L) == ((16000, 2000L, 125L, 0L, 0L, 128L)), s"got ${out(2L)}")
   }
 
   test("media histogram: feature counts sum to payload length") {
@@ -983,6 +1041,35 @@ class OpsSpec extends AnyFunSuite {
     // and the auto form equals the explicit form at the derived count
     val auto = Prep.packChunksAuto(docs, budget = 16L, targetPerShard = 10L)
     assert(auto.collect().toSeq == out.collect().toSeq)
+  }
+
+  test("epochOrder: two-stage global rank equals the single-window permutation") {
+    import spark.implicits._
+    val docs = (0L until 97L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    // plain-Scala reference: sort by (salted hash, id), positions 1..N
+    def expect(epoch: Int): Seq[(Long, Long)] =
+      (0L until 97L).sortBy(i => (h32(s"$i:ep$epoch"), i))
+        .zipWithIndex.map { case (id, p) => (id, p + 1L) }
+        .sortBy(_._2)
+    Seq(4, 16).foreach { nb =>
+      val got = Prep.epochOrder(docs, epoch = 0, nBuckets = nb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expect(0), s"nBuckets=$nb must not change the permutation")
+    }
+    // a different epoch is a genuinely different permutation
+    val e1 = Prep.epochOrder(docs, epoch = 1, nBuckets = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e1 == expect(1))
+    assert(e1 != expect(0), "epoch salt must reshuffle")
+    assert(e1.map(_._2).sorted == (1L to 97L), "positions are a permutation of 1..N")
+    // partition-independent (the reproducibility contract)
+    val rep = Prep.epochOrder(docs.repartition(7), epoch = 1, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rep == e1)
   }
 
   test("capBuckets: two-stage cap equals the single-window cap on a hot bucket") {
