@@ -340,6 +340,7 @@ object SparkEntry {
     // cellCap=50 as in s1/s6: the trained cells at sf0.01 (500 vecs / 4
     // centroids) are all hot, so the sub-bucket guard path is what runs
     "s9_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir), cellCap = 50)),
+    "s10_pq_adc" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -366,6 +367,10 @@ object SparkEntry {
     "m8_audio_stats" -> ((s, dir) => {
       import s.implicits._
       Media.audioStats(media(s, dir).as[Media.MediaRow])
+    }),
+    "m9_shot_bounds" -> ((s, dir) => {
+      import s.implicits._
+      Media.shotBounds(media(s, dir).as[Media.MediaRow])
     }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
@@ -401,6 +406,9 @@ object SparkEntry {
       // sizing rule, so the scale claim is itself under the hard gate
       Prep.packChunksAuto(docs(s, dir))),
     "p12_pack_efficiency" -> ((s, dir) => Prep.packEfficiency(docs(s, dir))),
+    // exact per-lang length quantiles without a global sort: histogram agg
+    // -> bounded-domain cumulative window -> broadcast rank targets
+    "q16_quantiles" -> ((s, dir) => Prep.tokenQuantiles(docs(s, dir))),
     // nBuckets=16 so sf0.01's 500 docs spread ~31/bucket — both stages real
     "p13_epoch_order" -> ((s, dir) => Prep.epochOrder(docs(s, dir), epoch = 3, nBuckets = 16)),
     "p8_end_to_end" -> ((s, dir) =>
@@ -642,6 +650,7 @@ object SparkEntry {
     "s7_kmeans" -> Similarity.kmeansSql("embeddings"),
     "s8_ann_ivf_trained" -> Similarity.trainedIvfTopKSql("embeddings"),
     "s9_semdedup" -> Similarity.semDedupSql("embeddings", cellCap = 50),
+    "s10_pq_adc" -> Similarity.pqTopKSql("embeddings"),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
@@ -654,6 +663,7 @@ object SparkEntry {
     "p3_url_hosts" -> Prep.urlHostStatsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p4_pack" -> Prep.packChunksAutoSql("documents"),
     "p12_pack_efficiency" -> Prep.packEfficiencySql("documents"),
+    "q16_quantiles" -> Prep.tokenQuantilesSql("documents"),
     "p13_epoch_order" -> Prep.epochOrderSql("documents", epoch = 3),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,
       defaultRate = 0.35, capPerSource = 15),
@@ -677,6 +687,7 @@ object SparkEntry {
     "m6_resize" -> Media.resizeSql(M),
     "m7_image_components" -> Media.imageComponentsSql(M),
     "m8_audio_stats" -> Media.audioStatsSql(M),
+    "m9_shot_bounds" -> Media.shotBoundsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

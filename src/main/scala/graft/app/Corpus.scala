@@ -20,7 +20,9 @@ object Corpus {
   // v4: media fixture uses real BMP/WAV containers + write-side truth cols.
   // v5: every fifth image is a one-byte-nudged near-duplicate of the
   //     previous image (real positives for the m5 ahash near-dup join).
-  final val Version = "v5"
+  // v6: media fixture gains the video kind (GVID containers with planted
+  //     shot cuts, every i%4==3) — the third modality, for m9.
+  final val Version = "v6"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

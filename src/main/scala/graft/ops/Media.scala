@@ -77,6 +77,21 @@ object Media {
     out.toByteArray
   }
 
+  /** Minimal raw-gray video container ("GVID"): 12-byte header — magic,
+    * le16 frame width, le16 frame height, le16 frame count, le16 fps —
+    * followed by nFrames planar gray frames of fw*fh bytes each (no
+    * per-row padding). The third modality next to BMP and WAV.
+    */
+  def gvidBytes(fw: Int, fh: Int, fps: Int, frames: Array[Byte]): Array[Byte] = {
+    require(fw > 0 && fh > 0 && frames.length % (fw * fh) == 0, "whole frames only")
+    val out = new java.io.ByteArrayOutputStream(12 + frames.length)
+    out.write("GVID".getBytes("US-ASCII"))
+    out.write(le16(fw)); out.write(le16(fh))
+    out.write(le16(frames.length / (fw * fh))); out.write(le16(fps))
+    out.write(frames)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic media row (no wall-clock, no global RNG). */
   def rowFor(i: Long): MediaRow = {
     val rng = new java.util.Random(i * 0x9E3779B97F4A7C15L + 13L)
@@ -100,12 +115,36 @@ object Media {
         MediaRow(i, "image", bmpBytes(w, h, pixels),
           MediaMeta(w, h, 0, imgSize), new String(pixels, "US-ASCII"))
       }
-    } else {
+    } else if (i % 4 == 1) {
       val sr = Vector(8000, 16000, 22050, 44100)(rng.nextInt(4))
       val n = 64 + rng.nextInt(193)
       val samples = Array.fill(n)(('a' + rng.nextInt(16)).toByte)
       MediaRow(i, "audio", wavBytes(sr, samples),
         MediaMeta(0, 0, sr, n), new String(samples, "US-ASCII"))
+    } else {
+      // video: GVID frames grouped into shots — each next frame is either
+      // a one-byte nudge of the previous (same shot) or a fresh random
+      // frame (a cut), giving the m9 shot-boundary kernel real positives.
+      // meta reuses the struct: (fw, fh, fps-as-sampleRate, payload bytes)
+      val fw = 4 + rng.nextInt(8)
+      val fh = 2 + rng.nextInt(5)
+      val px = fw * fh
+      val nf = 6 + rng.nextInt(12)
+      val fps = Vector(12, 24, 30)(rng.nextInt(3))
+      val frames = new Array[Byte](nf * px)
+      var f = 0
+      while (f < nf) {
+        if (f == 0 || rng.nextInt(4) == 0) {
+          var j = 0
+          while (j < px) { frames(f * px + j) = ('a' + rng.nextInt(16)).toByte; j += 1 }
+        } else {
+          System.arraycopy(frames, (f - 1) * px, frames, f * px, px)
+          frames(f * px + rng.nextInt(px)) = ('a' + rng.nextInt(16)).toByte
+        }
+        f += 1
+      }
+      MediaRow(i, "video", gvidBytes(fw, fh, fps, frames),
+        MediaMeta(fw, fh, fps, nf * px), new String(frames, "US-ASCII"))
     }
   }
 
@@ -166,6 +205,29 @@ object Media {
       MediaParsed(-1L, "audio", 0, 0, sampleRate, dataLen)
     }
 
+    /** Parse a GVID header: (frame width, frame height, frame count, fps).
+      * The length check is the same loud-fail discipline as the BMP/RIFF
+      * guards — a header claiming more frames than the buffer holds would
+      * send the frame walkers out of bounds on an executor.
+      */
+    def gvidData(b: Array[Byte]): (Int, Int, Int, Int) = {
+      require(b.length >= 12 &&
+        b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == 'D', "not a GVID")
+      val fw = rdLe16(b, 4)
+      val fh = rdLe16(b, 6)
+      val nf = rdLe16(b, 8)
+      val fps = rdLe16(b, 10)
+      require(fw > 0 && fh > 0 &&
+        12L + nf.toLong * fw * fh == b.length,
+        s"corrupt GVID: ${fw}x$fh x $nf frames vs ${b.length} bytes")
+      (fw, fh, nf, fps)
+    }
+
+    def decodeGvid(b: Array[Byte]): MediaParsed = {
+      val (fw, fh, nf, fps) = gvidData(b)
+      MediaParsed(-1L, "video", fw, fh, fps, nf * fw * fh)
+    }
+
     /** A lying BITMAPINFOHEADER (dimensions larger than the buffer, or a
       * negative/top-down height) would send the pixel walkers out of
       * bounds on an executor — fail loudly, like the RIFF chunk guard.
@@ -176,8 +238,11 @@ object Media {
         off.toLong + rowSize.toLong * h <= b.length,
         s"corrupt BMP: ${w}x$h pixels at offset $off exceed ${b.length} bytes")
 
-    def decode(kind: String, media: Array[Byte]): MediaParsed =
-      if (kind == "image") decodeBmp(media) else decodeWav(media)
+    def decode(kind: String, media: Array[Byte]): MediaParsed = kind match {
+      case "image" => decodeBmp(media)
+      case "video" => decodeGvid(media)
+      case _       => decodeWav(media)
+    }
 
     /** Average-hash perceptual fingerprint over the DECODED pixel grid:
       * 8x8 block-average grayscale, bit set iff the block mean exceeds the
@@ -348,12 +413,14 @@ object Media {
 
   val Alphabet: Seq[Char] = 'a' to 'p'
 
-  /** Payload (pixel array / PCM data) sliced out of the BINARY column as a
-    * codegen projection: both containers place it after a fixed-size header
-    * (54-byte BMP, 44-byte canonical WAV).
+  /** Payload (pixel array / PCM data / frame bytes) sliced out of the
+    * BINARY column as a codegen projection: all three containers place it
+    * after a fixed-size header (54-byte BMP, 44-byte canonical WAV,
+    * 12-byte GVID).
     */
   private def payloadCol: org.apache.spark.sql.Column =
-    expr("CAST(substring(media, CASE WHEN kind = 'image' THEN 55 ELSE 45 END, 2147483647) AS STRING)")
+    expr("CAST(substring(media, CASE WHEN kind = 'image' THEN 55 " +
+      "WHEN kind = 'video' THEN 13 ELSE 45 END, 2147483647) AS STRING)")
 
   /** Feature extraction: 16-bin byte histogram over the payload — the
     * deterministic stand-in for an embedding/feature extractor; a pure
@@ -454,6 +521,83 @@ object Media {
        |  CAST(CASE WHEN n > 0 THEN list_sum(cs) // n ELSE 0 END
        |    AS BIGINT) AS dc_mean
        |FROM au ORDER BY doc_id""".stripMargin
+
+  final case class ShotBoundsRow(doc_id: Long, n_frames: Int, n_shots: Int,
+      cuts: String, max_delta: Long, sum_delta: Long)
+
+  /** Video shot-boundary detection over the DECODED frame sequence — the
+    * temporal-segmentation gate a video pipeline runs before sampling
+    * training clips (cut-aware frame sampling beats blind striding, which
+    * straddles cuts). Frame-to-frame distance is the summed absolute
+    * per-pixel difference; a cut starts at frame f when
+    * `dist(f-1, f) >= threshPerPx * pixels` — the integer
+    * cross-multiplication of a mean-per-pixel threshold, so no division
+    * anywhere. Map-only through the typed kernel at input parallelism:
+    * like m8, the corpus never shuffles. The frame walk trusts
+    * [[MediaKernel.gvidData]] (the same header the metadata decode uses).
+    *
+    * Output per video: frame count, shot count, the comma-joined cut
+    * frame indices (1-based frame number where each new shot starts),
+    * and the max / total inter-frame distance.
+    */
+  def shotBounds(media: Dataset[MediaRow], threshPerPx: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.map { r =>
+      val (fw, fh, nf, _) = MediaKernel.gvidData(r.media)
+      val px = fw * fh
+      var f = 1
+      var maxD = 0L
+      var sumD = 0L
+      var nCuts = 0
+      val cuts = new StringBuilder
+      while (f < nf) {
+        val prev = 12 + (f - 1) * px
+        val cur = prev + px
+        var j = 0
+        var d = 0L
+        while (j < px) {
+          val x = (r.media(cur + j) & 0xFF) - (r.media(prev + j) & 0xFF)
+          d += (if (x < 0) -x else x)
+          j += 1
+        }
+        if (d > maxD) maxD = d
+        sumD += d
+        if (d >= threshPerPx.toLong * px) {
+          if (nCuts > 0) cuts += ','
+          cuts ++= f.toString
+          nCuts += 1
+        }
+        f += 1
+      }
+      ShotBoundsRow(r.doc_id, nf, 1 + nCuts, cuts.toString, maxD, sumD)
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB mirror recomputing every delta from the write-side truth
+    * (payload frame string + intended frame geometry), independent of the
+    * engine's GVID walk.
+    */
+  def shotBoundsSql(parquetGlob: String, threshPerPx: Int = 4): String =
+    s"""WITH v AS (SELECT doc_id, payload, meta.width * meta.height AS px,
+       |    length(payload) // (meta.width * meta.height) AS nf
+       |  FROM read_parquet('$parquetGlob') WHERE kind = 'video'),
+       |d AS (SELECT doc_id, px, nf,
+       |    list_transform(generate_series(2, nf), f ->
+       |      list_sum(list_transform(generate_series(1, px), j ->
+       |        abs(ord(substring(payload, (f - 1) * px + j, 1))
+       |          - ord(substring(payload, (f - 2) * px + j, 1)))))) AS deltas
+       |  FROM v)
+       |SELECT doc_id, CAST(nf AS INT) AS n_frames,
+       |  CAST(1 + len(list_filter(deltas, x -> x >= $threshPerPx * px)) AS INT)
+       |    AS n_shots,
+       |  COALESCE(array_to_string(list_filter(list_transform(
+       |    generate_series(1, nf - 1),
+       |    i -> CASE WHEN deltas[i] >= $threshPerPx * px
+       |      THEN CAST(i AS VARCHAR) END), x -> x IS NOT NULL), ','), '')
+       |    AS cuts,
+       |  CAST(COALESCE(list_max(deltas), 0) AS BIGINT) AS max_delta,
+       |  CAST(COALESCE(list_sum(deltas), 0) AS BIGINT) AS sum_delta
+       |FROM d ORDER BY doc_id""".stripMargin
 
   final case class ResizeRow(doc_id: Long, gray: String)
 

@@ -851,6 +851,62 @@ object Prep {
        |  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM k ORDER BY pos""".stripMargin
 
+  /** Exact per-language token-count quantiles (discrete lower quantile:
+    * the value at 1-based rank `floor((n-1)*pct/100) + 1` of the sorted
+    * per-lang token counts) — corpus length statistics every curation run
+    * reports, computed WITHOUT a global sort:
+    *  - ONE corpus shuffle reduces docs to the (lang, n_tokens) frequency
+    *    histogram (map-side partial counts);
+    *  - the cumulative count runs as a window over the per-lang HISTOGRAM,
+    *    whose row count is bounded by the token-count DOMAIN (max doc
+    *    length), not the corpus — a 10^12-row language with docs up to
+    *    10^6 tokens yields at most 10^6 window rows;
+    *  - per-lang totals x requested percentiles form a tiny frame
+    *    (n_langs * n_pcts rows) that BROADCASTS back onto the histogram;
+    *  - the answer per (lang, pct) is `min(v) where cum >= rank` — a
+    *    map-side-partial min over histogram rows.
+    * All-integer: counts and token values are longs, the rank arithmetic
+    * is exact long `div` (non-negative, so floor == truncation in both
+    * engines). The naive form — `percentile(v, q) OVER lang` or a global
+    * sort-by-value — moves full corpus rows; this never shuffles anything
+    * larger than the histogram after the first agg.
+    */
+  def tokenQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100), "pcts in [0,100]")
+    val hist = docs
+      .select(col("lang"), size(split(col("text"), " ", -1)).cast("long").as("v"))
+      .groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("v"))))
+    val targets = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      .select(col("lang"), col("n"), explode(lit(pcts.toArray)).as("pct"))
+      .withColumn("rank", expr("((n - 1) * pct) div 100 + 1"))
+      .select(col("lang"), col("pct"), col("rank"))
+    cum.join(broadcast(targets), "lang")
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("lang"), col("pct"))
+      .agg(min(col("v")).as("v"))
+      .orderBy(col("lang"), col("pct"))
+  }
+
+  /** DuckDB mirror of [[tokenQuantiles]] — the same explicit rank rule
+    * (never the engines' own quantile functions, whose interpolation /
+    * rounding conventions differ), `//` on non-negative longs == `div`.
+    */
+  def tokenQuantilesSql(table: String, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): String =
+    s"""WITH h AS (SELECT lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS v,
+       |    count(*) AS cnt
+       |  FROM $table GROUP BY lang, v),
+       |c AS (SELECT lang, v, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h),
+       |t AS (SELECT lang, sum(cnt) AS n FROM h GROUP BY lang),
+       |g AS (SELECT t.lang, p.pct, ((t.n - 1) * p.pct) // 100 + 1 AS rnk
+       |  FROM t CROSS JOIN (SELECT unnest([${pcts.mkString(", ")}]) AS pct) p)
+       |SELECT g.lang, CAST(g.pct AS INT) AS pct, CAST(min(c.v) AS BIGINT) AS v
+       |FROM g JOIN c ON c.lang = g.lang AND c.cum >= g.rnk
+       |GROUP BY g.lang, g.pct ORDER BY g.lang, g.pct""".stripMargin
+
   def packChunksSql(table: String, budget: Long = 256L, nShards: Int = 8): String =
     s"""WITH t AS (SELECT doc_id, lang, doc_id % $nShards AS shard,
        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens

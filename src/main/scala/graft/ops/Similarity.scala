@@ -308,11 +308,43 @@ object Similarity {
   def kmeans(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame =
     kmeansAssign(emb, k, rounds).orderBy("vec_id")
 
-  def kmeansAssign(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
-    val qd = emb
-      .select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
+  def kmeansAssign(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame =
+    assignQd(microQd(emb), kmeansCents(emb, k, rounds))
+      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_mic2"))
+
+  /** The (vec_id, q, sq) micro-int frame every k-means stage consumes. */
+  private def microQd(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
       .withColumn("sq", dot(col("q"), col("q")))
 
+  private def withSc(cents: DataFrame): DataFrame =
+    cents.withColumn("sc", dot(col("c"), col("c")))
+
+  /** Exact integer distance from every vector of `qd` to every centroid —
+    * the shared leg under both the Lloyd argmin and the PQ/ADC lookup
+    * tables. Centroids broadcast; the corpus side never shuffles.
+    */
+  private def distAll(qd: DataFrame, cents: DataFrame): DataFrame =
+    qd.crossJoin(broadcast(withSc(cents)))
+      .withColumn("dist",
+        col("sq") + col("sc") - lit(2.0) * dot(col("q"), col("c")))
+
+  // one Lloyd assignment: winner centroid per vector (argmin dist, ties
+  // to the smaller cid; q rides in the struct — (dist, cid) is already
+  // unique per vec_id, so it never participates in the comparison).
+  private def assignQd(qd: DataFrame, cents: DataFrame): DataFrame =
+    distAll(qd, cents)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("m.q").as("q"))
+
+  /** The trained centroid frame (cid, c) after `rounds` Lloyd rounds —
+    * exposed from [[kmeansAssign]] so PQ codebook training ([[pqTopK]])
+    * reuses the exact trainer instead of a near-copy.
+    */
+  private[ops] def kmeansCents(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val qd = microQd(emb)
     val init = qd
       .withColumn("pri", h32(concat(col("vec_id").cast("string"), lit(":km"))))
       .orderBy(col("pri"), col("vec_id"))
@@ -320,26 +352,10 @@ object Similarity {
       .withColumn("cid",
         row_number().over(Window.orderBy(col("pri"), col("vec_id"))))
       .select(col("cid"), col("q").as("c"))
-
-    def withSc(cents: DataFrame): DataFrame =
-      cents.withColumn("sc", dot(col("c"), col("c")))
-
-    // one Lloyd assignment: winner centroid per vector (argmin dist, ties
-    // to the smaller cid; q rides in the struct — (dist, cid) is already
-    // unique per vec_id, so it never participates in the comparison).
-    def assign(cents: DataFrame): DataFrame =
-      qd.crossJoin(broadcast(withSc(cents)))
-        .withColumn("dist",
-          col("sq") + col("sc") - lit(2.0) * dot(col("q"), col("c")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"), col("q"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.dist").as("dist"), col("m.q").as("q"))
-
     var cents = init.localCheckpoint()
     var r = 0
     while (r < rounds) {
-      val upd = assign(cents)
+      val upd = assignQd(qd, cents)
         .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
         .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -353,8 +369,7 @@ object Similarity {
         .localCheckpoint()
       r += 1
     }
-    assign(cents)
-      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_mic2"))
+    cents
   }
 
   /** DuckDB mirror of [[kmeans]]: the same rounds unrolled as CTE chains,
@@ -367,46 +382,48 @@ object Similarity {
        |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist_mic2 FROM asg
        |ORDER BY vec_id""".stripMargin
 
-  /** The shared CTE chain ending in `asg(vec_id, cid, dist)` — ONE
-    * definition used by [[kmeansSql]] and [[trainedIvfTopKSql]] (the
-    * shardsForSql lesson: hand-inlined copies of a shared rule are where
-    * cross-engine bugs breed).
+  /** The shared CTE chain ending in `<pfx>asg(vec_id, cid, dist)` — ONE
+    * definition used by [[kmeansSql]], [[trainedIvfTopKSql]],
+    * [[semDedupSql]] and (per subspace, via `pfx`/`embExpr`/`dim`) by
+    * [[pqTopKSql]] (the shardsForSql lesson: hand-inlined copies of a
+    * shared rule are where cross-engine bugs breed).
     */
-  private def kmeansWithBody(table: String, k: Int, rounds: Int): String = {
-    def dotq(a: String, b: String): String = sqlDot(a, b, Dim)
+  private def kmeansWithBody(table: String, k: Int, rounds: Int,
+      pfx: String = "", embExpr: String = "embedding", dim: Int = Dim): String = {
+    def dotq(a: String, b: String): String = sqlDot(a, b, dim)
     val sb = new StringBuilder
-    sb ++= s"""q0 AS (SELECT vec_id,
-       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
+    sb ++= s"""${pfx}q0 AS (SELECT vec_id,
+       |    list_transform($embExpr, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
        |  FROM $table),
-       |qs AS (SELECT vec_id, q, ${dotq("q", "q")} AS sq FROM q0),
-       |init AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) AS cid, q AS c
+       |${pfx}qs AS (SELECT vec_id, q, ${dotq("q", "q")} AS sq FROM ${pfx}q0),
+       |${pfx}init AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) AS cid, q AS c
        |  FROM (SELECT vec_id, q, ${sqlH32("CAST(vec_id AS VARCHAR) || ':km'")} AS pri
-       |        FROM q0 ORDER BY pri, vec_id LIMIT $k)),
-       |c0 AS (SELECT cid, c FROM init)""".stripMargin
+       |        FROM ${pfx}q0 ORDER BY pri, vec_id LIMIT $k)),
+       |${pfx}c0 AS (SELECT cid, c FROM ${pfx}init)""".stripMargin
     for (r <- 1 to rounds) {
-      val p = s"c${r - 1}"
+      val p = s"${pfx}c${r - 1}"
       sb ++= s""",
-       |a$r AS (SELECT vec_id, q, cid FROM (
+       |${pfx}a$r AS (SELECT vec_id, q, cid FROM (
        |    SELECT vec_id, q, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM (SELECT s.vec_id, s.q, c.cid,
        |            s.sq + ${dotq("c.c", "c.c")} - 2 * ${dotq("s.q", "c.c")} AS dist
-       |          FROM qs s CROSS JOIN $p c)) WHERE rn = 1),
-       |u$r AS (SELECT cid, d, sum(CAST(q[d] AS BIGINT)) AS s, count(*) AS n
-       |  FROM a$r CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS d) ds
+       |          FROM ${pfx}qs s CROSS JOIN $p c)) WHERE rn = 1),
+       |${pfx}u$r AS (SELECT cid, d, sum(CAST(q[d] AS BIGINT)) AS s, count(*) AS n
+       |  FROM ${pfx}a$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d) ds
        |  GROUP BY cid, d),
-       |n$r AS (SELECT cid, list(CAST((s - (((s % n) + n) % n)) // n AS DOUBLE) ORDER BY d) AS c
-       |  FROM u$r GROUP BY cid),
-       |c$r AS (SELECT p.cid, coalesce(n$r.c, p.c) AS c
-       |  FROM $p p LEFT JOIN n$r ON p.cid = n$r.cid)""".stripMargin
+       |${pfx}n$r AS (SELECT cid, list(CAST((s - (((s % n) + n) % n)) // n AS DOUBLE) ORDER BY d) AS c
+       |  FROM ${pfx}u$r GROUP BY cid),
+       |${pfx}c$r AS (SELECT p.cid, coalesce(${pfx}n$r.c, p.c) AS c
+       |  FROM $p p LEFT JOIN ${pfx}n$r ON p.cid = ${pfx}n$r.cid)""".stripMargin
     }
     sb ++= s""",
-       |asg AS (SELECT vec_id, cid, dist FROM (
+       |${pfx}asg AS (SELECT vec_id, cid, dist FROM (
        |  SELECT vec_id, cid, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |  FROM (SELECT s.vec_id, c.cid,
        |          s.sq + ${dotq("c.c", "c.c")} - 2 * ${dotq("s.q", "c.c")} AS dist
-       |        FROM qs s CROSS JOIN c$rounds c)) WHERE rn = 1)""".stripMargin
+       |        FROM ${pfx}qs s CROSS JOIN ${pfx}c$rounds c)) WHERE rn = 1)""".stripMargin
     sb.toString
   }
 
@@ -448,6 +465,104 @@ object Similarity {
        |  FROM s)
        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, ${sqlMicro("cos")} AS cos_micro
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------- Product quantization
+
+  /** Product-quantization ANN with asymmetric distance (PQ/ADC, Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * the dimension is tiled into `mSub` subspaces, each trained with its
+    * own [[kmeansCents]] codebook (the SAME exact-integer Lloyd trainer as
+    * s7 — not a near-copy), and every vector is compressed to `mSub` small
+    * codes. Search never touches raw embeddings again:
+    * `adist(q, v) = sum_s dtab_s[q][code_s(v)]`, where each dtab is the
+    * exact integer distance from the query's sub-vector to every centroid
+    * of that codebook.
+    *
+    * Scale shape — the reason PQ exists at 10^12 vectors:
+    *  - the CODES table (mSub ints per vector) replaces the corpus of
+    *    raw vectors: 64 floats -> 4 codes is a 64x scan-size cut;
+    *  - the ADC lookup tables are nQueries * mSub * kCodes rows — they
+    *    BROADCAST, and the whole distance evaluation is `mSub` broadcast
+    *    hash joins + one projection: the scan is MAP-ONLY, no corpus
+    *    shuffle anywhere in the search path;
+    *  - the only shuffles are index-build time (the per-subspace argmin
+    *    aggs and the vec_id equi-joins assembling the code rows — built
+    *    once, reused by every query batch);
+    *  - top-k is the s2 two-stage group-limit (per-(query, sub-bucket)
+    *    rank first), never one window task per query over the corpus.
+    *
+    * Exactness: micro-int sub-vectors, the 3-dot identity per subspace
+    * (each partial sum far below 2^53), and adist = a sum of `mSub` exact
+    * integer doubles — bit-identical across engines, cast to BIGINT.
+    */
+  def pqTopK(emb: DataFrame, mSub: Int = 4, kCodes: Int = 4, rounds: Int = 2,
+             nQueries: Int = 8, k: Int = 3): DataFrame = {
+    require(Dim % mSub == 0, "subspaces must tile the dimension")
+    val subDim = Dim / mSub
+    val parts = (0 until mSub).map { s =>
+      val sub = emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding"))
+      val qd = microQd(sub)
+      val cents = kmeansCents(sub, kCodes, rounds)
+      val codes = assignQd(qd, cents).select(col("vec_id"), col("cid").as(s"c$s"))
+      val dtab = distAll(qd.filter(col("vec_id") < nQueries), cents)
+        .select(col("vec_id").as("q_id"), col("cid").as(s"c$s"),
+          col("dist").as(s"d$s"))
+      (codes, dtab)
+    }
+    val codesWide = parts.map(_._1).reduce((a, b) => a.join(b, "vec_id"))
+    var wide = codesWide
+    parts.zipWithIndex.foreach { case ((_, dtab), s) =>
+      wide = wide.join(broadcast(dtab),
+        if (s == 0) Seq(s"c$s") else Seq(s"c$s", "q_id"))
+    }
+    val adist = (0 until mSub).map(s => col(s"d$s")).reduce(_ + _).cast("long")
+    val scored = wide.select(col("q_id"), col("vec_id").as("n_id"),
+      adist.as("adist"))
+    val nSub = 16
+    val wSub = Window.partitionBy(col("q_id"), pmod(col("n_id"), lit(nSub)))
+      .orderBy(col("adist"), col("n_id"))
+    val wAll = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    scored.withColumn("rs", row_number().over(wSub)).filter(col("rs") <= k)
+      .withColumn("rank", row_number().over(wAll)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[pqTopK]]: one [[kmeansWithBody]] per subspace
+    * (prefixed CTEs over sliced embeddings), the same exact-integer ADC
+    * sum, the single-window rank the two-stage form provably equals.
+    */
+  def pqTopKSql(table: String, mSub: Int = 4, kCodes: Int = 4, rounds: Int = 2,
+                nQueries: Int = 8, k: Int = 3): String = {
+    val subDim = Dim / mSub
+    val bodies = (0 until mSub).map { s =>
+      kmeansWithBody(table, kCodes, rounds, pfx = s"p${s}_",
+        embExpr = s"embedding[${s * subDim + 1}:${(s + 1) * subDim}]",
+        dim = subDim)
+    }.mkString(",\n")
+    val codesU = (0 until mSub)
+      .map(s => s"SELECT vec_id, $s AS m, cid FROM p${s}_asg")
+      .mkString(" UNION ALL ")
+    val dtU = (0 until mSub).map { s =>
+      s"""SELECT $s AS m, s.vec_id AS q_id, c.cid,
+         |    s.sq + ${sqlDot("c.c", "c.c", subDim)} - 2 * ${sqlDot("s.q", "c.c", subDim)} AS dist
+         |  FROM p${s}_qs s CROSS JOIN p${s}_c$rounds c
+         |  WHERE s.vec_id < $nQueries""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH $bodies,
+       |codes AS ($codesU),
+       |dt AS ($dtU),
+       |ad AS (SELECT dt.q_id, codes.vec_id AS n_id,
+       |    CAST(sum(dt.dist) AS BIGINT) AS adist
+       |  FROM codes JOIN dt ON codes.m = dt.m AND codes.cid = dt.cid
+       |  GROUP BY dt.q_id, codes.vec_id),
+       |r AS (SELECT q_id, n_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+       |  FROM ad)
+       |SELECT q_id, n_id, CAST(rank AS INT) AS rank, adist
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 
   // --------------------------------------------------------------- SemDeDup
 

@@ -582,6 +582,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"typed kernel, not an interpreted UDF:\n$p")
   }
 
+  test("s10 pq/adc: lookup tables broadcast into the scan; top-k is the staged group-limit") {
+    val p = plan("s10_pq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ADC distance tables must broadcast (map-only search scan):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-(query, sub-bucket) rank must stage the top-k:\n$p")
+    assert(!p.contains("ScalaUDF"), s"no interpreted UDFs in the PQ path:\n$p")
+  }
+
+  test("m9 shot bounds: map-only kernel — no hash shuffle, only the determinism sort") {
+    val p = plan("m9_shot_bounds")
+    assert(!p.contains("hashpartitioning"),
+      s"frame deltas must not shuffle the corpus:\n$p")
+    assert(!p.contains("ScalaUDF"), s"typed kernel, not an interpreted UDF:\n$p")
+  }
+
   test("s9 semdedup keep stage: agg+join, never a window over the component key") {
     // same shape as the d12 gate: the full s9 plan legitimately contains
     // Window nodes (kmeans init top-k, upstream caps); the claim is that
@@ -603,6 +619,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the nBuckets-row offset frame must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+  }
+
+  test("q16 quantiles: window runs over the per-lang histogram; rank targets broadcast") {
+    val p = plan("q16_quantiles")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"cumulative count must partition by lang (over the bounded histogram):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (lang, pct, rank) target frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+    assert(p.contains("partial_count"),
+      s"the histogram agg must keep map-side partials:\n$p")
   }
 
   test("x5 incremental: delta routing is semi/anti joins; kernel leg stays UDF-free") {

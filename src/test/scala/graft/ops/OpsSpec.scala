@@ -598,6 +598,62 @@ class OpsSpec extends AnyFunSuite {
     assert(byComp(6L).head._4 == 1, "singleton is its own keeper")
   }
 
+  test("pqTopK equals a plain-Scala PQ/ADC reference (third implementation)") {
+    def vf(i: Long): Seq[Float] =
+      Seq.tabulate(64)(d => ((i * 13 + d * 5) % 19).toFloat / 19f - 0.5f)
+    val n = 40
+    val (mSub, kCodes, rounds, nQ, k) = (4, 4, 2, 5, 3)
+    val subDim = 64 / mSub
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val micro: Map[Long, Array[Long]] = (0L until n).map(i =>
+      i -> vf(i).map(x => math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val initIds = (0L until n).sortBy(i => (h32(s"$i:km"), i)).take(kCodes)
+    // per-subspace Lloyd over the sliced micro vectors (same init rule:
+    // the k lowest-priority vec_ids seed every codebook)
+    val trained = (0 until mSub).map { s =>
+      val vecs = micro.view.mapValues(_.slice(s * subDim, (s + 1) * subDim)).toMap
+      var cents: Map[Int, Array[Long]] =
+        initIds.zipWithIndex.map { case (id, ix) => (ix + 1) -> vecs(id).clone() }.toMap
+      def assignAll(): Map[Long, Int] = vecs.map { case (id, q) =>
+        id -> cents.toSeq.map { case (c, cv) => (d2(q, cv), c) }.min._2
+      }
+      for (_ <- 1 to rounds) {
+        val byC = assignAll().toSeq.groupBy(_._2)
+        cents = cents.map { case (c, old) =>
+          c -> byC.get(c).map { members =>
+            val qs = members.map(m => vecs(m._1))
+            Array.tabulate(subDim) { d =>
+              val su = qs.map(_(d)).sum; val m = qs.size.toLong
+              (su - (((su % m) + m) % m)) / m
+            }
+          }.getOrElse(old)
+        }
+      }
+      (vecs, cents, assignAll())
+    }
+    val expect = (0L until nQ).flatMap { q =>
+      val top = (0L until n).map { v =>
+        val ad = (0 until mSub).map { s =>
+          val (vecs, cents, codes) = trained(s)
+          d2(vecs(q), cents(codes(v)))
+        }.sum
+        (v, ad)
+      }.sortBy { case (v, ad) => (ad, v) }.take(k)
+      top.zipWithIndex.map { case ((v, ad), r) => (q, v, r + 1, ad) }
+    }.toSet
+    val got = Similarity
+      .pqTopK(embDf((0L until n).map(i => (i, vf(i), 0)): _*), mSub, kCodes, rounds, nQ, k)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("adist"))).toSet
+    assert(got == expect,
+      s"spark=${got.toSeq.sorted.take(6)} ref=${expect.toSeq.sorted.take(6)}")
+  }
+
   test("kmeans: deterministic and partition-independent") {
     def v(i: Long): Seq[Float] = Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f - 0.5f)
     val rows = (0L until 40L).map(i => (i, v(i), 0))
@@ -714,6 +770,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out.keySet == Set(1L, 2L), "audio rows only")
     assert(out(1L) == ((8000, 4L, 0L, 128L, 8128L, 127L)), s"got ${out(1L)}")
     assert(out(2L) == ((16000, 2000L, 125L, 0L, 0L, 128L)), s"got ${out(2L)}")
+  }
+
+  test("shotBounds: exact frame deltas and cut indices on hand-built frames") {
+    import spark.implicits._
+    // 2x2 frames (px=4, cut threshold 4*4=16):
+    //  f0 "aaaa" -> f1 "aaab" delta 1 (same shot)
+    //  f1        -> f2 "ppaa" delta |p-a|*2 + 1 = 31 (cut at frame 2)
+    //  f2        -> f3 "ppab" delta 1 (same shot)
+    val frames = "aaaa" + "aaab" + "ppaa" + "ppab"
+    val fb = frames.getBytes("US-ASCII")
+    val rows = Seq(
+      Media.MediaRow(1L, "video", Media.gvidBytes(2, 2, 24, fb),
+        Media.MediaMeta(2, 2, 24, fb.length), frames),
+      // a single-frame video has no deltas: one shot, empty cuts
+      Media.MediaRow(2L, "video", Media.gvidBytes(3, 1, 12, "abc".getBytes("US-ASCII")),
+        Media.MediaMeta(3, 1, 12, 3), "abc"),
+      // image and audio rows must be filtered out, not parsed as GVID
+      Media.rowFor(0L), Media.rowFor(1L))
+    val out = Media.shotBounds(spark.createDataset(rows)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_frames"), r.getAs[Int]("n_shots"),
+          r.getAs[String]("cuts"), r.getAs[Long]("max_delta"),
+          r.getAs[Long]("sum_delta"))).toMap
+    assert(out.keySet == Set(1L, 2L), "video rows only")
+    assert(out(1L) == ((4, 2, "2", 31L, 33L)), s"got ${out(1L)}")
+    assert(out(2L) == ((1, 1, "", 0L, 0L)), s"got ${out(2L)}")
+  }
+
+  test("gvid round-trip: decode recovers the encoded geometry; corrupt header fails loudly") {
+    val b = Media.gvidBytes(5, 3, 30, Array.fill(45)('c'.toByte))
+    val p = Media.MediaKernel.decodeGvid(b)
+    assert(p.width == 5 && p.height == 3 && p.sample_rate == 30 && p.payload_len == 45)
+    val lying = b.clone(); lying(8) = 99.toByte // nFrames claims 99
+    val e = intercept[IllegalArgumentException](Media.MediaKernel.gvidData(lying))
+    assert(e.getMessage.contains("corrupt GVID"))
   }
 
   test("media histogram: feature counts sum to payload length") {
@@ -1041,6 +1132,26 @@ class OpsSpec extends AnyFunSuite {
     // and the auto form equals the explicit form at the derived count
     val auto = Prep.packChunksAuto(docs, budget = 16L, targetPerShard = 10L)
     assert(auto.collect().toSeq == out.collect().toSeq)
+  }
+
+  test("tokenQuantiles: histogram construction equals the plain order statistic") {
+    import spark.implicits._
+    // skewed mix: a hot duplicate length, a long tail, a single-doc lang
+    val lens = (1 to 60).map(i => ("en", if (i <= 20) 5 else i)) ++
+      (1 to 9).map(i => ("de", i * i)) ++ Seq(("ja", 3))
+    val docs = lens.zipWithIndex
+      .map { case ((l, n), i) => (i.toLong, l, ("t " * (n - 1) + "t")) }
+      .toDF("doc_id", "lang", "text")
+    val pcts = Seq(0, 25, 50, 75, 90, 99, 100)
+    val got = Prep.tokenQuantiles(docs, pcts).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byLang = lens.groupBy(_._1).view.mapValues(_.map(_._2.toLong).sorted).toMap
+    for ((lang, vs) <- byLang; p <- pcts) {
+      val idx = ((vs.length - 1).toLong * p) / 100
+      assert(got((lang, p)) == vs(idx.toInt),
+        s"$lang p$p: got ${got((lang, p))}, want ${vs(idx.toInt)} of $vs")
+    }
+    assert(got.size == byLang.size * pcts.size, "one row per (lang, pct)")
   }
 
   test("epochOrder: two-stage global rank equals the single-window permutation") {
