@@ -372,6 +372,10 @@ object SparkEntry {
       import s.implicits._
       Media.shotBounds(media(s, dir).as[Media.MediaRow])
     }),
+    "m10_audio_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Media.audioPairs(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -688,6 +692,7 @@ object SparkEntry {
     "m7_image_components" -> Media.imageComponentsSql(M),
     "m8_audio_stats" -> Media.audioStatsSql(M),
     "m9_shot_bounds" -> Media.shotBoundsSql(M),
+    "m10_audio_pairs" -> Media.audioPairsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

@@ -22,7 +22,9 @@ object Corpus {
   //     previous image (real positives for the m5 ahash near-dup join).
   // v6: media fixture gains the video kind (GVID containers with planted
   //     shot cuts, every i%4==3) — the third modality, for m9.
-  final val Version = "v6"
+  // v7: every fifth audio is a one-byte-nudged near-duplicate of the
+  //     previous audio (real positives for the m10 fingerprint join).
+  final val Version = "v7"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

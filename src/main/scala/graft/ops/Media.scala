@@ -116,11 +116,24 @@ object Media {
           MediaMeta(w, h, 0, imgSize), new String(pixels, "US-ASCII"))
       }
     } else if (i % 4 == 1) {
-      val sr = Vector(8000, 16000, 22050, 44100)(rng.nextInt(4))
-      val n = 64 + rng.nextInt(193)
-      val samples = Array.fill(n)(('a' + rng.nextInt(16)).toByte)
-      MediaRow(i, "audio", wavBytes(sr, samples),
-        MediaMeta(0, 0, sr, n), new String(samples, "US-ASCII"))
+      if ((i / 4) % 5 == 4 && i >= 5) {
+        // every fifth audio is a NEAR-DUPLICATE of the previous audio:
+        // same samples with one nudged — real positives for the m10
+        // fingerprint near-dup join, the audio analogue of the planted
+        // image duplicates above
+        val base = rowFor(i - 4)
+        val samples = base.payload.getBytes("US-ASCII")
+        samples(rng.nextInt(samples.length)) = ('a' + rng.nextInt(16)).toByte
+        MediaRow(i, "audio", wavBytes(base.meta.sampleRate, samples),
+          MediaMeta(0, 0, base.meta.sampleRate, samples.length),
+          new String(samples, "US-ASCII"))
+      } else {
+        val sr = Vector(8000, 16000, 22050, 44100)(rng.nextInt(4))
+        val n = 64 + rng.nextInt(193)
+        val samples = Array.fill(n)(('a' + rng.nextInt(16)).toByte)
+        MediaRow(i, "audio", wavBytes(sr, samples),
+          MediaMeta(0, 0, sr, n), new String(samples, "US-ASCII"))
+      }
     } else {
       // video: GVID frames grouped into shots — each next frame is either
       // a one-byte nudge of the previous (same shot) or a fresh random
@@ -203,6 +216,43 @@ object Media {
     def decodeWav(b: Array[Byte]): MediaParsed = {
       val (sampleRate, _, dataLen) = wavData(b)
       MediaParsed(-1L, "audio", 0, 0, sampleRate, dataLen)
+    }
+
+    /** Haitsma-Kalker-style audio fingerprint over the DECODED PCM
+      * stream: 64 equal sample windows, bit w set iff window w's energy
+      * (summed squared deviation from the 8-bit midpoint) exceeds the
+      * NEXT window's (cyclic) — band-energy differences, the robust core
+      * of the published audio-fingerprint scheme, not a global-mean test:
+      * one changed sample touches ONE window and therefore at most TWO
+      * comparisons, so a single-sample edit moves the fingerprint by
+      * hamming <= 2 and the 4-band pigeonhole join below has GUARANTEED
+      * recall for it. All-long integer arithmetic (energy sums bounded by
+      * 16384 * n — exact to ~10^14-sample streams). Returns (hi, lo)
+      * unsigned-32 halves, the [[ahash]] convention.
+      */
+    def audioFp(b: Array[Byte]): (Long, Long) = {
+      val (_, off, n) = wavData(b)
+      val e = new Array[Long](64)
+      var w = 0
+      while (w < 64) {
+        val s = (w.toLong * n / 64).toInt
+        val t = ((w + 1).toLong * n / 64).toInt
+        var sw = 0L
+        var k = s
+        while (k < t) { val d = (b(off + k) & 0xFF) - 128; sw += d.toLong * d; k += 1 }
+        e(w) = sw
+        w += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      w = 0
+      while (w < 64) {
+        if (e(w) > e((w + 1) & 63)) {
+          if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+        }
+        w += 1
+      }
+      (hi, lo)
     }
 
     /** Parse a GVID header: (frame width, frame height, frame count, fps).
@@ -688,6 +738,83 @@ object Media {
        |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
        |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  final case class AudioFpRow(doc_id: Long, fp_hi: Long, fp_lo: Long)
+
+  /** Audio near-dup pairs: the [[MediaKernel.audioFp]] fingerprint (64
+    * neighbor-window energy-difference bits, map-only at input
+    * parallelism) through the SAME 4x16-bit banding, capped buckets and
+    * no-self-join pair kernel as the image (m5) and text-simhash (d5)
+    * families — near-dup detection now spans all of text, embeddings,
+    * images and audio on one shared join discipline. Recall: a
+    * single-sample edit flips at most 2 fingerprint bits (see the kernel
+    * note), within the 4-band pigeonhole bound of 3, so planted
+    * one-nudge duplicates are found EXACTLY (up to bucket-cap eviction —
+    * the [[graft.ops.Dedup.capBuckets]] recall note).
+    */
+  def audioPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                 bucketCap: Int = 40): DataFrame =
+    Dedup.bandedHammingPairs(audioBanded(media, bucketCap), maxHamming)
+
+  private def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val (hi, lo) = MediaKernel.audioFp(r.media)
+      AudioFpRow(r.doc_id, hi, lo)
+    }).toDF()
+  }
+
+  private def audioBanded(media: Dataset[MediaRow], bucketCap: Int): DataFrame = {
+    val h = audioFingerprint(media)
+    val bandKeys =
+      (0 until 2).map(b => concat(lit(s"h$b:"),
+        shiftright(col("fp_hi"), 16 * b).bitwiseAND(lit(65535L)).cast("string"))) ++
+      (0 until 2).map(b => concat(lit(s"l$b:"),
+        shiftright(col("fp_lo"), 16 * b).bitwiseAND(lit(65535L)).cast("string")))
+    Dedup.capBuckets(
+      h.select(col("doc_id"), col("fp_hi").as("hi"), col("fp_lo").as("lo"),
+        explode(array(bandKeys: _*)).as("bkey")), bucketCap)
+  }
+
+  private def audioBandsSql: String =
+    ((0 until 2).map(b => s"'h$b:' || ((fp_hi >> ${16 * b}) & 65535)") ++
+      (0 until 2).map(b => s"'l$b:' || ((fp_lo >> ${16 * b}) & 65535)"))
+      .mkString(", ")
+
+  /** DuckDB mirror recomputing the fingerprint from write-side sample
+    * truth (window energies via list slices over the payload string),
+    * then the same band / cap / join / bit_count chain as [[aHashPairsSql]].
+    */
+  def audioPairsSql(parquetGlob: String, maxHamming: Int = 3,
+                    bucketCap: Int = 40): String =
+    s"""WITH au AS (SELECT doc_id, payload, length(payload) AS n
+       |  FROM read_parquet('$parquetGlob') WHERE kind = 'audio'),
+       |ew AS (SELECT doc_id, n,
+       |    list_transform(generate_series(0, 63), w ->
+       |      COALESCE(list_sum(list_transform(
+       |        generate_series((w * n) // 64 + 1, ((w + 1) * n) // 64),
+       |        j -> (ord(substring(payload, j, 1)) - 128)
+       |           * (ord(substring(payload, j, 1)) - 128))), 0)) AS es
+       |  FROM au),
+       |bits AS (SELECT doc_id, w,
+       |    CASE WHEN es[w + 1] > es[((w + 1) % 64) + 1] THEN 1 ELSE 0 END AS bit
+       |  FROM (SELECT doc_id, es, unnest(range(64)) AS w FROM ew)),
+       |ah AS (SELECT doc_id,
+       |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND w >= 32
+       |    THEN 1::BIGINT << (w - 32) END), 0) AS BIGINT) AS fp_hi,
+       |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND w < 32
+       |    THEN 1::BIGINT << w END), 0) AS BIGINT) AS fp_lo
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, fp_hi, fp_lo,
+       |    unnest([$audioBandsSql]) AS bkey FROM ah),
+       |capped AS ${Dedup.sqlCapBuckets("bands", "doc_id, fp_hi, fp_lo", bucketCap)}
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+       |     + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+       |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+       |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Image near-dup CLUSTERS: connected components over the [[aHashPairs]]

@@ -90,8 +90,9 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d2/d5/m5 band joins: buckets capped via the staged group-limit (never uncapped self-join)") {
-    Seq("d2_minhash_lsh", "d5_simhash_pairs", "m5_ahash_pairs").foreach { q =>
+  test("d2/d5/m5/m10 band joins: buckets capped via the staged group-limit (never uncapped self-join)") {
+    Seq("d2_minhash_lsh", "d5_simhash_pairs", "m5_ahash_pairs",
+        "m10_audio_pairs").foreach { q =>
       val p = plan(q)
       // the capped band frame feeds BOTH legs of the self-join, so the
       // two-stage cap shows up once (reused exchange) or twice (2 or 4

@@ -807,6 +807,43 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("corrupt GVID"))
   }
 
+  test("audioPairs: planted one-sample nudge is found; dissimilar audio is not") {
+    import spark.implicits._
+    // varied per-window energies (near-constant audio would give a
+    // near-zero fingerprint that pairs with everything)
+    val a = Array.tabulate(128)(j => ('a' + (j * j) % 16).toByte)
+    val b = a.clone(); b(17) = 'a'.toByte // one nudged sample
+    val c = Array.tabulate(128)(j => ('a' + (j * 5 + 3) % 16).toByte)
+    def row(id: Long, s: Array[Byte]) =
+      Media.MediaRow(id, "audio", Media.wavBytes(8000, s),
+        Media.MediaMeta(0, 0, 8000, s.length),
+        new String(s.map(x => (x & 0xFF).toChar)))
+    val rows = Seq(row(1L, a), row(2L, b), row(3L, c), row(4L, a.clone()),
+      Media.rowFor(0L)) // image row must be filtered out
+    val out = Media.audioPairs(spark.createDataset(rows)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"nudged duplicate must pair: ${out.toSeq}")
+    assert(out.find(p => p._1 == 1L && p._2 == 2L).get._3 <= 2,
+      "single-sample edit flips at most 2 fingerprint bits")
+    assert(out.find(p => p._1 == 1L && p._2 == 4L).get._3 == 0,
+      "exact copy at hamming 0")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the inverted-pattern audio must not pair: ${out.toSeq}")
+  }
+
+  test("audioFp kernel: hand-computed neighbor-window energy bits") {
+    // 128 samples, window = 2 samples; windows 0..31 energy 2*256=512
+    // (dev -16 each), windows 32..63 energy 0 -> bit w = e(w) > e(w+1):
+    // only window 31 (512 > 0) and NOT window 63 (0 > 512 false; cyclic
+    // wrap compares w63 to w0). Bits: w31 = 1, everything else 0 except
+    // w0..w30 compare equal energies (false).
+    val s = Array.tabulate(128)(j => if (j < 64) 'p'.toByte else 128.toByte)
+    val (hi, lo) = Media.MediaKernel.audioFp(Media.wavBytes(8000, s))
+    assert(lo == (1L << 31) && hi == 0L, s"got hi=$hi lo=$lo")
+  }
+
   test("media histogram: feature counts sum to payload length") {
     import spark.implicits._
     val rows = (0L until 32L).map(Media.rowFor)
