@@ -341,6 +341,7 @@ object SparkEntry {
     // centroids) are all hot, so the sub-bucket guard path is what runs
     "s9_semdedup" -> ((s, dir) => Similarity.semDedup(emb(s, dir), cellCap = 50)),
     "s10_pq_adc" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
+    "s11_prefix_recall" -> ((s, dir) => Similarity.prefixRecall(emb(s, dir))),
     // --- multimodal binary-column plumbing ---
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -415,6 +416,9 @@ object SparkEntry {
     "q16_quantiles" -> ((s, dir) => Prep.tokenQuantiles(docs(s, dir))),
     // nBuckets=16 so sf0.01's 500 docs spread ~31/bucket — both stages real
     "p13_epoch_order" -> ((s, dir) => Prep.epochOrder(docs(s, dir), epoch = 3, nBuckets = 16)),
+    // nBuckets=16 as in p13; bands from the shared quality score
+    "p14_curriculum" -> ((s, dir) =>
+      Prep.curriculumOrder(docs(s, dir), epoch = 1, nBuckets = 16)),
     "p8_end_to_end" -> ((s, dir) =>
       // the composed flagship prep chain: exact dedup -> LSH components ->
       // per-source cap -> stratified sample -> token packing, one oracle
@@ -655,6 +659,7 @@ object SparkEntry {
     "s8_ann_ivf_trained" -> Similarity.trainedIvfTopKSql("embeddings"),
     "s9_semdedup" -> Similarity.semDedupSql("embeddings", cellCap = 50),
     "s10_pq_adc" -> Similarity.pqTopKSql("embeddings"),
+    "s11_prefix_recall" -> Similarity.prefixRecallSql("embeddings"),
     "e2_eval_links" -> EvalMetrics.perturbedLinkEvalSql(G),
     "e3_eval_tails" -> EvalMetrics.perturbedTailEvalSql(G),
     "e4_eval_detail" -> EvalMetrics.perturbedDetailSql(G),
@@ -669,6 +674,7 @@ object SparkEntry {
     "p12_pack_efficiency" -> Prep.packEfficiencySql("documents"),
     "q16_quantiles" -> Prep.tokenQuantilesSql("documents"),
     "p13_epoch_order" -> Prep.epochOrderSql("documents", epoch = 3),
+    "p14_curriculum" -> Prep.curriculumOrderSql("documents", epoch = 1),
     "p8_end_to_end" -> Prep.endToEndSql("documents", SampleRates,
       defaultRate = 0.35, capPerSource = 15),
     "p10_url_latest" ->

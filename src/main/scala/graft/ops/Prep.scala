@@ -851,6 +851,63 @@ object Prep {
        |  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM k ORDER BY pos""".stripMargin
 
+  /** Quality-curriculum global order — the schedule a curriculum-training
+    * run reads its corpus in: highest-quality band first, and WITHIN a band
+    * a salted-hash permutation (so the curriculum never correlates with
+    * crawl/doc-id order; a new epoch = a new salt = a fresh within-band
+    * shuffle, while the band progression stays fixed). Global order key:
+    * (band DESC, h32(doc_id ':cur' epoch) ASC, doc_id ASC), where
+    * band = score_micro div bandWidth over the shared quality score
+    * ([[TextAnalysis.qualityScoreMicroFromStats]] — one definition with
+    * t2/t9/p1, so the curriculum can never disagree with the quality gate
+    * about what "quality" means).
+    *
+    * Same distributed global-rank construction as [[epochOrder]], with the
+    * band prepended to the ordering: windows partition by (band, hash
+    * sub-bucket) — bounded even when one band holds most of the corpus —
+    * and base offsets come from a tiny (bands x nBuckets)-row count frame
+    * broadcast back. Exactly the single-window answer the oracle computes.
+    */
+  def curriculumOrder(docs: DataFrame, epoch: Int = 0,
+      bandWidth: Long = 100000L, nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0, "power-of-two buckets")
+    require(bandWidth > 0, "positive band width")
+    val width = (1L << 32) / nBuckets
+    val keyed = docs
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreMicroFromStats(
+          TextAnalysis.statsCol(col("text"))).as("score_micro"))
+      .select(col("doc_id"),
+        expr(s"score_micro div ${bandWidth}L").as("band"),
+        h32(concat(col("doc_id").cast("string"), lit(s":cur$epoch"))).as("k"))
+      .withColumn("sub", expr(s"k div ${width}L"))
+    val offsets = keyed.groupBy(col("band"), col("sub")).agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.orderBy(col("band").desc, col("sub").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("sub"), col("off"))
+    val w = Window.partitionBy(col("band"), col("sub")).orderBy(col("k"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("band", "sub"))
+      .select(col("doc_id"), col("band"),
+        (col("off") + row_number().over(w).cast("long")).as("pos"))
+      .orderBy("pos")
+  }
+
+  /** DuckDB mirror of [[curriculumOrder]]: the single-window form over the
+    * shared stats relation + score rule.
+    */
+  def curriculumOrderSql(table: String, epoch: Int = 0,
+      bandWidth: Long = 100000L): String =
+    s"""WITH s AS (SELECT doc_id, ${TextAnalysis.sqlScoreMicroExpr} AS score_micro
+       |  FROM ${TextAnalysis.sqlStatsRel(table)}),
+       |k AS (SELECT doc_id, score_micro // $bandWidth AS band,
+       |    ${sqlH32(s"CAST(doc_id AS VARCHAR) || ':cur$epoch'")} AS k
+       |  FROM s)
+       |SELECT doc_id, CAST(band AS BIGINT) AS band,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY band DESC, k, doc_id) AS BIGINT) AS pos
+       |FROM k ORDER BY pos""".stripMargin
+
   /** Exact per-language token-count quantiles (discrete lower quantile:
     * the value at 1-based rank `floor((n-1)*pct/100) + 1` of the sorted
     * per-lang token counts) — corpus length statistics every curation run

@@ -228,11 +228,22 @@ object Similarity {
     * truth — the measurement a pipeline needs before trusting an ANN index.
     * One row per query: |ivf_topk intersect brute_topk| / k in micro units.
     */
-  def ivfRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    val brute = bruteForceTopK(emb, nQueries, k).select(col("q_id"), col("n_id"))
-    val ivf = ivfTopK(emb, nQueries, k).select(col("q_id").as("iq"), col("n_id").as("in_id"))
+  def ivfRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame =
+    recallVsTruth(
+      bruteForceTopK(emb, nQueries, k),
+      ivfTopK(emb, nQueries, k), k)
+
+  /** Recall@k of an approximate top-k frame against a ground-truth top-k
+    * frame (both `(q_id, n_id, ...)`) — the shared audit tail of
+    * [[ivfRecall]] and [[prefixRecall]]. Both inputs are tiny
+    * (nQueries x k rows), so the semi-join and count are driver-free
+    * noise regardless of corpus size.
+    */
+  private def recallVsTruth(truthK: DataFrame, approxK: DataFrame, k: Int): DataFrame = {
+    val brute = truthK.select(col("q_id"), col("n_id"))
+    val approx = approxK.select(col("q_id").as("iq"), col("n_id").as("in_id"))
     val hits = brute
-      .join(ivf, col("q_id") === col("iq") && col("n_id") === col("in_id"), "left_semi")
+      .join(approx, col("q_id") === col("iq") && col("n_id") === col("in_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
     brute.select(col("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
@@ -258,6 +269,56 @@ object Similarity {
        |  WHERE rank <= $k),
        |h AS (SELECT br.q_id, count(*) AS hits FROM br
        |  WHERE EXISTS (SELECT 1 FROM iv WHERE iv.q_id = br.q_id AND iv.n_id = br.n_id)
+       |  GROUP BY br.q_id)
+       |SELECT qq.q_id AS q_id, ${sqlMicro(s"CAST(coalesce(h.hits, 0) AS DOUBLE) / $k.0")} AS recall_micro
+       |FROM (SELECT DISTINCT q_id FROM br) qq LEFT JOIN h ON qq.q_id = h.q_id
+       |ORDER BY qq.q_id""".stripMargin
+
+  /** Recall@k of PREFIX-dimension search against the full-dimension truth —
+    * the audit an embedding team runs before truncating stored dimensions
+    * (Matryoshka-style nested embeddings: if the first `prefixDim`
+    * components carry the ranking, storage and bandwidth drop by
+    * Dim/prefixDim across the whole ANN stack). Both legs are the
+    * broadcast-query brute-force scan ([[bruteForceTopK]]): map-only over
+    * the corpus, no index to build, so the audit itself is cheap enough to
+    * run per candidate prefix length. The prefix leg slices BOTH sides to
+    * the first `prefixDim` components; cosines renormalize over the slice
+    * (a prefix is only usable if it ranks correctly under its OWN norm —
+    * comparing un-renormalized prefix dots would conflate ranking loss
+    * with scale loss). Output: one row per query, recall in micro units.
+    */
+  def prefixRecall(emb: DataFrame, prefixDim: Int = 16,
+                   nQueries: Int = 8, k: Int = 5): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= Dim, s"prefixDim in [1, $Dim]")
+    val sliced = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDim).as("embedding"))
+    recallVsTruth(
+      bruteForceTopK(emb, nQueries, k),
+      bruteForceTopK(sliced, nQueries, k), k)
+  }
+
+  /** DuckDB mirror of [[prefixRecall]]: the prefix leg is the same
+    * sequential-fold cosine with the generate_series bound at `prefixDim`
+    * instead of `Dim` — identical accumulation order to the sliced Spark
+    * arrays, so cosines (and therefore ranks and recall) are bit-exact.
+    */
+  def prefixRecallSql(table: String, prefixDim: Int = 16,
+                      nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM $table WHERE vec_id < $nQueries),
+       |bs AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "e.embedding", Dim)} AS cos
+       |  FROM $table e CROSS JOIN q),
+       |br AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM bs)
+       |  WHERE rank <= $k),
+       |ps AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "e.embedding", prefixDim)} AS cos
+       |  FROM $table e CROSS JOIN q),
+       |pr AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM ps)
+       |  WHERE rank <= $k),
+       |h AS (SELECT br.q_id, count(*) AS hits FROM br
+       |  WHERE EXISTS (SELECT 1 FROM pr WHERE pr.q_id = br.q_id AND pr.n_id = br.n_id)
        |  GROUP BY br.q_id)
        |SELECT qq.q_id AS q_id, ${sqlMicro(s"CAST(coalesce(h.hits, 0) AS DOUBLE) / $k.0")} AS recall_micro
        |FROM (SELECT DISTINCT q_id FROM br) qq LEFT JOIN h ON qq.q_id = h.q_id

@@ -465,6 +465,23 @@ class OpsSpec extends AnyFunSuite {
     (3L, Seq.tabulate(64)(i => (64 - i).toFloat), 1)
   )
 
+  test("prefixRecall: full-width prefix is exactly 1.0; a lossy prefix is penalized") {
+    // query v0 = all ones. v1 shares the 16-dim prefix exactly (prefix cos
+    // 1.0) but inverts the suffix (full cos -0.5); v2 flips one PREFIX dim
+    // (prefix cos 0.875) but is nearly parallel overall (full cos 62/64).
+    // Full-dim truth top-2 = {v0, v2}; 16-dim prefix top-2 = {v0, v1}.
+    val df = embDf(
+      (0L, Seq.fill(64)(1f), 0),
+      (1L, Seq.fill(16)(1f) ++ Seq.fill(48)(-1f), 0),
+      (2L, Seq(-1f) ++ Seq.fill(63)(1f), 0))
+    val full = Similarity.prefixRecall(df, prefixDim = 64, nQueries = 1, k = 2).collect()
+    assert(full.length == 1 && full(0).getAs[Long]("recall_micro") == 1000000L,
+      s"prefixDim=Dim must reproduce the truth exactly: ${full.toSeq}")
+    val lossy = Similarity.prefixRecall(df, prefixDim = 16, nQueries = 1, k = 2).collect()
+    assert(lossy(0).getAs[Long]("recall_micro") == 500000L,
+      s"the prefix-fooled neighbor must cost exactly 1/k: ${lossy.toSeq}")
+  }
+
   test("brute-force topk: self is rank 1 with cosine exactly 1.0") {
     val rows = Similarity.bruteForceTopK(embFixture, nQueries = 2, k = 2).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
@@ -1189,6 +1206,44 @@ class OpsSpec extends AnyFunSuite {
         s"$lang p$p: got ${got((lang, p))}, want ${vs(idx.toInt)} of $vs")
     }
     assert(got.size == byLang.size * pcts.size, "one row per (lang, pct)")
+  }
+
+  test("curriculumOrder: two-stage rank equals the single-window curriculum schedule") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // stopword density (and so the quality score/band) varies across docs
+    val docs = (0L until 97L).map { i =>
+      (i, ("the and is " * (i % 5 + 1).toInt) + ("zzz9 " * (i % 7).toInt) + "end")
+    }.toDF("doc_id", "text")
+    // single-window reference built from the SAME score/band/salt columns
+    val expect = docs
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreMicroFromStats(
+          TextAnalysis.statsCol(col("text"))).as("s"))
+      .select(col("doc_id"), expr("s div 100000L").as("band"),
+        ColFns.h32(concat(col("doc_id").cast("string"), lit(":cur1"))).as("k"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("band").desc, col("k"), col("doc_id"))).cast("long"))
+      .select("doc_id", "band", "pos").orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expect.map(_._2).distinct.size > 1, "fixture must span multiple bands")
+    Seq(4, 16).foreach { nb =>
+      val got = Prep.curriculumOrder(docs, epoch = 1, nBuckets = nb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect, s"nBuckets=$nb must not change the schedule")
+    }
+    val got = Prep.curriculumOrder(docs.repartition(7), epoch = 1, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, "schedule must be partition-independent")
+    assert(got.map(_._3).sorted == (1L to 97L), "positions are a permutation of 1..N")
+    // bands never increase along the schedule (quality-first contract)
+    got.map(_._2).sliding(2).foreach { case Seq(a, b) => assert(a >= b); case _ => }
+    // a new epoch reshuffles within bands but keeps the band progression
+    val e2 = Prep.curriculumOrder(docs, epoch = 2, nBuckets = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(e2 != got, "epoch salt must reshuffle within bands")
+    assert(e2.sortBy(_._3).map(_._2) == got.sortBy(_._3).map(_._2),
+      "band progression along positions is epoch-invariant")
   }
 
   test("epochOrder: two-stage global rank equals the single-window permutation") {
