@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.app.Corpus
 import graft.engine.{Pipeline, WindowedSpots}
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, EvalMetrics, Media, Prep, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EvalMetrics, LinkGraph, Media, Prep, Similarity, TextAnalysis}
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2), an
   * equivalent DuckDB oracle where the operator is SQL-expressible.
@@ -104,6 +104,13 @@ object SparkEntry {
         .select(col("url"), col("text"), col("nTokens"), col("nLines"), col("nKv"))
         .orderBy(col("url"))
     }),
+    // --- host link graph (x6 edges, g1 PageRank, g2 crawl frontier) ---
+    "x6_links" -> ((s, dir) => LinkGraph.linkEdges(pages(s, dir))),
+    "x7_anchor_terms" -> ((s, dir) => LinkGraph.anchorTerms(pages(s, dir))),
+    "g1_host_rank" -> ((s, dir) => LinkGraph.hostRank(pages(s, dir))),
+    "g2_frontier" -> ((s, dir) => LinkGraph.frontierSchedule(pages(s, dir))),
+    "s12_bitext" -> ((s, dir) => Similarity.bitextMine(emb(s, dir), docs(s, dir))),
+    "d16_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     // --- relational engine-support operators on driver tables ---
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -266,6 +273,7 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    "t14_classifier" -> ((s, dir) => TextAnalysis.classifierFilter(docs(s, dir))),
     "t11_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
     "t12_phrase_merge" -> ((s, dir) => TextAnalysis.phraseMerge(docs(s, dir))),
     "t10_quality_threshold" -> ((s, dir) =>
@@ -442,6 +450,7 @@ object SparkEntry {
       Corpus.ensure(s, dir)
       Prep.robotsGate(s.read.parquet(Corpus.pagesPath(dir)))
     }),
+    "p15_robots_rules" -> ((s, dir) => Prep.robotsRules(pages(s, dir))),
     "q9_rollup" -> ((s, dir) =>
       // multi-granularity aggregation in ONE pass (grouping sets): the
       // per-(flag,status) + per-flag + grand-total report a corpus audit
@@ -529,6 +538,14 @@ object SparkEntry {
     // subset the prior run covered — so its oracle is exactly x1's golden
     "x5_incremental" ->
       s"SELECT url, text, nTokens, nLines, nKv FROM read_parquet('$G') ORDER BY url",
+    // link-graph oracles reach the edges independently: regex over the
+    // decoded html vs the engine's real DOM parser
+    "x6_links" -> LinkGraph.linkEdgesSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "x7_anchor_terms" -> LinkGraph.anchorTermsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "g1_host_rank" -> LinkGraph.hostRankSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "g2_frontier" -> LinkGraph.frontierScheduleSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "s12_bitext" -> Similarity.bitextMineSql("embeddings"),
+    "d16_containment" -> Dedup.containmentPairsSql("documents"),
     "q14_dim_prune" ->
       s"""SELECT f.lang, d.tier, CAST(count(*) AS BIGINT) AS n_pages,
          |  CAST(sum(length(f.text)) AS BIGINT) AS sum_chars
@@ -623,6 +640,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextAnalysis.fingerprintSql("documents"),
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
+    "t14_classifier" -> TextAnalysis.classifierFilterSql("documents"),
     "t11_lm_score" -> TextAnalysis.lmScoreSql("documents"),
     "t12_phrase_merge" -> TextAnalysis.phraseMergeSql("documents"),
     "t10_quality_threshold" -> TextAnalysis.qualityThresholdSql("documents"),
@@ -681,6 +699,7 @@ object SparkEntry {
       Prep.latestSnapshotSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p6_robots" -> Prep.robotsGateSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p15_robots_rules" -> Prep.robotsRulesSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p7_crawl_freshness" -> Prep.crawlFreshnessSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "q9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,

@@ -24,7 +24,12 @@ object Corpus {
   //     shot cuts, every i%4==3) — the third modality, for m9.
   // v7: every fifth audio is a one-byte-nudged near-duplicate of the
   //     previous audio (real positives for the m10 fingerprint join).
-  final val Version = "v7"
+  // v8: half the nav/footer link-farm anchors become absolute cross-host
+  //     links (deterministic targets, hosts 0..9 planted as hubs) so the
+  //     corpus carries a host link graph for x6/g1/g2. Anchor text is
+  //     unchanged -> extracted text, goldens and the frozen digest are
+  //     byte-identical to v7.
+  final val Version = "v8"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

@@ -858,30 +858,69 @@ object Dedup {
     * (semi-join), so its cost is O(candidates x doc length), never all-pairs.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
-                   thresh: Double = 0.5): DataFrame = {
-    // the inverted index keys on the 16-byte md5 of the shingle, projected
-    // BEFORE any shuffle — a word 4-gram averages ~25-30 bytes and crosses
-    // the wire three times (df agg, df join, pair join); the hash halves
-    // that traffic at corpus scale (collisions are the usual 2^-64
-    // content-dedup risk, and the rescore stage is exact anyway)
+                   thresh: Double = 0.5): DataFrame =
+    // exact rescore: shingle sets for candidate docs only
+    rescoreCounts(docs, dfCappedCandidates(docs, n, dfMax), n)
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= thresh)
+      .select(col("id_a"), col("id_b"), micro(col("jac")).as("jac_micro"))
+      .orderBy("id_a", "id_b")
+
+  /** Rare-shingle candidate pairs shared by [[jaccardPairs]] and
+    * [[containmentPairs]]. The inverted index keys on the 16-byte md5 of
+    * the shingle, projected BEFORE any shuffle — a word 4-gram averages
+    * ~25-30 bytes and crosses the wire three times (df agg, df join, pair
+    * join); the hash halves that traffic at corpus scale (collisions are
+    * the usual 2^-64 content-dedup risk, and the rescore stage is exact
+    * anyway). The df filter is agg+join, NOT a count window over the
+    * shingle key: a boilerplate shingle present in most of the corpus
+    * would land every occurrence in one window task. The aggregate
+    * collapses hot shingles map-side (partial count); the join back drops
+    * them entirely (only rare shingles survive the df filter), and AQE
+    * splits whatever skew remains on the shuffle.
+    */
+  private def dfCappedCandidates(docs: DataFrame, n: Int, dfMax: Int): DataFrame = {
     val ex = shingleRows(docs, n, distinct = true)
       .select(col("doc_id"), unhex(md5(col("s"))).as("sh"))
-    // df filter as agg+join, NOT a count window over the shingle key: a
-    // boilerplate shingle present in most of the corpus would land every
-    // occurrence in one window task. The aggregate collapses hot shingles
-    // map-side (partial count); the join back drops them entirely (only
-    // rare shingles survive the df filter), and AQE splits whatever skew
-    // remains on the shuffle.
     val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfMax)
       .select(col("sh"))
     val rare = ex.join(dfs, "sh").select(col("doc_id"), col("sh"))
     val a = rare.as("a")
     val b = rare.as("b")
-    val cand = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact rescore: shingle sets for candidate docs only
+  }
+
+  /** Containment near-dup pairs — the ASYMMETRIC form of [[jaccardPairs]]
+    * for quote/subset detection: containment(A->B) = |A∩B| / |A| finds a
+    * short document embedded in a long one even when symmetric Jaccard is
+    * tiny (the long doc's size swamps the union). One row per unordered
+    * candidate pair with BOTH directions' scores; kept when either
+    * direction clears the threshold. Same df-capped inverted index, same
+    * exact candidate-bounded rescore — the asymmetry costs nothing extra.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 4, dfMax: Int = 50,
+                       thresh: Double = 0.8): DataFrame =
+    rescoreCounts(docs, dfCappedCandidates(docs, n, dfMax), n)
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("na").cast("double")).as("cont_a"),
+        (col("i").cast("double") / col("nb").cast("double")).as("cont_b"))
+      .filter(col("cont_a") >= thresh || col("cont_b") >= thresh)
+      .select(col("id_a"), col("id_b"),
+        micro(col("cont_a")).as("cont_a_micro"),
+        micro(col("cont_b")).as("cont_b_micro"))
+      .orderBy("id_a", "id_b")
+
+  /** Exact intersection/size counts for a candidate pair frame — the
+    * shared rescore tail of [[jaccardPairs]] and [[containmentPairs]]:
+    * shingle sets are built ONLY for docs that appear in a candidate pair
+    * (semi-join), so the exact pass is sized by the candidates, never the
+    * corpus.
+    */
+  private def rescoreCounts(docs: DataFrame, cand: DataFrame, n: Int): DataFrame = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val sets = shingleSets(docs, n).join(candIds, Seq("doc_id"), "left_semi")
     cand
@@ -890,25 +929,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("i"),
         size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
-      .filter(col("jac") >= thresh)
-      .select(col("id_a"), col("id_b"), micro(col("jac")).as("jac_micro"))
-      .orderBy("id_a", "id_b")
   }
 
-  def jaccardPairsSql(table: String, n: Int = 4, dfMax: Int = 50,
-                      thresh: Double = 0.5): String = {
+  /** Shared candidate CTE chain (through `cand` + the `sh` sets) for the
+    * [[jaccardPairsSql]] / [[containmentPairsSql]] mirrors — one
+    * definition, like the Spark-side [[dfCappedCandidates]].
+    */
+  private def candCoreSql(table: String, n: Int, dfMax: Int): String = {
     val w = sqlWords("text")
     val sh = sqlShingles("w", n)
-    s"""WITH docs AS (SELECT doc_id, $w AS w FROM $table),
+    s"""docs AS (SELECT doc_id, $w AS w FROM $table),
        |sh AS (SELECT doc_id, list_distinct($sh) AS shingles FROM docs),
        |ex AS (SELECT doc_id, md5(s) AS h FROM
        |  (SELECT doc_id, unnest(shingles) AS s FROM sh)),
        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
        |rare AS (SELECT ex.doc_id, ex.h FROM ex JOIN df USING (h) WHERE df.df <= $dfMax),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def jaccardPairsSql(table: String, n: Int = 4, dfMax: Int = 50,
+                      thresh: Double = 0.5): String =
+    s"""WITH ${candCoreSql(table, n, dfMax)},
        |j AS (SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |      / CAST(len(sa.shingles) + len(sb.shingles)
@@ -916,7 +958,21 @@ object Dedup {
        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, ${sqlMicro("jac")} AS jac_micro FROM j
        |WHERE jac >= $thresh ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** DuckDB mirror of [[containmentPairs]]. */
+  def containmentPairsSql(table: String, n: Int = 4, dfMax: Int = 50,
+                          thresh: Double = 0.8): String =
+    s"""WITH ${candCoreSql(table, n, dfMax)},
+       |c AS (SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / CAST(len(sa.shingles) AS DOUBLE) AS cont_a,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / CAST(len(sb.shingles) AS DOUBLE) AS cont_b
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, ${sqlMicro("cont_a")} AS cont_a_micro,
+       |  ${sqlMicro("cont_b")} AS cont_b_micro
+       |FROM c WHERE cont_a >= $thresh OR cont_b >= $thresh
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact duplicated-SPAN detection (the word-n-gram form of Lee et al.'s
     * suffix-array substring dedup): every position whose n-gram occurs

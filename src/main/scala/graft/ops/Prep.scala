@@ -488,6 +488,75 @@ object Prep {
        |FROM read_parquet('$pagesGlob', hive_partitioning=1)
        |GROUP BY host ORDER BY host""".stripMargin
 
+  /** Robots.txt rule application — the other half of crawl politeness
+    * (p6 gates on in-page meta tags; this applies PER-HOST path rules the
+    * way a fetcher must, BEFORE the request): every url is matched
+    * against its host's Allow/Disallow prefix rules and the most specific
+    * rule wins — Google semantics: longest rule path first, Allow beats
+    * Disallow on a length tie. The corpus ships no robots.txt, so the
+    * per-host rule set is constructed deterministically in BOTH engines
+    * (the p6/t7 construct-input-identically pattern): "/" always allowed,
+    * "/en" disallowed for a third of hosts, "/de" disallowed for a
+    * quarter, and "/de/doc-1" RE-allowed for half — the classic
+    * allow-under-disallow override, which also exercises prefix (not
+    * path-segment) matching: it re-allows /de/doc-1, /de/doc-12, ...
+    *
+    * Longest-match is an argmax, NOT a window: per-url
+    * max_by(rule, key) with key = zero-padded length ‖ allow ‖ path is a
+    * partial-aggregable hash agg (map-side combine), so the hot host's
+    * url x rule fan-out never funnels through one window task. The rules
+    * frame is 4 rows/host — host-keyed equi-join, AQE-skew-safe.
+    */
+  def robotsRules(pages: DataFrame): DataFrame = {
+    val pg = pages.select(col("url"),
+      regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1).as("host"),
+      regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+    val hosts = pg.select(col("host")).distinct()
+    def gate(salt: String, m: Int) = h32(concat(col("host"), lit(salt))) % m === 0
+    val rules = hosts
+      .select(col("host"), explode(array(
+        struct(lit("/").as("rule_path"), lit(1).as("allow"), lit(true).as("on")),
+        struct(lit("/en").as("rule_path"), lit(0).as("allow"), gate(":r1", 3).as("on")),
+        struct(lit("/de").as("rule_path"), lit(0).as("allow"), gate(":r2", 4).as("on")),
+        struct(lit("/de/doc-1").as("rule_path"), lit(1).as("allow"), gate(":r3", 2).as("on"))
+      )).as("r"))
+      .filter(col("r.on"))
+      .select(col("host"), col("r.rule_path").as("rule_path"), col("r.allow").as("allow"))
+    val key = concat(
+      lpad(length(col("rule_path")).cast("string"), 4, "0"), lit(":"),
+      col("allow").cast("string"), lit(":"), col("rule_path"))
+    pg.join(rules, Seq("host"))
+      .filter(col("path").startsWith(col("rule_path")))
+      .groupBy(col("url"), col("host"))
+      .agg(max_by(col("rule_path"), key).as("rule_path"),
+        max_by(col("allow"), key).cast("int").as("allow"))
+      .orderBy(col("url"))
+  }
+
+  /** DuckDB mirror — same constructed rules, same argmax key. */
+  def robotsRulesSql(pagesGlob: String): String = {
+    def gate(salt: String, m: Int) = s"${sqlH32(s"host || '$salt'")} % $m = 0"
+    s"""WITH pg AS (SELECT url,
+       |    regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       |    regexp_extract(url, '^[a-z]+://[^/]+(/.*)$$', 1) AS path
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |hosts AS (SELECT DISTINCT host FROM pg),
+       |cand AS (
+       |  SELECT host, '/' AS rule_path, 1 AS allow, TRUE AS onf FROM hosts
+       |  UNION ALL SELECT host, '/en', 0, ${gate(":r1", 3)} FROM hosts
+       |  UNION ALL SELECT host, '/de', 0, ${gate(":r2", 4)} FROM hosts
+       |  UNION ALL SELECT host, '/de/doc-1', 1, ${gate(":r3", 2)} FROM hosts),
+       |rules AS (SELECT host, rule_path, allow FROM cand WHERE onf),
+       |m AS (SELECT pg.url, pg.host, r.rule_path, r.allow,
+       |    lpad(CAST(length(r.rule_path) AS VARCHAR), 4, '0') || ':' ||
+       |      CAST(r.allow AS VARCHAR) || ':' || r.rule_path AS k
+       |  FROM pg JOIN rules r ON r.host = pg.host
+       |    AND starts_with(pg.path, r.rule_path))
+       |SELECT url, host, arg_max(rule_path, k) AS rule_path,
+       |  CAST(arg_max(allow, k) AS INT) AS allow
+       |FROM m GROUP BY url, host ORDER BY url""".stripMargin
+  }
+
   /** Shard-count sizing rule for [[packChunks]]: enough shards that ONE
     * (lang, shard) running-sum partition holds at most ~`targetPerShard`
     * docs — the invariant that keeps the per-shard sort bounded as the

@@ -324,6 +324,73 @@ object Similarity {
        |FROM (SELECT DISTINCT q_id FROM br) qq LEFT JOIN h ON qq.q_id = h.q_id
        |ORDER BY qq.q_id""".stripMargin
 
+  /** Cross-lingual bitext mining (the CCMatrix/LASER-style shape that
+    * produces MT training pairs): every source-language document is
+    * matched to its best target-language neighbor in a shared embedding
+    * space and accepted only when the MARGIN over the runner-up clears a
+    * threshold — margin filtering is what separates real translation
+    * pairs from hubness artifacts. Language comes from the documents
+    * table (vec_id == doc_id); the candidate join is CELL-PRUNED on the
+    * coarse label (the s3/s8 IVF discipline — src x tgt within a cell,
+    * never a full cross-lingual cross product), top-2 per query is the
+    * staged [[topK]] group-limit, and the margin is a difference of the
+    * already-floored micro cosines, so both engines subtract identical
+    * integers. Queries with no in-cell target candidate are out of the
+    * mining contract (no match to rank). Output: one row per src doc with
+    * its best match, cosine, margin and accept flag.
+    */
+  def bitextMine(emb: DataFrame, docs: DataFrame, srcLang: String = "en",
+                 tgtLang: String = "de", marginMicro: Long = 20000L): DataFrame = {
+    val withLang = emb.join(
+      docs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+    val q = withNorm(withLang.filter(col("lang") === srcLang))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("nrm").as("q_nrm"))
+    val joined = withNorm(withLang.filter(col("lang") === tgtLang))
+      .join(q, col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
+    topK(joined, k = 2)
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("rank") === 1, col("n_id"))).as("match_id"),
+        max(when(col("rank") === 1, col("cos_micro"))).as("cos_micro"),
+        coalesce(max(when(col("rank") === 2, col("cos_micro"))), lit(-1000000L))
+          .as("cos2_micro"))
+      .select(col("q_id"), col("match_id"), col("cos_micro"),
+        (col("cos_micro") - col("cos2_micro")).as("margin_micro"),
+        (col("cos_micro") - col("cos2_micro") >= marginMicro)
+          .cast("int").as("accept"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB mirror of [[bitextMine]] — single-window top-2, same floored
+    * micro subtraction, same runner-up sentinel for single-candidate
+    * cells.
+    */
+  def bitextMineSql(table: String, docsTable: String = "documents",
+                    srcLang: String = "en", tgtLang: String = "de",
+                    marginMicro: Long = 20000L): String =
+    s"""WITH e AS (SELECT v.vec_id, v.embedding, v.label, d.lang
+       |  FROM $table v JOIN $docsTable d ON d.doc_id = v.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |  FROM e WHERE lang = '$srcLang'),
+       |s AS (SELECT q.q_id, t.vec_id AS n_id,
+       |    ${sqlCosine("q.q_emb", "t.embedding", Dim)} AS cos
+       |  FROM e t JOIN q ON t.label = q.q_label WHERE t.lang = '$tgtLang'),
+       |r AS (SELECT q_id, n_id, ${sqlMicro("cos")} AS cos_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM s),
+       |p AS (SELECT q_id,
+       |    max(CASE WHEN rank = 1 THEN n_id END) AS match_id,
+       |    max(CASE WHEN rank = 1 THEN cos_micro END) AS cos_micro,
+       |    COALESCE(max(CASE WHEN rank = 2 THEN cos_micro END), -1000000) AS cos2_micro
+       |  FROM r WHERE rank <= 2 GROUP BY q_id)
+       |SELECT q_id, match_id, cos_micro,
+       |  CAST(cos_micro - cos2_micro AS BIGINT) AS margin_micro,
+       |  CAST(CASE WHEN cos_micro - cos2_micro >= $marginMicro THEN 1 ELSE 0 END AS INT) AS accept
+       |FROM p ORDER BY q_id""".stripMargin
+
   // ---------------------------------------------------------------- k-means
 
   /** K-means (Lloyd) coarse-quantizer training + final assignment — the

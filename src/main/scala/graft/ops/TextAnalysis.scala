@@ -738,4 +738,65 @@ object TextAnalysis {
        |  CAST(n_lines AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
        |FROM f WHERE len(ks) >= $minKeptLines ORDER BY url""".stripMargin
   }
+
+  /** Linear quality-classifier inference (the fastText/DCLM-style filter a
+    * web-corpus curation run applies after the rule-based gates): each
+    * document scores as the sum of its words' signed weights and keeps if
+    * the margin clears a per-word threshold — decided in EXACT integer
+    * arithmetic (`total_w > n_words * threshold`, never a division). The
+    * "trained model" is a (term, weight) TABLE — here derived
+    * deterministically (in-vocab gate h32(term:v)%4<>0, weight
+    * h32(term:w)%2001-1000 micro-units, identically in both engines, the
+    * p6/t7 constructed-input pattern) — exercising the real deployment
+    * shape: a model artifact BROADCAST to every scorer, OOV terms at
+    * weight 0 via the left join.
+    *
+    * Scale shape: the only corpus-wide shuffle is the per-doc score sum
+    * (map-side partials); the vocab build is explode + partial-agg
+    * distinct; the scorer join is broadcast, never a corpus shuffle join
+    * (the t11 discipline, gate-pinned).
+    */
+  def classifierFilter(docs: DataFrame, thresholdMicro: Long = 5L): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " ", -1), w => w =!= "")).as("w"))
+    val vocab = words.select(col("w").as("term")).distinct()
+      .filter(h32(concat(col("term"), lit(":v"))) % 4 =!= 0)
+      .select(col("term"),
+        (h32(concat(col("term"), lit(":w"))) % 2001 - 1000).as("wt"))
+    val scored = words
+      .join(broadcast(vocab), words("w") === vocab("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("wt"), lit(0L))).as("total_w"),
+        sum(when(col("term").isNull, 0L).otherwise(1L)).as("n_invocab"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("total_w"), lit(0L)).as("total_w"),
+        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
+        (coalesce(col("total_w"), lit(0L)) >
+          coalesce(col("n_words"), lit(0L)) * thresholdMicro)
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[classifierFilter]] — same constructed model, same
+    * integer margin rule.
+    */
+  def classifierFilterSql(table: String, thresholdMicro: Long = 5L): String =
+    s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS w FROM $table),
+       |vocab AS (SELECT term, ${sqlH32("term || ':w'")} % 2001 - 1000 AS wt
+       |  FROM (SELECT DISTINCT w AS term FROM w)
+       |  WHERE ${sqlH32("term || ':v'")} % 4 <> 0),
+       |sc AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(COALESCE(v.wt, 0)) AS BIGINT) AS total_w,
+       |    CAST(sum(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_invocab
+       |  FROM w LEFT JOIN vocab v ON v.term = w.w GROUP BY w.doc_id)
+       |SELECT d.doc_id, COALESCE(s.n_words, 0) AS n_words,
+       |  COALESCE(s.total_w, 0) AS total_w,
+       |  COALESCE(s.n_invocab, 0) AS n_invocab,
+       |  CAST(CASE WHEN COALESCE(s.total_w, 0) > COALESCE(s.n_words, 0) * $thresholdMicro
+       |    THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (SELECT doc_id FROM $table) d LEFT JOIN sc s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

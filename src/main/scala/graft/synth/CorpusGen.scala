@@ -229,8 +229,21 @@ object CorpusGen {
           val tag = if (e.id == 0) "nav" else "footer"
           sb ++= s"<$tag>"
           e.lines.foreach { ln =>
-            // link farm: entire text inside <a> -> link density 1.0
-            sb ++= s"""<div style="${styleOf(ln.bbox)}"><a href="/${e.id}/${ln.id}">${escape(ln.text)}</a></div>"""
+            // link farm: entire text inside <a> -> link density 1.0.
+            // Half the farm links are ABSOLUTE cross-host anchors (target
+            // host deterministic from uid+line, with hosts 0..9 as planted
+            // hubs receiving extra in-link mass) so the corpus carries a
+            // real host link graph for x6/g1/g2; the other half stay
+            // relative (resolve to the page's own host). Anchor TEXT is
+            // untouched, so extraction goldens and the frozen digest are
+            // unaffected.
+            val k = graft.core.UrlBucket.of(s"${ann.uid}#${ln.id}", 294)
+            val href =
+              if (k < 147) {
+                val t = if (k % 3 == 0) k % 10 else k % 98
+                s"https://host-$t.example/ref/${e.id}/${ln.id}"
+              } else s"/${e.id}/${ln.id}"
+            sb ++= s"""<div style="${styleOf(ln.bbox)}"><a href="$href">${escape(ln.text)}</a></div>"""
           }
           sb ++= s"</$tag>\n"
         case AnnLabels.Header =>

@@ -695,4 +695,72 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"),
       s"no join/window belongs in a per-row pass:\n$p")
   }
+
+  test("x6 link edges: kernel into ONE partial-agg shuffle, no window/join") {
+    val p = plan("x6_links")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"edge weights need map-side partial counts:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"page->edge aggregation is a single groupBy, nothing else:\n$p")
+    // exactly one hash exchange (the (src,dst) agg); the orderBy adds only
+    // a range exchange
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one hash shuffle, got $hashEx:\n$p")
+  }
+
+  test("x7 anchor terms: staged per-host top-k over partial-agg counts") {
+    val p = plan("x7_anchor_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must push a map-side group limit:\n$p")
+    assert(p.contains("windowspecdefinition(dst_host#"),
+      s"the window must partition by dst_host (bounded), not run globally:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"term counts need map-side partials:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the term count:\n$p")
+  }
+
+  test("g1 host rank: equi-joins + partial aggs only; no cartesian, no window") {
+    val p = plan("g1_host_rank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"rank iterations are host-key equi-joins:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the rank loop:\n$p")
+    assert(p.contains("HashAggregate"), s"contributions must hash-aggregate:\n$p")
+  }
+
+  test("p15 robots rules: longest-match is an argmax hash agg, never a window") {
+    val p = plan("p15_robots_rules")
+    assert(!p.contains("Window"),
+      s"per-url longest-match must partial-aggregate, not window:\n$p")
+    assert(p.contains("max_by"), s"winner must be a max_by argmax:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"rules join is host-keyed equi:\n$p")
+  }
+
+  test("t14 classifier: model joins as broadcast; score sum has map-side partials") {
+    val p = plan("t14_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weights table must broadcast to the scorers:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"per-doc score needs map-side partials:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in classifier inference:\n$p")
+  }
+
+  test("s12 bitext: staged top-2 group limit; candidate join is cell-pruned equi") {
+    val p = plan("s12_bitext")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-2 must push a map-side group limit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"src x tgt must join on the cell, never cross:\n$p")
+  }
+
+  test("g2 frontier: the ONLY window is the per-host slot, never global") {
+    val p = plan("g2_frontier")
+    val windows = "windowspecdefinition\\(".r.findAllIn(p).length
+    assert(windows >= 1, s"slot must be a window:\n$p")
+    assert(p.contains("windowspecdefinition(host#"),
+      s"slot window must partition by host (bounded), not run globally:\n$p")
+    // a global row_number would show an empty partition spec: windowspecdefinition(_w... ORDER BY with SinglePartition
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"nothing may funnel the corpus into one partition:\n$p")
+  }
 }

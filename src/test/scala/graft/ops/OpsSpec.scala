@@ -1488,4 +1488,105 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, None),
       (4L, 0L, 0L, None)), out.mkString("; "))
   }
+
+  // ---------- p15 robots rules / t14 classifier / s12 bitext ----------
+
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("robotsRules: longest rule wins, allow beats disallow on re-allowed subtree") {
+    import spark.implicits._
+    val hosts = (0 until 10).map(i => s"h$i.example")
+    val urls = hosts.flatMap { h =>
+      Seq(s"https://$h/en/doc-3", s"https://$h/de/doc-13", s"https://$h/de/doc-23",
+        s"https://$h/fr/doc-1")
+    }
+    val got = Prep.robotsRules(urls.toDF("url")).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getInt(3)))).toMap
+    // plain-Scala replica of the constructed rules + Google longest-match
+    def rulesFor(h: String): Seq[(String, Int)] =
+      Seq("/" -> 1) ++
+        (if (md5h32(h + ":r1") % 3 == 0) Seq("/en" -> 0) else Nil) ++
+        (if (md5h32(h + ":r2") % 4 == 0) Seq("/de" -> 0) else Nil) ++
+        (if (md5h32(h + ":r3") % 2 == 0) Seq("/de/doc-1" -> 1) else Nil)
+    urls.foreach { u =>
+      val h = u.split('/')(2)
+      val path = u.substring(u.indexOf(h) + h.length)
+      val matching = rulesFor(h).filter(r => path.startsWith(r._1))
+      val expect = matching.maxBy(r => (r._1.length, r._2))
+      assert(got(u) == expect, s"$u: got ${got(u)}, expect $expect")
+    }
+    // the corpus of 10 hosts must actually exercise every branch
+    val picked = got.values.map(_._1).toSet
+    assert(picked == Set("/", "/en", "/de", "/de/doc-1"),
+      s"10-host fixture must hit all four rules, hit $picked")
+    // the override subtlety: where /de/doc-1 is re-allowed, doc-13 is
+    // allowed (prefix match!) while doc-23 under the same host is denied
+    hosts.filter(h => md5h32(h + ":r2") % 4 == 0 && md5h32(h + ":r3") % 2 == 0)
+      .foreach { h =>
+        assert(got(s"https://$h/de/doc-13") == (("/de/doc-1", 1)))
+        assert(got(s"https://$h/de/doc-23") == (("/de", 0)))
+      }
+  }
+
+  test("containmentPairs: a quoted short doc is found where symmetric Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = (1 to 40).map(i => s"w$i").mkString(" ") + " " + quote +
+      " " + (41 to 80).map(i => s"w$i").mkString(" ")
+    val df = docsDf(0L -> quote, 1L -> long, 2L -> "totally unrelated words here now")
+    val got = Dedup.containmentPairs(df, n = 4, dfMax = 50, thresh = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc0 has 5 4-gram shingles, all inside doc1 -> cont_a = 1.0 exactly;
+    // doc1 has 85, so cont_b = 5/85 and jaccard = 5/85 would NEVER pass
+    assert(got.toList == List((0L, 1L, 1000000L, 58823L)), got.mkString(";"))
+    // and the symmetric op indeed misses it at any usable threshold
+    assert(Dedup.jaccardPairs(df, n = 4, dfMax = 50, thresh = 0.5).count() == 0)
+  }
+
+  test("classifierFilter: margin in exact integers, OOV at weight 0, empty doc kept out") {
+    val out = TextAnalysis.classifierFilter(docsDf(
+      0L -> "alpha beta alpha",
+      1L -> "",
+      2L -> "gamma"
+    ), thresholdMicro = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    def wt(t: String): Option[Long] =
+      if (md5h32(t + ":v") % 4 == 0) None else Some(md5h32(t + ":w") % 2001 - 1000)
+    def expect(id: Long, ws: Seq[String]) = {
+      val total = ws.map(w => wt(w).getOrElse(0L)).sum
+      val inv = ws.count(w => wt(w).isDefined)
+      (id, ws.length.toLong, total, inv.toLong, if (total > 5L * ws.length) 1 else 0)
+    }
+    assert(out.toList == List(
+      expect(0L, Seq("alpha", "beta", "alpha")),
+      (1L, 0L, 0L, 0L, 0),
+      expect(2L, Seq("gamma"))), out.mkString("; "))
+  }
+
+  test("bitextMine: cell-pruned best match with margin; lone candidate gets sentinel") {
+    import spark.implicits._
+    def v(x: Double) = Array.tabulate(64)(i => if (i == 0) x.toFloat else if (i == 1) math.sqrt(1 - x * x).toFloat else 0.0f)
+    // cell 1: en query 0 vs de candidates 10 (cos~1.0) and 11 (cos~0.6)
+    // cell 2: en query 1 vs ONE de candidate 12 -> runner-up sentinel
+    // cell 3: en query 2 with NO de candidate -> absent from output
+    val emb = Seq(
+      (0L, v(1.0), 1), (1L, v(1.0), 2), (2L, v(1.0), 3),
+      (10L, v(0.999), 1), (11L, v(0.6), 1), (12L, v(0.9), 2),
+      (20L, v(0.5), 1) // French: never a candidate
+    ).toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (0L, "en"), (1L, "en"), (2L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de"), (20L, "fr")
+    ).toDF("doc_id", "lang")
+    val got = Similarity.bitextMine(emb, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    assert(got.length == 2, s"query 2 has no in-cell candidate: ${got.mkString(";")}")
+    val byQ = got.map(x => x._1 -> x).toMap
+    // q0: clear margin (cos ~0.999 vs ~0.6) -> accepted
+    assert(byQ(0L)._2 == 10L && byQ(0L)._3 > 300000L && byQ(0L)._4 == 1)
+    // q1: single candidate -> margin vs sentinel is huge -> accepted
+    assert(byQ(1L)._2 == 12L && byQ(1L)._3 > 1000000L && byQ(1L)._4 == 1)
+  }
 }
