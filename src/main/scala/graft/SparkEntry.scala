@@ -274,6 +274,9 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(docs(s, dir))),
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     "t14_classifier" -> ((s, dir) => TextAnalysis.classifierFilter(docs(s, dir))),
+    "t15_tfidf" -> ((s, dir) => TextAnalysis.tfidfKeywords(docs(s, dir))),
+    "x8_tables" -> ((s, dir) => graft.ops.Tables.extractTables(pages(s, dir))),
+    "x9_web_pipeline" -> ((s, dir) => graft.ops.WebPipeline.webPipeline(pages(s, dir))),
     "t11_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
     "t12_phrase_merge" -> ((s, dir) => TextAnalysis.phraseMerge(docs(s, dir))),
     "t10_quality_threshold" -> ((s, dir) =>
@@ -385,6 +388,10 @@ object SparkEntry {
       import s.implicits._
       Media.audioPairs(media(s, dir).as[Media.MediaRow])
     }),
+    "m11_audio_components" -> ((s, dir) => {
+      import s.implicits._
+      Media.audioComponents(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -451,6 +458,9 @@ object SparkEntry {
       Prep.robotsGate(s.read.parquet(Corpus.pagesPath(dir)))
     }),
     "p15_robots_rules" -> ((s, dir) => Prep.robotsRules(pages(s, dir))),
+    "p16_budget" -> ((s, dir) => Prep.budgetApportion(pages(s, dir))),
+    "p17_crawl_diff" -> ((s, dir) => Prep.crawlDiff(pages(s, dir))),
+    "q17_hll_distinct" -> ((s, dir) => graft.ops.Sketch.hllDistinct(pages(s, dir))),
     "q9_rollup" -> ((s, dir) =>
       // multi-granularity aggregation in ONE pass (grouping sets): the
       // per-(flag,status) + per-flag + grand-total report a corpus audit
@@ -641,6 +651,10 @@ object SparkEntry {
     "t5_vocab_topk" -> TextAnalysis.vocabTopKSql("documents"),
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
     "t14_classifier" -> TextAnalysis.classifierFilterSql("documents"),
+    "t15_tfidf" -> TextAnalysis.tfidfKeywordsSql("documents"),
+    "x8_tables" -> graft.ops.Tables.extractTablesSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "x9_web_pipeline" -> graft.ops.WebPipeline.webPipelineSql(
+      s"${Corpus.pagesPath("sf0.01")}/*/*.parquet", G),
     "t11_lm_score" -> TextAnalysis.lmScoreSql("documents"),
     "t12_phrase_merge" -> TextAnalysis.phraseMergeSql("documents"),
     "t10_quality_threshold" -> TextAnalysis.qualityThresholdSql("documents"),
@@ -700,6 +714,9 @@ object SparkEntry {
     "p5_host_cap" -> Prep.hostCapSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p6_robots" -> Prep.robotsGateSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p15_robots_rules" -> Prep.robotsRulesSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p16_budget" -> Prep.budgetApportionSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p17_crawl_diff" -> Prep.crawlDiffSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "q17_hll_distinct" -> graft.ops.Sketch.hllDistinctSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p7_crawl_freshness" -> Prep.crawlFreshnessSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "q9_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
@@ -718,6 +735,7 @@ object SparkEntry {
     "m8_audio_stats" -> Media.audioStatsSql(M),
     "m9_shot_bounds" -> Media.shotBoundsSql(M),
     "m10_audio_pairs" -> Media.audioPairsSql(M),
+    "m11_audio_components" -> Media.audioComponentsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

@@ -782,13 +782,13 @@ object Media {
       (0 until 2).map(b => s"'l$b:' || ((fp_lo >> ${16 * b}) & 65535)"))
       .mkString(", ")
 
-  /** DuckDB mirror recomputing the fingerprint from write-side sample
-    * truth (window energies via list slices over the payload string),
-    * then the same band / cap / join / bit_count chain as [[aHashPairsSql]].
+  /** Shared fingerprint + band + cap CTE chain (through `capped`) for the
+    * audio pair/components oracles — recomputes the fingerprint from
+    * write-side sample truth (window energies via list slices over the
+    * payload string).
     */
-  def audioPairsSql(parquetGlob: String, maxHamming: Int = 3,
-                    bucketCap: Int = 40): String =
-    s"""WITH au AS (SELECT doc_id, payload, length(payload) AS n
+  private def audioCappedCte(parquetGlob: String, bucketCap: Int): String =
+    s"""au AS (SELECT doc_id, payload, length(payload) AS n
        |  FROM read_parquet('$parquetGlob') WHERE kind = 'audio'),
        |ew AS (SELECT doc_id, n,
        |    list_transform(generate_series(0, 63), w ->
@@ -808,7 +808,14 @@ object Media {
        |  FROM bits GROUP BY doc_id),
        |bands AS (SELECT doc_id, fp_hi, fp_lo,
        |    unnest([$audioBandsSql]) AS bkey FROM ah),
-       |capped AS ${Dedup.sqlCapBuckets("bands", "doc_id, fp_hi, fp_lo", bucketCap)}
+       |capped AS ${Dedup.sqlCapBuckets("bands", "doc_id, fp_hi, fp_lo", bucketCap)}""".stripMargin
+
+  /** DuckDB mirror of [[audioPairs]]: the shared fingerprint chain, then
+    * the same band / cap / join / bit_count predicate as [[aHashPairsSql]].
+    */
+  def audioPairsSql(parquetGlob: String, maxHamming: Int = 3,
+                    bucketCap: Int = 40): String =
+    s"""WITH ${audioCappedCte(parquetGlob, bucketCap)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.fp_hi, b.fp_hi))
        |     + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
@@ -816,6 +823,43 @@ object Media {
        |WHERE bit_count(xor(a.fp_hi, b.fp_hi))
        |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Audio near-dup CLUSTERS — the fourth modality of the pairs→clusters
+    * family (text d6, embeddings s6, images m7): connected components over
+    * the [[audioPairs]] graph through the SHARED
+    * [[Dedup.componentsFrom]] min-label propagation core. Nodes are all
+    * audio rows, so clips with no near-dup stay singleton components; the
+    * pair leg is the UNORDERED kernel (no operator-embedded sort enters
+    * the fixpoint loop).
+    */
+  def audioComponents(media: Dataset[MediaRow], maxHamming: Int = 3,
+                      bucketCap: Int = 40, maxIters: Int = 20): DataFrame = {
+    val nodes = media.toDF().filter(col("kind") === "audio").select(col("doc_id"))
+    val pairs = Dedup
+      .bandedHammingPairsUnordered(audioBanded(media, bucketCap), maxHamming)
+      .select(col("id_a"), col("id_b"))
+    Dedup.componentsFrom(nodes, pairs, maxIters)
+  }
+
+  /** DuckDB mirror of [[audioComponents]]: the shared fingerprint chain,
+    * the m10 pair predicate, then recursive-CTE reachability with
+    * min-label per node (the d6/s6/m7 oracle idiom).
+    */
+  def audioComponentsSql(parquetGlob: String, maxHamming: Int = 3,
+                         bucketCap: Int = 40): String =
+    s"""WITH RECURSIVE ${audioCappedCte(parquetGlob, bucketCap)},
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+       |      + bit_count(xor(a.fp_lo, b.fp_lo)) <= $maxHamming),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM au
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(lbl) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** Image near-dup CLUSTERS: connected components over the [[aHashPairs]]
     * graph — the visual member of the pairs→clusters family (text d6,

@@ -557,6 +557,138 @@ object Prep {
        |FROM m GROUP BY url, host ORDER BY url""".stripMargin
   }
 
+  /** Crawl-budget apportionment — divide an integer fetch budget across
+    * hosts exactly proportionally (largest-remainder / Hamilton method,
+    * the same rule election seat allocation uses): base quota
+    * `floor(B*w/W)` per host, and the leftover `R = B - sum(base)` seats
+    * go to the R largest remainders `(B*w) mod W` (ties by host). All
+    * integer arithmetic, so `sum(alloc) == B` EXACTLY — the invariant a
+    * fetch scheduler (or a sampling-quota planner) needs; floor-rate
+    * schemes leak budget.
+    *
+    * The hard part at 10^8 hosts is the remainder rank: a
+    * `ROW_NUMBER() OVER (ORDER BY rem DESC)` is one task over every host.
+    * This uses the [[epochOrder]] distributed global-rank idiom instead —
+    * range-bucket on the remainder (scaled into nBuckets by the total
+    * weight), per-bucket bounded windows, tiny bucket-count offsets
+    * broadcast back — provably equal to the single-window oracle. The two
+    * scalars (total weight W, leftover R) ride as broadcast one-row
+    * frames, never a collect.
+    */
+  def budgetApportion(pages: DataFrame, budget: Long = 1000L,
+      nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "positive budget")
+    val hw = pages
+      .select(regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("w"))
+    val tot = hw.agg(sum(col("w")).as("tw"))
+    val based = hw.crossJoin(broadcast(tot))
+      .select(col("host"), col("w"),
+        expr(s"(${budget}L * w) div tw").as("base"),
+        expr(s"(${budget}L * w) % tw").as("rem"),
+        expr(s"((${budget}L * w) % tw) * ${nBuckets}L div tw").as("bkt"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("r"))
+    // offsets: hosts in HIGHER-remainder buckets rank first
+    val offsets = based.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("rem").desc, col("host"))
+    based.join(broadcast(offsets), "bkt")
+      .withColumn("rnk", col("off") + row_number().over(w).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .select(col("host"), col("w"),
+        (col("base") + when(col("rnk") <= col("r"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+      .orderBy(col("host"))
+  }
+
+  /** DuckDB mirror of [[budgetApportion]]: the single-window form the
+    * bucketed construction provably equals.
+    */
+  def budgetApportionSql(pagesGlob: String, budget: Long = 1000L): String =
+    s"""WITH hw AS (SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1) GROUP BY host),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM hw),
+       |b AS (SELECT host, w, ($budget * w) // tw AS base, ($budget * w) % tw AS rem
+       |  FROM hw, t),
+       |r AS (SELECT CAST($budget - sum(base) AS BIGINT) AS lv FROM b),
+       |rk AS (SELECT host, w, base,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rnk FROM b)
+       |SELECT host, w,
+       |  CAST(base + CASE WHEN rnk <= (SELECT lv FROM r) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM rk ORDER BY host""".stripMargin
+
+  /** Crawl-snapshot diff — the host-granular change report a re-crawl
+    * planner reads between two crawls: per host, how many urls were
+    * added, removed, changed (same url, different content hash) or
+    * unchanged. Complements x5 (which RESUMES extraction through a
+    * digest): this is the audit that sizes the next crawl before any
+    * extraction runs. The second snapshot is constructed deterministically
+    * from the first in BOTH engines (the p6/t7 pattern): a seventh of
+    * urls deleted, a fifth content-drifted, an eleventh gaining a new
+    * `?v=2` twin — so every diff class has real members.
+    *
+    * Shape: content identity = md5 over the raw page bytes computed
+    * map-side; ONE full-outer equi-join on url (AQE-skew-safe — no key
+    * hotter than one url) and one per-host partial-agg fold. At 10^12
+    * pages nothing but (url, host, 16-byte hash) ever shuffles.
+    */
+  def crawlDiff(pages: DataFrame): DataFrame = {
+    val base = pages.select(col("url"),
+      regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1).as("host"),
+      md5(col("html")).as("ch"))
+    val snap2 = base
+      .filter(h32(concat(col("url"), lit(":del"))) % 7 =!= 0)
+      .select(col("url"), col("host"),
+        when(h32(concat(col("url"), lit(":chg"))) % 5 === 0,
+          md5(concat(col("ch"), lit(":v2")))).otherwise(col("ch")).as("ch"))
+      .union(base
+        .filter(h32(concat(col("url"), lit(":add"))) % 11 === 0)
+        .select(concat(col("url"), lit("?v=2")).as("url"), col("host"),
+          md5(concat(col("ch"), lit(":new"))).as("ch")))
+    base.select(col("url"), col("host").as("h1"), col("ch").as("ch1"))
+      .join(snap2.select(col("url"), col("host").as("h2"), col("ch").as("ch2")),
+        Seq("url"), "full_outer")
+      .select(coalesce(col("h1"), col("h2")).as("host"),
+        col("ch1"), col("ch2"))
+      .groupBy(col("host"))
+      .agg(
+        sum(when(col("ch1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("ch2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("ch1").isNotNull && col("ch2").isNotNull &&
+          col("ch1") =!= col("ch2"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("ch1") === col("ch2"), 1L).otherwise(0L)).as("n_same"))
+      .orderBy(col("host"))
+  }
+
+  /** DuckDB mirror of [[crawlDiff]] — same constructed second snapshot. */
+  def crawlDiffSql(pagesGlob: String): String =
+    s"""WITH base AS (SELECT url,
+       |    regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       |    md5(decode(html)) AS ch
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |snap2 AS (
+       |  SELECT url, host,
+       |    CASE WHEN ${sqlH32("url || ':chg'")} % 5 = 0
+       |      THEN md5(ch || ':v2') ELSE ch END AS ch
+       |  FROM base WHERE ${sqlH32("url || ':del'")} % 7 <> 0
+       |  UNION ALL
+       |  SELECT url || '?v=2', host, md5(ch || ':new')
+       |  FROM base WHERE ${sqlH32("url || ':add'")} % 11 = 0),
+       |j AS (SELECT COALESCE(a.host, b.host) AS host, a.ch AS ch1, b.ch AS ch2
+       |  FROM base a FULL OUTER JOIN snap2 b ON a.url = b.url)
+       |SELECT host,
+       |  CAST(sum(CASE WHEN ch1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(sum(CASE WHEN ch2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN ch1 IS NOT NULL AND ch2 IS NOT NULL AND ch1 <> ch2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN ch1 = ch2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |FROM j GROUP BY host ORDER BY host""".stripMargin
+
   /** Shard-count sizing rule for [[packChunks]]: enough shards that ONE
     * (lang, shard) running-sum partition holds at most ~`targetPerShard`
     * docs — the invariant that keeps the per-shard sort bounded as the

@@ -799,4 +799,54 @@ object TextAnalysis {
        |    THEN 1 ELSE 0 END AS INT) AS keep
        |FROM (SELECT doc_id FROM $table) d LEFT JOIN sc s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-document top-k keywords by tf-idf (linear-idf variant): the
+    * document-summarization signal an index/selection pipeline extracts.
+    * Scoring is EXACT integer arithmetic by construction — the classic
+    * log-idf cannot be oracle-compared (libm log is not bit-portable), so
+    * the rule is the linear inverse frequency
+    * `score = ((tf * 1e6) div nd) * (N div df)` with the division order
+    * fixed and mirrored; ranking semantics (rare-in-corpus,
+    * frequent-in-doc first) are preserved, scores are reproducible
+    * integers.
+    *
+    * Scale shape: tf = one (doc_id, term) partial-agg shuffle; doc length
+    * and df are second-level aggregates OF the tf frame (never a second
+    * corpus scan); N rides as a broadcast one-row frame; the df join
+    * shuffles on term with AQE handling stop-word skew; per-doc top-k
+    * windows are bounded by document vocabulary (WindowGroupLimit pushes
+    * the rank filter map-side).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " ", -1), w => w =!= "")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nd = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("nd"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(nd, "doc_id").join(dfT, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (expr("(tf * 1000000L) div nd") * expr("n div df")).as("score_q"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("score_q"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** DuckDB mirror of [[tfidfKeywords]] — same fixed division order. */
+  def tfidfKeywordsSql(table: String, k: Int = 3): String =
+    s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS term FROM $table),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+       |nd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nd FROM tf GROUP BY doc_id),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $table),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |    ((tf.tf * 1000000) // nd.nd) * (n.n // dft.df) AS score_q
+       |  FROM tf JOIN nd USING (doc_id) JOIN dft USING (term), n),
+       |r AS (SELECT doc_id, term, score_q,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rn
+       |  FROM s)
+       |SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $k ORDER BY doc_id, rn""".stripMargin
 }

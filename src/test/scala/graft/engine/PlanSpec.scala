@@ -753,6 +753,60 @@ class PlanSpec extends AnyFunSuite {
       s"src x tgt must join on the cell, never cross:\n$p")
   }
 
+  test("p16 budget: remainder rank is bucket-partitioned; scalars broadcast") {
+    val p = plan("p16_budget")
+    assert(p.contains("windowspecdefinition(bkt#"),
+      s"the host-sized rank window must partition by bucket (never one task):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"offsets/scalars must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no host-side shuffle join:\n$p")
+  }
+
+  test("q17 hll: register fold is two partial hash aggs — no join, no window, no expand") {
+    val p = plan("q17_hll_distinct")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Expand"),
+      s"a sketch must never need more than aggregation:\n$p")
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      s"registers need map-side partial max:\n$p")
+  }
+
+  test("t15 tfidf: per-doc top-k is the staged group limit over bounded windows") {
+    val p = plan("t15_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push map-side:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"the window must partition by doc_id (bounded by doc vocab):\n$p")
+    assert(!p.contains("CartesianProduct"), s"N must ride as a broadcast scalar:\n$p")
+  }
+
+  test("x8 tables: map-only kernel — no shuffle before the output sort") {
+    val p = plan("x8_tables")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"cell extraction is row-local; only the presentation sort may exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"no join/window belongs in a per-page pass:\n$p")
+  }
+
+  test("x9 web pipeline: robots gate semi-joins BEFORE the kernel; cap is staged") {
+    val p = plan("x9_web_pipeline")
+    assert(p.contains("LeftSemi"),
+      s"disallowed pages must never reach the parse kernel:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the host cap must push its rank filter map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every join in the chain is keyed:\n$p")
+  }
+
+  test("p17 crawl diff: one url-keyed full-outer join + per-host partial aggs") {
+    val p = plan("p17_crawl_diff")
+    assert(p.contains("FullOuter"), s"the diff IS a full outer join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in a diff:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"per-host counts need map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"join must stay url-keyed:\n$p")
+  }
+
   test("g2 frontier: the ONLY window is the per-host slot, never global") {
     val p = plan("g2_frontier")
     val windows = "windowspecdefinition\\(".r.findAllIn(p).length

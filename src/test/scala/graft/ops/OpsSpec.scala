@@ -1589,4 +1589,109 @@ class OpsSpec extends AnyFunSuite {
     // q1: single candidate -> margin vs sentinel is huge -> accepted
     assert(byQ(1L)._2 == 12L && byQ(1L)._3 > 1000000L && byQ(1L)._4 == 1)
   }
+
+  test("budgetApportion: exact Hamilton allocation, sum == budget, ties by host") {
+    import spark.implicits._
+    def urls(h: String, n: Int) = (0 until n).map(i => s"https://$h.example/p$i")
+    // W=10, budget=7: bases 3/2/1 (sum 6), remainders 5/1/4 -> the one
+    // leftover seat goes to host a
+    val df = (urls("a", 5) ++ urls("b", 3) ++ urls("c", 2)).toDF("url")
+    val got = Prep.budgetApportion(df, budget = 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(("a.example", 5L, 4L), ("b.example", 3L, 2L), ("c.example", 2L, 1L)))
+    // remainder tie (1 vs 1) -> host asc wins the seat
+    val tie = (urls("a", 1) ++ urls("b", 1)).toDF("url")
+    val got2 = Prep.budgetApportion(tie, budget = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toList
+    assert(got2 == List(("a.example", 2L), ("b.example", 1L)))
+    // property on a skewed corpus: allocations always sum EXACTLY to B
+    val skew = (urls("hot", 97) ++ urls("w1", 2) ++ urls("w2", 1)).toDF("url")
+    (1L to 23L).foreach { b =>
+      val total = Prep.budgetApportion(skew, budget = b).agg(sum("alloc")).head.getLong(0)
+      assert(total == b, s"budget $b leaked: $total")
+    }
+  }
+
+  test("hllDistinct: dup-insensitive registers; estimate tracks exact distinct") {
+    import spark.implicits._
+    val urls = (0 until 2000).map(i => (s"https://h${i % 37}.example/doc-$i", "en")) ++
+      (0 until 1000).map(i => (s"https://h${i % 37}.example/de-$i", "de"))
+    val once = urls.toDF("url", "lang")
+    val thrice = (urls ++ urls ++ urls).toDF("url", "lang")
+    val a = Sketch.hllDistinct(once).collect().map(_.toSeq).toList
+    val b = Sketch.hllDistinct(thrice).collect().map(_.toSeq).toList
+    assert(a == b, "registers are max-folds: duplicates must not move the sketch")
+    // raw-regime accuracy: m=64 gives ~13% standard error; pin a 30% band
+    val est = a.map(r => r(0).asInstanceOf[String] -> r(3).asInstanceOf[Long]).toMap
+    assert(math.abs(est("en") - 2000L * 1000000L) < 600L * 1000000L, s"en: ${est("en")}")
+    assert(math.abs(est("de") - 1000L * 1000000L) < 300L * 1000000L, s"de: ${est("de")}")
+  }
+
+  test("tfidfKeywords: rare-term boost with the fixed integer division order") {
+    val got = TextAnalysis.tfidfKeywords(docsDf(
+      0L -> "apple apple banana",
+      1L -> "banana cherry",
+      2L -> "cherry cherry dog"
+    ), k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toList
+    assert(got == List(
+      (0L, "apple", 1999998L, 1), (0L, "banana", 333333L, 2),
+      // tie on 500000 -> term asc
+      (1L, "banana", 500000L, 1), (1L, "cherry", 500000L, 2),
+      // the corpus-rare "dog" outranks the in-doc-frequent "cherry"
+      (2L, "dog", 999999L, 1), (2L, "cherry", 666666L, 2)), got.mkString(";"))
+  }
+
+  test("tableCells: document order, nested markup flattened, entities decoded") {
+    val html = """<div><table><tr><th>K:</th><td>v &amp; w</td></tr></table>""" +
+      """<p>x</p><table><tr><td><b>bold</b> cell</td></tr></table></div>"""
+    assert(Tables.tableCells(html) == List(
+      (0, 0, "th", "K:"), (0, 1, "td", "v & w"), (1, 0, "td", "bold cell")))
+    assert(Tables.tableCells("<p>no tables</p>") == Nil)
+  }
+
+  test("audioComponents: planted near-dup clips cluster; every clip is a node") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(Media.rowFor).filter(_.kind == "audio")
+    val comp = Media.audioComponents(rows.toDS()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.keySet == rows.map(_.doc_id).toSet,
+      "clips with no near-dup must survive as singleton components")
+    comp.foreach { case (id, c) =>
+      assert(c <= id, s"component label must be a min member: $id -> $c")
+    }
+    // consistency with the pair op: every m10 edge lands inside one cluster
+    val pairs = Media.audioPairs(rows.toDS()).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "v7 fixture plants audio near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    assert(comp.values.toSet.size < comp.size,
+      "the planted near-dups must merge at least one cluster")
+  }
+
+  test("crawlDiff: every url lands in exactly one class; classes match the hash rule") {
+    import spark.implicits._
+    val urls = (0 until 60).map(i => s"https://h${i % 4}.example/p$i")
+    val df = urls.map(u => (u, s"content of $u".getBytes("UTF-8"))).toDF("url", "html")
+    val got = Prep.crawlDiff(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // plain replica of the snapshot construction
+    def expectFor(host: String) = {
+      val hs = urls.filter(_.contains(s"//$host/"))
+      val removed = hs.count(u => md5h32(u + ":del") % 7 == 0)
+      val changed = hs.count(u => md5h32(u + ":del") % 7 != 0 && md5h32(u + ":chg") % 5 == 0)
+      val added = hs.count(u => md5h32(u + ":add") % 11 == 0)
+      val same = hs.size - removed - changed
+      (added.toLong, removed.toLong, changed.toLong, same.toLong)
+    }
+    got.foreach { case (host, a, r, c, s) =>
+      assert((a, r, c, s) == expectFor(host), s"$host: got ($a,$r,$c,$s)")
+    }
+    // per-host row conservation: removed+changed+same == first-snapshot urls
+    got.foreach { case (host, _, r, c, s) =>
+      assert(r + c + s == urls.count(_.contains(s"//$host/")).toLong, host)
+    }
+  }
 }
