@@ -110,6 +110,7 @@ object SparkEntry {
     "g1_host_rank" -> ((s, dir) => LinkGraph.hostRank(pages(s, dir))),
     "g2_frontier" -> ((s, dir) => LinkGraph.frontierSchedule(pages(s, dir))),
     "s12_bitext" -> ((s, dir) => Similarity.bitextMine(emb(s, dir), docs(s, dir))),
+    "g3_redirects" -> ((s, dir) => LinkGraph.resolveRedirects(pages(s, dir))),
     "d16_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     // --- relational engine-support operators on driver tables ---
     "q1_agg" -> ((s, dir) =>
@@ -555,6 +556,7 @@ object SparkEntry {
     "g1_host_rank" -> LinkGraph.hostRankSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "g2_frontier" -> LinkGraph.frontierScheduleSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "s12_bitext" -> Similarity.bitextMineSql("embeddings"),
+    "g3_redirects" -> LinkGraph.resolveRedirectsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "d16_containment" -> Dedup.containmentPairsSql("documents"),
     "q14_dim_prune" ->
       s"""SELECT f.lang, d.tier, CAST(count(*) AS BIGINT) AS n_pages,

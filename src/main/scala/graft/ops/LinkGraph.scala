@@ -204,6 +204,83 @@ object LinkGraph {
       .orderBy(col("slot"), col("pr").desc, col("host"), col("url"))
   }
 
+  /** Redirect-chain resolution by POINTER DOUBLING — the crawl-store
+    * canonicalization a fetcher needs before dedup (a url that 301s
+    * through k hops must map to its final target): after r rounds every
+    * chain of length <= 2^r is resolved, so `rounds` log-bounds the work
+    * regardless of chain length — the naive follow-one-hop-per-round walk
+    * would need max-chain-length corpus joins. Each round is ONE
+    * self-equi-join on the successor key (`next' = next(next)`, hops
+    * accumulate as `hops(u) + hops(next(u))`), with finals as fixed
+    * points (next = self, hops = 0), and a localCheckpoint per round so
+    * plan depth stays constant.
+    *
+    * The corpus ships no redirects, so the map is constructed
+    * deterministically in BOTH engines (the p6/t7 pattern) from the url's
+    * own doc index: docs with i % 4 != 3 redirect to doc i+1
+    * (reconstructed through the corpus url rule, kept only when the
+    * target exists) — real chains of length up to 3, no cycles. Output:
+    * (url, final_url, hops) with hops EXACT.
+    */
+  def resolveRedirects(pages: DataFrame, rounds: Int = 4): DataFrame = {
+    val langs = graft.synth.CorpusGen.Langs
+    val base = pages.select(col("url"),
+      regexp_extract(col("url"), "doc-([0-9]+)$", 1).cast("long").as("i"))
+    val j = col("i") + 1
+    val host = when(j % 10 < 3, lit("host-0"))
+      .otherwise(concat(lit("host-"), (j % 97 + 1).cast("string")))
+    val lang = element_at(typedlit(langs), (j % 8).cast("int") + 1)
+    val target = concat(lit("https://"), host, lit(".example/"), lang,
+      lit("/doc-"), j.cast("string"))
+    val edges = base.filter(col("i") % 4 =!= 3)
+      .select(col("url"), target.as("nxt"))
+      .join(pages.select(col("url").as("nxt")), Seq("nxt"), "left_semi")
+    var p = base.select(col("url"))
+      .join(edges, Seq("url"), "left")
+      .select(col("url"), coalesce(col("nxt"), col("url")).as("nxt"),
+        when(col("nxt").isNull, 0L).otherwise(1L).as("hops"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      p = p.join(
+          p.select(col("url").as("nxt"), col("nxt").as("nxt2"),
+            col("hops").as("hops2")), Seq("nxt"))
+        .select(col("url"), col("nxt2").as("nxt"),
+          (col("hops") + col("hops2")).as("hops"))
+        .localCheckpoint()
+      r += 1
+    }
+    p.select(col("url"), col("nxt").as("final_url"), col("hops"))
+      .orderBy(col("url"))
+  }
+
+  /** DuckDB mirror of [[resolveRedirects]]: the same constructed redirect
+    * map, resolved by a recursive walk (arg_max over hop prefixes — the
+    * semantics the doubling provably equals on acyclic chains).
+    */
+  def resolveRedirectsSql(pagesGlob: String): String = {
+    val langList = graft.synth.CorpusGen.Langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE base AS (SELECT url,
+       |    CAST(regexp_extract(url, 'doc-([0-9]+)$$', 1) AS BIGINT) AS i
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |tgt AS (SELECT url, 'https://' ||
+       |    CASE WHEN (i + 1) % 10 < 3 THEN 'host-0'
+       |         ELSE 'host-' || CAST((i + 1) % 97 + 1 AS VARCHAR) END ||
+       |    '.example/' || ($langList)[CAST((i + 1) % 8 AS INT) + 1] ||
+       |    '/doc-' || CAST(i + 1 AS VARCHAR) AS nxt
+       |  FROM base WHERE i % 4 <> 3),
+       |edges AS (SELECT url, nxt FROM tgt
+       |  WHERE nxt IN (SELECT url FROM base)),
+       |walk(url, cur, hops) AS (
+       |  SELECT url, url, 0 FROM base
+       |  UNION ALL
+       |  SELECT w.url, e.nxt, w.hops + 1
+       |  FROM walk w JOIN edges e ON e.url = w.cur)
+       |SELECT url, arg_max(cur, hops) AS final_url,
+       |  CAST(max(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY url ORDER BY url""".stripMargin
+  }
+
   // ----- DuckDB mirrors -----
 
   /** DuckDB mirror of [[resolveHost]] over fragments `href`/`srcHost` —

@@ -807,6 +807,13 @@ class PlanSpec extends AnyFunSuite {
       s"join must stay url-keyed:\n$p")
   }
 
+  test("g3 redirects: doubling rounds are url-keyed equi-joins, no window") {
+    val p = plan("g3_redirects")
+    assert(!p.contains("Window"), s"resolution is joins, never a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"successor joins stay keyed:\n$p")
+  }
+
   test("g2 frontier: the ONLY window is the per-host slot, never global") {
     val p = plan("g2_frontier")
     val windows = "windowspecdefinition\\(".r.findAllIn(p).length

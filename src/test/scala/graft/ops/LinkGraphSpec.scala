@@ -121,6 +121,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got("c.example") > got("d.example"))
   }
 
+  test("resolveRedirects: pointer doubling resolves full chains with exact hops") {
+    import spark.implicits._
+    import graft.synth.CorpusGen
+    // corpus-rule urls for docs 0..8: chains 0->1->2->3, 4->5->6->7, 8->(9 missing)
+    val urls = (0L to 8L).map(i => CorpusGen.urlFor(i, CorpusGen.Langs((i % 8).toInt)))
+    val got = LinkGraph.resolveRedirects(urls.toDF("url")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    val byUrl = got.map(x => x._1 -> ((x._2, x._3))).toMap
+    def u(i: Long) = CorpusGen.urlFor(i, CorpusGen.Langs((i % 8).toInt))
+    assert(byUrl(u(0)) == ((u(3), 3L)), s"chain head: ${byUrl(u(0))}")
+    assert(byUrl(u(1)) == ((u(3), 2L)))
+    assert(byUrl(u(2)) == ((u(3), 1L)))
+    assert(byUrl(u(3)) == ((u(3), 0L)), "i%4==3 is final")
+    assert(byUrl(u(7)) == ((u(7), 0L)))
+    // doc 8 redirects to doc 9, which does not exist -> it is final
+    assert(byUrl(u(8)) == ((u(8), 0L)), "dangling target must make the source final")
+    // every url resolves to a fixed point
+    got.foreach { case (_, fin, _) => assert(byUrl(fin)._1 == fin, s"$fin not final") }
+  }
+
   test("frontierSchedule: per-host slots are 1..n and rounds are rank-ordered") {
     val df = pagesDf(
       (0 until 6).map(i => page(s"https://a.example/$i", Seq("https://b.example/x"))) ++
