@@ -461,6 +461,7 @@ object SparkEntry {
     "p15_robots_rules" -> ((s, dir) => Prep.robotsRules(pages(s, dir))),
     "p16_budget" -> ((s, dir) => Prep.budgetApportion(pages(s, dir))),
     "p17_crawl_diff" -> ((s, dir) => Prep.crawlDiff(pages(s, dir))),
+    "p18_training_feed" -> ((s, dir) => Prep.trainingFeed(docs(s, dir))),
     "q17_hll_distinct" -> ((s, dir) => graft.ops.Sketch.hllDistinct(pages(s, dir))),
     "q9_rollup" -> ((s, dir) =>
       // multi-granularity aggregation in ONE pass (grouping sets): the
@@ -718,6 +719,7 @@ object SparkEntry {
     "p15_robots_rules" -> Prep.robotsRulesSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p16_budget" -> Prep.budgetApportionSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p17_crawl_diff" -> Prep.crawlDiffSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "p18_training_feed" -> Prep.trainingFeedSql("documents"),
     "q17_hll_distinct" -> graft.ops.Sketch.hllDistinctSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "p7_crawl_freshness" -> Prep.crawlFreshnessSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "q9_rollup" ->

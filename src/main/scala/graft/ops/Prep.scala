@@ -689,6 +689,76 @@ object Prep {
        |  CAST(sum(CASE WHEN ch1 = ch2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same
        |FROM j GROUP BY host ORDER BY host""".stripMargin
 
+  /** The training-feed flagship composition (p18) — the third of the
+    * engine's composed chains (x9 = crawl side, p8 = prep side, this =
+    * what the trainer actually streams): temperature mixture sampling
+    * ([[temperatureMixture]]) -> quality-curriculum global order
+    * ([[curriculumOrder]]) -> fixed-token-budget chunking ALONG THE
+    * CURRICULUM ORDER. The last stage is what p4's per-(lang,shard)
+    * packing deliberately is not: chunk boundaries follow the exact
+    * global schedule, so it needs a corpus-scale GLOBAL PREFIX SUM —
+    * computed distributed: dense `pos` ranks range-bucket evenly
+    * ((pos-1) div bucketRows), per-bucket token sums fold into running
+    * offsets over the tiny bucket frame (broadcast back), and the
+    * within-bucket running sum windows over bounded partitions. Provably
+    * the single-window `SUM OVER (ORDER BY pos)` the oracle computes,
+    * with no single-task sort anywhere.
+    *
+    * Output: (doc_id, band, pos, chunk_id) — one row per fed doc in
+    * curriculum order with its training-chunk assignment.
+    */
+  def trainingFeed(docs: DataFrame, budgetChars: Long = 20000L,
+      budgetTokens: Long = 256L, epoch: Int = 0,
+      bucketRows: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = temperatureMixture(docs, budgetChars).select(col("doc_id"))
+    val fed = docs.join(kept, Seq("doc_id"), "left_semi")
+    val ordered = curriculumOrder(fed, epoch)
+    val toks = fed.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+    val seq0 = ordered.join(toks, Seq("doc_id"))
+      .withColumn("pb", expr(s"(pos - 1) div ${bucketRows}L"))
+    val offs = seq0.groupBy(col("pb")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff",
+        coalesce(sum(col("bt")).over(Window.orderBy(col("pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pb"), col("boff"))
+    val win = Window.partitionBy(col("pb")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq0.join(broadcast(offs), Seq("pb"))
+      .withColumn("cum", col("boff") + sum(col("n_tokens")).over(win))
+      .select(col("doc_id"), col("band"), col("pos"),
+        expr(s"(cum - n_tokens) div ${budgetTokens}L").as("chunk_id"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB mirror of [[trainingFeed]]: the mixture and curriculum
+    * builders nested as subqueries (one definition each — the
+    * curriculum's table parameter receives the kept-subset relation), and
+    * the chunking as the single global running-sum window the distributed
+    * prefix sum provably equals.
+    */
+  def trainingFeedSql(table: String, budgetChars: Long = 20000L,
+      budgetTokens: Long = 256L, epoch: Int = 0): String = {
+    val fedRel = s"(SELECT d.* FROM $table d WHERE d.doc_id IN (SELECT doc_id FROM kept))"
+    s"""WITH kept AS (SELECT doc_id FROM (
+       |${temperatureMixtureSql(table, budgetChars)}
+       |)),
+       |ord AS (SELECT * FROM (
+       |${curriculumOrderSql(fedRel, epoch)}
+       |)),
+       |tok AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $table WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |j AS (SELECT o.doc_id, o.band, o.pos, t.n_tokens
+       |  FROM ord o JOIN tok t USING (doc_id)),
+       |c AS (SELECT doc_id, band, pos, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM j)
+       |SELECT doc_id, CAST(band AS BIGINT) AS band, pos,
+       |  CAST((cum - n_tokens) // $budgetTokens AS BIGINT) AS chunk_id
+       |FROM c ORDER BY pos""".stripMargin
+  }
+
   /** Shard-count sizing rule for [[packChunks]]: enough shards that ONE
     * (lang, shard) running-sum partition holds at most ~`targetPerShard`
     * docs — the invariant that keeps the per-shard sort bounded as the

@@ -814,6 +814,16 @@ class PlanSpec extends AnyFunSuite {
       s"successor joins stay keyed:\n$p")
   }
 
+  test("p18 training feed: prefix sum is bucket-partitioned; offsets broadcast") {
+    val p = plan("p18_training_feed")
+    assert(p.contains("windowspecdefinition(pb#"),
+      s"the corpus-sized running sum must partition by prefix bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the mixture gate semi-joins the corpus:\n$p")
+  }
+
   test("g2 frontier: the ONLY window is the per-host slot, never global") {
     val p = plan("g2_frontier")
     val windows = "windowspecdefinition\\(".r.findAllIn(p).length

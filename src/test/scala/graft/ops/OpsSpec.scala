@@ -1694,4 +1694,31 @@ class OpsSpec extends AnyFunSuite {
       assert(r + c + s == urls.count(_.contains(s"//$host/")).toLong, host)
     }
   }
+
+  test("trainingFeed: dense curriculum positions, exact global chunk boundaries") {
+    import spark.implicits._
+    val docs = (0L until 120L).map { i =>
+      (i, (0 to (i % 13).toInt).map(k => s"w${(i + k) % 7}").mkString(" "),
+        "en", s"src${i % 3}", 100L + i % 50)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Prep.trainingFeed(docs, budgetChars = 5000L, budgetTokens = 16L,
+      bucketRows = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "the mixture must keep some docs")
+    // positions are exactly 1..N in collected order
+    assert(out.map(_._3).toList == (1L to out.length.toLong).toList)
+    // bands never increase along the schedule (highest quality first)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2, s"band rose: $a -> $b")
+      case _           => ()
+    }
+    // chunk rule: chunk_id == floor(tokens-before / budget), recomputed locally
+    val tokensOf = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    var cum = 0L
+    out.foreach { case (id, _, _, chunk) =>
+      assert(chunk == cum / 16L, s"doc $id: chunk $chunk, expected ${cum / 16L}")
+      cum += tokensOf(id)
+    }
+  }
 }
