@@ -111,6 +111,7 @@ object SparkEntry {
     "g2_frontier" -> ((s, dir) => LinkGraph.frontierSchedule(pages(s, dir))),
     "s12_bitext" -> ((s, dir) => Similarity.bitextMine(emb(s, dir), docs(s, dir))),
     "g3_redirects" -> ((s, dir) => LinkGraph.resolveRedirects(pages(s, dir))),
+    "s13_mmr" -> ((s, dir) => Similarity.mmrTopK(emb(s, dir))),
     "d16_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     // --- relational engine-support operators on driver tables ---
     "q1_agg" -> ((s, dir) =>
@@ -558,6 +559,7 @@ object SparkEntry {
     "g2_frontier" -> LinkGraph.frontierScheduleSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "s12_bitext" -> Similarity.bitextMineSql("embeddings"),
     "g3_redirects" -> LinkGraph.resolveRedirectsSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
+    "s13_mmr" -> Similarity.mmrTopKSql("embeddings"),
     "d16_containment" -> Dedup.containmentPairsSql("documents"),
     "q14_dim_prune" ->
       s"""SELECT f.lang, d.tier, CAST(count(*) AS BIGINT) AS n_pages,

@@ -391,6 +391,111 @@ object Similarity {
        |  CAST(CASE WHEN cos_micro - cos2_micro >= $marginMicro THEN 1 ELSE 0 END AS INT) AS accept
        |FROM p ORDER BY q_id""".stripMargin
 
+  /** Diverse top-k by maximal marginal relevance (MMR) — the selection a
+    * retrieval/serving layer (or a diverse few-shot sampler) runs AFTER
+    * ANN: greedily pick k items maximizing
+    * `lambda*relevance - (1-lambda)*max-similarity-to-already-picked`, so
+    * near-duplicate hits don't crowd the result. Two-tier scale shape:
+    * the expensive part is the candidate POOL, which is the already-gated
+    * staged ANN scan bounded to `poolK` rows (TakeOrderedAndProject — at
+    * 10^12 vectors the pool, not the greedy loop, touches the corpus);
+    * the k greedy rounds then run declaratively over the bounded pool —
+    * each round one anti-join against the picked set, one
+    * broadcast-nested-loop penalty max, one TakeOrdered top-1 (the t12
+    * winner idiom, no driver collect), localCheckpoint per round.
+    *
+    * Exactness: relevances and penalties are micro-floored BEFORE the MMR
+    * arithmetic, and the score is the all-integer
+    * `(70*(rel+1e6) + 30*(1e6-pen)) div 100` — shifted to stay
+    * non-negative because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, which would diverge below zero. Rank-1 uses
+    * the pen = -1e6 sentinel (nothing picked yet) through the SAME
+    * formula.
+    */
+  def mmrTopK(emb: DataFrame, qId: Long = 0L, poolK: Int = 16, k: Int = 5,
+              lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && poolK >= k, "need poolK >= k >= 1")
+    val lam = lambdaPct.toLong
+    val q = broadcast(withNorm(emb.filter(col("vec_id") === qId))
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val pool = withNorm(emb.filter(col("vec_id") =!= qId)).crossJoin(q)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        micro(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolK)
+      .localCheckpoint()
+    def mmrCol(pen: org.apache.spark.sql.Column) =
+      expr(s"$lam * (rel + 1000000L)") + (lit(100L - lam) * (lit(1000000L) - pen))
+    var picked = pool
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
+        (mmrCol(lit(-1000000L)) / lit(100)).cast("long").as("mmr"),
+        lit(1).as("rank"))
+      .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      .localCheckpoint()
+    var r = 2
+    while (r <= k) {
+      val pEmb = broadcast(picked.select(col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm")))
+      val pens = pool
+        .join(picked.select(col("vec_id").as("pid")),
+          col("vec_id") === col("pid"), "left_anti")
+        .crossJoin(pEmb)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
+          micro(dot(col("embedding"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+            .as("sim"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+          max(col("sim")).as("pen"))
+      val winner = pens
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
+          (mmrCol(col("pen")) / lit(100)).cast("long").as("mmr"), lit(r).as("rank"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      picked = picked.union(winner).localCheckpoint()
+      r += 1
+    }
+    picked.select(col("rank"), col("vec_id").as("n_id"),
+      col("rel").as("rel_micro"), col("mmr").as("mmr_micro"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB mirror of [[mmrTopK]]: the greedy recurrence unrolled as k
+    * CTE rounds (argmax LIMIT 1 each), same shifted integer score.
+    */
+  def mmrTopKSql(table: String, qId: Long = 0L, poolK: Int = 16, k: Int = 5,
+                 lambdaPct: Int = 70): String = {
+    val lam = lambdaPct
+    def mmrExpr(pen: String) = s"($lam * (rel + 1000000) + ${100 - lam} * (1000000 - ($pen))) // 100"
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT embedding AS q_emb FROM $table WHERE vec_id = $qId),
+       |base AS (SELECT e.vec_id, e.embedding,
+       |    ${sqlMicro(sqlCosine("q.q_emb", "e.embedding", Dim))} AS rel
+       |  FROM $table e, q WHERE e.vec_id <> $qId),
+       |pool AS (SELECT * FROM base ORDER BY rel DESC, vec_id LIMIT $poolK),
+       |p1 AS (SELECT vec_id, embedding, rel,
+       |    CAST(${mmrExpr("-1000000")} AS BIGINT) AS mmr, 1 AS rank
+       |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    var r = 2
+    while (r <= k) {
+      val prev = s"p${r - 1}"
+      sb ++= s""",
+         |c$r AS (SELECT c.vec_id, first(c.embedding) AS embedding, c.rel,
+         |    max(${sqlMicro(sqlCosine("c.embedding", "p.embedding", Dim))}) AS pen
+         |  FROM pool c, $prev p
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY c.vec_id, c.rel),
+         |w$r AS (SELECT vec_id, embedding, rel,
+         |    CAST(${mmrExpr("pen")} AS BIGINT) AS mmr, $r AS rank
+         |  FROM c$r ORDER BY mmr DESC, vec_id LIMIT 1),
+         |p$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM w$r)""".stripMargin
+      r += 1
+    }
+    sb ++= s"""
+       |SELECT CAST(rank AS INT) AS rank, vec_id AS n_id,
+       |  rel AS rel_micro, mmr AS mmr_micro
+       |FROM p$k ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- k-means
 
   /** K-means (Lloyd) coarse-quantizer training + final assignment — the

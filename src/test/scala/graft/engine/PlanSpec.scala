@@ -824,6 +824,14 @@ class PlanSpec extends AnyFunSuite {
       s"the mixture gate semi-joins the corpus:\n$p")
   }
 
+  test("s13 mmr: the corpus stage is a bounded TakeOrdered pool, no window") {
+    val p = plan("s13_mmr")
+    assert(!p.contains("Window"),
+      s"greedy rounds must never window; pool is TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"penalty max runs against the broadcast picked set:\n$p")
+  }
+
   test("g2 frontier: the ONLY window is the per-host slot, never global") {
     val p = plan("g2_frontier")
     val windows = "windowspecdefinition\\(".r.findAllIn(p).length

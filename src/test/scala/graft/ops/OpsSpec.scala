@@ -1721,4 +1721,28 @@ class OpsSpec extends AnyFunSuite {
       cum += tokensOf(id)
     }
   }
+
+  test("mmrTopK: a near-duplicate of the top hit cannot take rank 2") {
+    import spark.implicits._
+    def v(xs: Double*) = {
+      val a = new Array[Float](64)
+      xs.zipWithIndex.foreach { case (x, i) => a(i) = x.toFloat }
+      a
+    }
+    val emb = Seq(
+      (0L, v(1.0), 0),            // the query
+      (1L, v(0.99, 0.14), 0),     // best hit
+      (2L, v(0.98, 0.19), 0),     // near-duplicate of 1 (high mutual cos)
+      (3L, v(0.7, -0.71), 0),     // diverse, decent relevance
+      (4L, v(0.5, 0.87), 0),      // diverse, lower relevance
+      (5L, v(-0.9, 0.44), 0)      // irrelevant
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrTopK(emb, qId = 0L, poolK = 5, k = 3, lambdaPct = 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    // pure relevance would rank (1, 2, 3); MMR must demote the near-dup 2
+    assert(got.map(_._2).head == 1L, s"rank 1 is pure relevance: $got")
+    assert(got(1)._2 == 3L, s"rank 2 must be the diverse doc, not the near-dup: $got")
+    assert(got.map(_._1) == List(1, 2, 3))
+    assert(got.map(_._2).contains(2L) || got.map(_._2).contains(4L))
+  }
 }
