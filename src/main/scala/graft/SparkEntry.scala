@@ -277,6 +277,7 @@ object SparkEntry {
     "t6_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     "t14_classifier" -> ((s, dir) => TextAnalysis.classifierFilter(docs(s, dir))),
     "t15_tfidf" -> ((s, dir) => TextAnalysis.tfidfKeywords(docs(s, dir))),
+    "t16_code_switch" -> ((s, dir) => TextAnalysis.codeSwitchAudit(pages(s, dir))),
     "x8_tables" -> ((s, dir) => graft.ops.Tables.extractTables(pages(s, dir))),
     "x9_web_pipeline" -> ((s, dir) => graft.ops.WebPipeline.webPipeline(pages(s, dir))),
     "t11_lm_score" -> ((s, dir) => TextAnalysis.lmScore(docs(s, dir))),
@@ -657,6 +658,7 @@ object SparkEntry {
     "t6_repetition" -> TextAnalysis.repetitionStatsSql("documents"),
     "t14_classifier" -> TextAnalysis.classifierFilterSql("documents"),
     "t15_tfidf" -> TextAnalysis.tfidfKeywordsSql("documents"),
+    "t16_code_switch" -> TextAnalysis.codeSwitchAuditSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "x8_tables" -> graft.ops.Tables.extractTablesSql(s"${Corpus.pagesPath("sf0.01")}/*/*.parquet"),
     "x9_web_pipeline" -> graft.ops.WebPipeline.webPipelineSql(
       s"${Corpus.pagesPath("sf0.01")}/*/*.parquet", G),

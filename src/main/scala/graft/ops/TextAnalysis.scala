@@ -849,4 +849,64 @@ object TextAnalysis {
        |  FROM s)
        |SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q, CAST(rn AS INT) AS rn
        |FROM r WHERE rn <= $k ORDER BY doc_id, rn""".stripMargin
+
+  /** Per-document code-switching audit (the CCNet per-paragraph-langid
+    * pattern): every LINE of the extracted text gets its own
+    * stopword-argmax language prediction and the document reports how
+    * much of it disagrees with the document's language tag — the signal
+    * that catches boilerplate in another language, embedded quotes and
+    * wrongly-tagged documents before a lang-partitioned corpus is
+    * trusted. One explode + the native single-pass stats kernel per line
+    * (codegen, no lambdas) + ONE per-url partial-agg fold; off-language
+    * fraction is floor-scaled from exact integer counts.
+    */
+  def codeSwitchAudit(pages: DataFrame): DataFrame = {
+    val lines = pages
+      .select(col("url"), col("lang"),
+        explode(split(col("text"), "\n", -1)).as("line"))
+      .filter(length(col("line")) > 0)
+      .select(col("url"), col("lang"),
+        langPredFromStats(statsCol(col("line"))).as("line_lang"))
+    lines
+      .groupBy(col("url"), col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_lang") =!= col("lang") &&
+          col("line_lang") =!= "und", 1L).otherwise(0L)).as("n_offlang"),
+        sum(when(col("line_lang") === "und", 1L).otherwise(0L)).as("n_und"))
+      .select(col("url"), col("lang"), col("n_lines"), col("n_offlang"), col("n_und"),
+        micro(col("n_offlang").cast("double") / col("n_lines").cast("double"))
+          .as("offlang_micro"))
+      .orderBy(col("url"))
+  }
+
+  /** DuckDB mirror of [[codeSwitchAudit]] — the same per-line hit counts
+    * and the same fixed argmax tie priority as [[langIdSql]].
+    */
+  def codeSwitchAuditSql(pagesGlob: String): String = {
+    val w = sqlWords("line")
+    val hitExpr = StopwordProfiles.map { case (l, sw) =>
+      val lst = sw.map(s => s"'$s'").mkString("[", ",", "]")
+      l -> s"len(list_filter($w, x -> list_contains($lst, x)))"
+    }
+    val hitCols = hitExpr.map { case (l, e) => s"CAST($e AS INT) AS hits_$l" }
+    val langs = hitExpr.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val conds = (s"hits_$l > 0" +: langs.drop(i + 1).map(l2 => s"hits_$l >= hits_$l2"))
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH ln AS (SELECT url, lang, unnest(string_split(text, chr(10))) AS line
+       |  FROM read_parquet('$pagesGlob', hive_partitioning=1)),
+       |ne AS (SELECT url, lang, line FROM ln WHERE length(line) > 0),
+       |h AS (SELECT url, lang, ${hitCols.mkString(", ")} FROM ne),
+       |p AS (SELECT url, lang, CASE $cases ELSE 'und' END AS line_lang FROM h),
+       |a AS (SELECT url, lang, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN line_lang <> lang AND line_lang <> 'und'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_offlang,
+       |    CAST(sum(CASE WHEN line_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+       |  FROM p GROUP BY url, lang)
+       |SELECT url, lang, n_lines, n_offlang, n_und,
+       |  ${sqlMicro("CAST(n_offlang AS DOUBLE) / CAST(n_lines AS DOUBLE)")} AS offlang_micro
+       |FROM a ORDER BY url""".stripMargin
+  }
 }

@@ -832,6 +832,16 @@ class PlanSpec extends AnyFunSuite {
       s"penalty max runs against the broadcast picked set:\n$p")
   }
 
+  test("t16 code switch: explode + native per-line kernel + one partial-agg fold") {
+    val p = plan("t16_code_switch")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"per-line langid is a projection, the rollup an agg:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the per-url fold needs map-side partials:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"line stats must be the native kernel, not an interpreted HOF:\n$p")
+  }
+
   test("g2 frontier: the ONLY window is the per-host slot, never global") {
     val p = plan("g2_frontier")
     val windows = "windowspecdefinition\\(".r.findAllIn(p).length

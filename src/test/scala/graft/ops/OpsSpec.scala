@@ -1745,4 +1745,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == List(1, 2, 3))
     assert(got.map(_._2).contains(2L) || got.map(_._2).contains(4L))
   }
+
+  test("codeSwitchAudit: per-line predictions roll up against a local replica") {
+    import spark.implicits._
+    val profiles = TextAnalysis.StopwordProfiles
+    def predict(line: String): String = {
+      val ws = line.split(" ").filter(_.nonEmpty)
+      val hits = profiles.map { case (l, sw) => l -> ws.count(sw.contains) }
+      hits.zipWithIndex.collectFirst {
+        case ((l, h), i) if h > 0 && hits.drop(i + 1).forall(h >= _._2) => l
+      }.getOrElse("und")
+    }
+    val deLine = profiles.find(_._1 == "de").get._2.take(6).mkString(" ")
+    val enLine = profiles.find(_._1 == "en").get._2.take(6).mkString(" ")
+    val lines = Seq(enLine, deLine, "xyzzy plugh", enLine)
+    val df = Seq(("https://a.example/1", lines.mkString("\n"), "en"))
+      .toDF("url", "text", "lang")
+    val r = TextAnalysis.codeSwitchAudit(df).collect()(0)
+    val preds = lines.map(predict)
+    val expOff = preds.count(p => p != "en" && p != "und").toLong
+    val expUnd = preds.count(_ == "und").toLong
+    assert(preds.contains("de"), s"fixture must contain a real off-lang line: $preds")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((4L, expOff, expUnd)),
+      s"got ${r.mkString(",")}, preds $preds")
+    assert(r.getLong(5) == math.floor(expOff.toDouble / 4.0 * 1e6).toLong)
+  }
 }
