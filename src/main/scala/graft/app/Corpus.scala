@@ -29,7 +29,10 @@ object Corpus {
   //     corpus carries a host link graph for x6/g1/g2. Anchor text is
   //     unchanged -> extracted text, goldens and the frozen digest are
   //     byte-identical to v7.
-  final val Version = "v8"
+  // v9: every fifth video is a one-byte-nudged near-duplicate of the
+  //     previous video (real positives for the m12 fingerprint join) —
+  //     pages/goldens unchanged from v8.
+  final val Version = "v9"
 
   def docsFor(sfDir: String): Int = {
     val base = new java.io.File(sfDir).getName

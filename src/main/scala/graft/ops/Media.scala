@@ -134,6 +134,19 @@ object Media {
         MediaRow(i, "audio", wavBytes(sr, samples),
           MediaMeta(0, 0, sr, n), new String(samples, "US-ASCII"))
       }
+    } else if ((i / 4) % 5 == 4 && i >= 19) {
+      // every fifth video is a NEAR-DUPLICATE of the previous video: same
+      // frames with one byte nudged — real positives for the m12
+      // fingerprint near-dup join, completing the planted-duplicate
+      // pattern across all three media kinds
+      val base = rowFor(i - 4)
+      val frames = base.payload.getBytes("US-ASCII")
+      frames(rng.nextInt(frames.length)) = ('a' + rng.nextInt(16)).toByte
+      MediaRow(i, "video",
+        gvidBytes(base.meta.width, base.meta.height, base.meta.sampleRate, frames),
+        MediaMeta(base.meta.width, base.meta.height, base.meta.sampleRate,
+          frames.length),
+        new String(frames, "US-ASCII"))
     } else {
       // video: GVID frames grouped into shots — each next frame is either
       // a one-byte nudge of the previous (same shot) or a fresh random
@@ -344,6 +357,50 @@ object Media {
         k += 1
       }
       (w, h, hi, lo)
+    }
+
+    /** Video fingerprint: the 8x8 block aHash of the TEMPORAL-SUM frame
+      * (per-pixel sums over all decoded frames — skipping the per-frame
+      * mean keeps the cross-multiplied block test exact with no flooring,
+      * and yields the identical bit pattern). Returns (hi, lo) 32-bit
+      * halves like the audio fingerprint.
+      */
+    def videoFp(b: Array[Byte]): (Long, Long) = {
+      val (fw, fh, nf, _) = gvidData(b)
+      val px = fw * fh
+      val ps = new Array[Long](px)
+      var f = 0
+      while (f < nf) {
+        val base = 12 + f * px
+        var j = 0
+        while (j < px) { ps(j) += (b(base + j) & 0xFF); j += 1 }
+        f += 1
+      }
+      val bs = new Array[Long](64)
+      val bc = new Array[Long](64)
+      var total = 0L
+      var row = 0
+      while (row < fh) {
+        val gy = row * 8 / fh
+        var c = 0
+        while (c < fw) {
+          val blk = gy * 8 + c * 8 / fw
+          val v = ps(row * fw + c)
+          bs(blk) += v; bc(blk) += 1; total += v
+          c += 1
+        }
+        row += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (bc(k) > 0 && bs(k) * px > total * bc(k)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      (hi, lo)
     }
 
     /** Block-average grayscale downsample of the decoded pixel grid to an
@@ -756,6 +813,83 @@ object Media {
   def audioPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
                  bucketCap: Int = 40): DataFrame =
     Dedup.bandedHammingPairs(audioBanded(media, bucketCap), maxHamming)
+
+  /** Video near-dup pairs (m12) — the third modality on the SAME banded
+    * join discipline: the fingerprint is the 8x8 block aHash of the
+    * TEMPORAL-SUM frame (per-pixel sums over all frames; skipping the
+    * per-frame mean keeps the block test `bs*px > total*bc` exact — the
+    * mean would divide every term by nf uniformly, so the sums give the
+    * identical bit pattern with no flooring), then the m5/m10 4x16-bit
+    * bands, capped buckets, no-self-join pair kernel.
+    */
+  def videoPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                 bucketCap: Int = 40): DataFrame =
+    Dedup.bandedHammingPairs(videoBanded(media, bucketCap), maxHamming)
+
+  private def videoBanded(media: Dataset[MediaRow], bucketCap: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val h = media.filter(_.kind == "video").mapPartitions(_.map { r =>
+      val (hi, lo) = MediaKernel.videoFp(r.media)
+      AudioFpRow(r.doc_id, hi, lo)
+    }).toDF()
+    val bandKeys =
+      (0 until 2).map(b => concat(lit(s"h$b:"),
+        shiftright(col("fp_hi"), 16 * b).bitwiseAND(lit(65535L)).cast("string"))) ++
+      (0 until 2).map(b => concat(lit(s"l$b:"),
+        shiftright(col("fp_lo"), 16 * b).bitwiseAND(lit(65535L)).cast("string")))
+    Dedup.capBuckets(
+      h.select(col("doc_id"), col("fp_hi").as("hi"), col("fp_lo").as("lo"),
+        explode(array(bandKeys: _*)).as("bkey")), bucketCap)
+  }
+
+  /** DuckDB mirror of [[videoPairs]]: the fingerprint recomputed from the
+    * write-side frame truth (per-pixel temporal sums, the engine's block
+    * geometry, the same cross-multiplied mean test), then the shared
+    * band / cap / join / bit_count chain.
+    */
+  def videoPairsSql(parquetGlob: String, maxHamming: Int = 3,
+                    bucketCap: Int = 40): String =
+    s"""WITH v AS (SELECT doc_id, payload, meta.width AS fw, meta.height AS fh,
+       |    meta.width * meta.height AS px,
+       |    length(payload) // (meta.width * meta.height) AS nf
+       |  FROM read_parquet('$parquetGlob') WHERE kind = 'video'),
+       |pxsum AS (SELECT doc_id, fw, fh, px,
+       |    list_transform(generate_series(0, px - 1), p ->
+       |      list_sum(list_transform(generate_series(0, nf - 1), f ->
+       |        ord(substring(payload, f * px + p + 1, 1))))) AS ps
+       |  FROM v),
+       |geo AS (SELECT doc_id, px, ps,
+       |    list_transform(generate_series(0, px - 1), p ->
+       |      ((p // fw) * 8 // fh) * 8 + ((p % fw) * 8 // fw)) AS bk,
+       |    list_sum(ps) AS total
+       |  FROM pxsum),
+       |kb AS (SELECT doc_id, k,
+       |    CASE WHEN
+       |      list_sum(list_transform(generate_series(1, px), j ->
+       |        CASE WHEN bk[j] = k THEN 1 ELSE 0 END)) > 0
+       |      AND list_sum(list_transform(generate_series(1, px), j ->
+       |        CASE WHEN bk[j] = k THEN ps[j] ELSE 0 END)) * px
+       |        > total * list_sum(list_transform(generate_series(1, px), j ->
+       |            CASE WHEN bk[j] = k THEN 1 ELSE 0 END))
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM (SELECT doc_id, px, ps, bk, total,
+       |      unnest(generate_series(0, 63)) AS k FROM geo)),
+       |ah AS (SELECT doc_id,
+       |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND k >= 32
+       |    THEN 1::BIGINT << (k - 32) END), 0) AS BIGINT) AS fp_hi,
+       |  CAST(COALESCE(sum(CASE WHEN bit = 1 AND k < 32
+       |    THEN 1::BIGINT << k END), 0) AS BIGINT) AS fp_lo
+       |  FROM kb GROUP BY doc_id),
+       |bands AS (SELECT doc_id, fp_hi, fp_lo,
+       |    unnest([$audioBandsSql]) AS bkey FROM ah),
+       |capped AS ${Dedup.sqlCapBuckets("bands", "doc_id, fp_hi, fp_lo", bucketCap)}
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+       |     + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+       |FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+       |    + bit_count(xor(a.fp_lo, b.fp_lo)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._

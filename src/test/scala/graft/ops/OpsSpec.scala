@@ -1770,4 +1770,19 @@ class OpsSpec extends AnyFunSuite {
       s"got ${r.mkString(",")}, preds $preds")
     assert(r.getLong(5) == math.floor(expOff.toDouble / 4.0 * 1e6).toLong)
   }
+
+  test("videoPairs: planted one-byte-nudged videos pair at small hamming") {
+    import spark.implicits._
+    val rows = (0L until 64L).map(Media.rowFor).filter(_.kind == "video")
+    val out = Media.videoPairs(rows.toDS()).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    // v9 fixture: videos at i=19,39,59 are one-byte nudges of i-4
+    Seq((15L, 19L), (35L, 39L), (55L, 59L)).foreach { case (a, b) =>
+      assert(pairs.contains((a, b)), s"planted pair ($a,$b) missing: ${out.toSeq}")
+    }
+    // a one-byte nudge moves one temporal-sum pixel by <= 15 units
+    out.filter(p => Set((15L, 19L), (35L, 39L), (55L, 59L)).contains((p._1, p._2)))
+      .foreach { p => assert(p._3 <= 3, s"planted pair too far: $p") }
+  }
 }
