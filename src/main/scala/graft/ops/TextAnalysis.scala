@@ -751,15 +751,23 @@ object TextAnalysis {
     * shape: a model artifact BROADCAST to every scorer, OOV terms at
     * weight 0 via the left join.
     *
-    * Scale shape: the only corpus-wide shuffle is the per-doc score sum
-    * (map-side partials); the vocab build is explode + partial-agg
-    * distinct; the scorer join is broadcast, never a corpus shuffle join
-    * (the t11 discipline, gate-pinned).
+    * Scale shape: the vocabulary is CAPPED to the top-`vocabCap` terms by
+    * corpus frequency (count desc, term asc — a TakeOrdered, not a global
+    * sort), exactly like a real fastText/DCLM model caps its feature
+    * space — so the broadcast is bounded BY CONSTRUCTION, not by hoping
+    * the corpus vocabulary stays small (an uncapped distinct-terms
+    * "model" would be unbroadcastable at 10^12 docs). The only
+    * corpus-wide shuffles are the tf count feeding the cap and the
+    * per-doc score sum (both map-side partial); the scorer join is
+    * broadcast, never a corpus shuffle join (the t11 discipline,
+    * gate-pinned).
     */
-  def classifierFilter(docs: DataFrame, thresholdMicro: Long = 5L): DataFrame = {
+  def classifierFilter(docs: DataFrame, thresholdMicro: Long = 5L,
+                       vocabCap: Int = 4096): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(filter(split(col("text"), " ", -1), w => w =!= "")).as("w"))
-    val vocab = words.select(col("w").as("term")).distinct()
+    val vocab = words.groupBy(col("w").as("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(vocabCap)
       .filter(h32(concat(col("term"), lit(":v"))) % 4 =!= 0)
       .select(col("term"),
         (h32(concat(col("term"), lit(":w"))) % 2001 - 1000).as("wt"))
@@ -780,13 +788,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** DuckDB mirror of [[classifierFilter]] — same constructed model, same
-    * integer margin rule.
+  /** DuckDB mirror of [[classifierFilter]] — same capped constructed
+    * model, same integer margin rule.
     */
-  def classifierFilterSql(table: String, thresholdMicro: Long = 5L): String =
+  def classifierFilterSql(table: String, thresholdMicro: Long = 5L,
+                          vocabCap: Int = 4096): String =
     s"""WITH w AS (SELECT doc_id, unnest(${sqlWords("text")}) AS w FROM $table),
+       |cap AS (SELECT w AS term FROM w GROUP BY w
+       |  ORDER BY count(*) DESC, w LIMIT $vocabCap),
        |vocab AS (SELECT term, ${sqlH32("term || ':w'")} % 2001 - 1000 AS wt
-       |  FROM (SELECT DISTINCT w AS term FROM w)
+       |  FROM cap
        |  WHERE ${sqlH32("term || ':v'")} % 4 <> 0),
        |sc AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |    CAST(sum(COALESCE(v.wt, 0)) AS BIGINT) AS total_w,
