@@ -842,6 +842,26 @@ class PlanSpec extends AnyFunSuite {
       s"line stats must be the native kernel, not an interpreted HOF:\n$p")
   }
 
+  test("x9/p18 compositions: operator-embedded orderBys collapse to ONE global sort") {
+    // the p8 discipline extended to the round-5 flagship chains: the
+    // composed stages each end in an oracle-determinism orderBy, and
+    // EliminateSorts must absorb every mid-chain one — only the final
+    // presentation sort may survive as a global Sort. (hostRank's and the
+    // mixture's sorts sit behind localCheckpoint/limit seams; what this
+    // pins is the declarative part of each chain.)
+    val sortArgs = "\\(\\d+\\) Sort[^\\n]*\\n(?:[^\\n]*\\n)?Arguments: ([^\\n]*)".r
+    Seq("x9_web_pipeline" -> "url", "p18_training_feed" -> "pos").foreach {
+      case (q, key) =>
+        val p = plan(q)
+        val globals = sortArgs.findAllMatchIn(p).map(_.group(1))
+          .filter(_.contains("], true, 0")).toList
+        assert(globals.length == 1,
+          s"$q: expected ONE global Sort, got ${globals.length}: $globals\n$p")
+        assert(globals.head.contains(key),
+          s"$q: the surviving sort must be the final $key order: ${globals.head}")
+    }
+  }
+
   test("g2 frontier: the ONLY window is the per-host slot, never global") {
     val p = plan("g2_frontier")
     val windows = "windowspecdefinition\\(".r.findAllIn(p).length
