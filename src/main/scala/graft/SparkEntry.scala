@@ -399,6 +399,10 @@ object SparkEntry {
       import s.implicits._
       Media.videoPairs(media(s, dir).as[Media.MediaRow])
     }),
+    "m13_video_components" -> ((s, dir) => {
+      import s.implicits._
+      Media.videoComponents(media(s, dir).as[Media.MediaRow])
+    }),
     // --- evaluation metrics (SURVEY.md §2 E-block) ---
     "e1_eval_metrics" -> ((s, dir) => {
       Corpus.ensure(s, dir)
@@ -749,6 +753,7 @@ object SparkEntry {
     "m10_audio_pairs" -> Media.audioPairsSql(M),
     "m11_audio_components" -> Media.audioComponentsSql(M),
     "m12_video_pairs" -> Media.videoPairsSql(M),
+    "m13_video_components" -> Media.videoComponentsSql(M),
     "e1_eval_metrics" -> EvalMetrics.perturbedEvalSql(G),
     "a1_json_scan" ->
       s"""SELECT CAST(tag AS INT) AS tag, CAST(count(*) AS BIGINT) AS n,

@@ -842,6 +842,44 @@ object Media {
         explode(array(bandKeys: _*)).as("bkey")), bucketCap)
   }
 
+  /** Video near-dup CLUSTERS — closing the pairs→clusters symmetry for
+    * every modality (text d6, embeddings s6, images m7, audio m11, video
+    * m13) on the one shared [[Dedup.componentsFrom]] propagation core;
+    * nodes are all video rows so no-dup clips stay singletons.
+    */
+  def videoComponents(media: Dataset[MediaRow], maxHamming: Int = 3,
+                      bucketCap: Int = 40, maxIters: Int = 20): DataFrame = {
+    val nodes = media.toDF().filter(col("kind") === "video").select(col("doc_id"))
+    val pairs = Dedup
+      .bandedHammingPairsUnordered(videoBanded(media, bucketCap), maxHamming)
+      .select(col("id_a"), col("id_b"))
+    Dedup.componentsFrom(nodes, pairs, maxIters)
+  }
+
+  /** DuckDB mirror of [[videoComponents]]: the m12 fingerprint chain, the
+    * same pair predicate, then recursive-CTE reachability with min-label
+    * per node (the d6/s6/m7/m11 oracle idiom).
+    */
+  def videoComponentsSql(parquetGlob: String, maxHamming: Int = 3,
+                         bucketCap: Int = 40): String = {
+    val pairsSql = videoPairsSql(parquetGlob, maxHamming, bucketCap)
+    // reuse the full pairs query as a nested subquery (WITH-in-subquery),
+    // keeping ONE definition of the fingerprint + band chain
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (
+       |$pairsSql
+       |)),
+       |vnodes AS (SELECT doc_id FROM read_parquet('$parquetGlob')
+       |  WHERE kind = 'video'),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM vnodes
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(lbl) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[videoPairs]]: the fingerprint recomputed from the
     * write-side frame truth (per-pixel temporal sums, the engine's block
     * geometry, the same cross-multiplied mean test), then the shared

@@ -1785,4 +1785,19 @@ class OpsSpec extends AnyFunSuite {
     out.filter(p => Set((15L, 19L), (35L, 39L), (55L, 59L)).contains((p._1, p._2)))
       .foreach { p => assert(p._3 <= 3, s"planted pair too far: $p") }
   }
+
+  test("videoComponents: every clip a node; every m12 edge inside one cluster") {
+    import spark.implicits._
+    val rows = (0L until 64L).map(Media.rowFor).filter(_.kind == "video")
+    val comp = Media.videoComponents(rows.toDS()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.keySet == rows.map(_.doc_id).toSet)
+    comp.foreach { case (id, c) => assert(c <= id) }
+    val pairs = Media.videoPairs(rows.toDS()).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "v9 fixture plants video near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+  }
 }
