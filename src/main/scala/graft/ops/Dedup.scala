@@ -525,39 +525,104 @@ object Dedup {
     // early-converge).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // materialized FIRST (eager localCheckpoint) so the (expensive)
+    // upstream pair pipeline runs exactly once — touched/edges/labels
+    // below all derive from the checkpointed RDD leaf. A plain persist()
+    // is NOT enough here: the cached Union plan fails to substitute under
+    // the derived edges/touched plans, silently re-running the pair
+    // pipeline (measured: round 1 cost equalled the full pipeline).
+    // localCheckpoint is also invisible to CacheManager's plan-keyed
+    // lookup, so no cross-invocation sharing can leak in.
+    val undirected = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    // r6: the fixpoint runs over EDGE-INCIDENT nodes only — every other
+    // node is a singleton by construction and re-attaches at the end via
+    // identity coalesce. On a near-dup graph the touched set is a small
+    // fraction of the corpus, so every per-round join/agg (and the
+    // convergence scan) shrinks from |corpus| to |touched| rows (guide
+    // §2.3: shuffle fewer bytes — don't iterate over rows whose answer is
+    // already known). Self-loops are folded into the edge table ONCE so
+    // the per-round "min over self and neighbors" is a single join+agg —
+    // no Union node inside the loop (unions over checkpointed leaves also
+    // trip Spark's constraint-propagation rewrite). Duplicate self-loops
+    // (one per incident edge) are deliberate: min-agg is insensitive to
+    // row multiplicity, so no distinct shuffle is paid to dedupe them.
+    val edges = undirected
+      .union(undirected.select(col("src"), col("src").as("dst")))
       .persist()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).persist()
-    var prevSum = labelSum(labels)
-    var converged = prevSum == null // empty node set: already at fixpoint
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      System.err.println(f"[cc] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      t0 = System.nanoTime()
+    }
+    var prevSum: java.math.BigDecimal = null
+    var labels: DataFrame = null
+    var converged = false
     var iters = 0
+    def prop(l: DataFrame): DataFrame =
+      // round 1 over identity labels needs no join at all: the neighbor
+      // label IS the neighbor id, so min-over-neighbors = min(dst)
+      if (l == null) edges
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("component"))
+        .withColumnRenamed("src", "doc_id")
+      else edges
+        .join(l.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("component"))
+        .withColumnRenamed("src", "doc_id")
+    val hops = 2     // propagation hops per convergence cycle
+    val jumpFrom = 3 // cycle from which the pointer-jump shortcut engages
     while (!converged) {
       iters += 1
       require(iters <= maxIters, s"componentsFrom did not converge in $maxIters rounds")
-      val nbr = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("component"))
-      val merged = labels.select(col("doc_id"), col("component"))
-        .union(nbr)
-        .groupBy(col("doc_id"))
-        .agg(min(col("component")).as("component"))
-      // each round's logical plan nests one join+agg on the previous
-      // round's frame; persist bounds recomputation but not plan depth —
+      // MULTIPLE propagation hops per convergence cycle: the per-cycle
+      // fixed costs (job launch, materialization, the O(1) convergence
+      // scan) are what dominate on the small touched frame, so halving
+      // the cycle count beats minimizing per-cycle work; labels are
+      // monotone non-increasing, so the sum test stays exact (unchanged
+      // sum ⟺ no hop moved) and the only waste is ≤ hops-1 idle hops at
+      // the fixpoint.
+      val propagated = (1 until hops).foldLeft(prop(labels))((l, _) => prop(l))
+      // pointer-jumping shortcut: follow each node's label to ITS label
+      // (component values are always node ids, so the inner self-join is
+      // total). Propagation alone needs diameter hops; adding the jump
+      // squares the reach per cycle, so convergence is O(log diameter).
+      // Near-dup graphs are unions of band-bucket CLIQUES and converge in
+      // 1-2 cycles, so the extra self-join is pure overhead there — it
+      // kicks in late, as insurance for genuinely high-diameter graphs.
+      val merged =
+        if (iters < jumpFrom) propagated
+        else propagated.as("m")
+          .join(propagated.select(col("doc_id").as("p_id"),
+            col("component").as("p_lbl")).as("p"),
+            col("m.component") === col("p_id"))
+          .select(col("m.doc_id").as("doc_id"), col("p_lbl").as("component"))
+      // each round's logical plan nests joins+agg on the previous round's
+      // frame; persist bounds recomputation but not plan depth —
       // on high-diameter graphs the accumulated lineage makes analysis and
       // scheduling cost grow per round. localCheckpoint every few rounds
       // cuts the plan back to a leaf (the standard fixpoint-loop idiom).
       val next =
-        if (iters % 5 == 0) merged.localCheckpoint()
+        if (iters % 3 == 0) merged.localCheckpoint()
         else merged.persist()
       val s = labelSum(next)
-      labels.unpersist()
+      lap(s"round $iters")
+      if (labels != null) labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
     }
+    if (dbg)
+      System.err.println(s"[componentsFrom] converged in $iters rounds")
     edges.unpersist()
-    labels.orderBy("doc_id")
+    // re-attach the untouched singleton mass: identity components
+    val out = nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("component", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+    out.orderBy("doc_id")
   }
 
   def dedupComponentsSql(table: String, k: Int = 8, n: Int = 4,

@@ -542,64 +542,115 @@ object Similarity {
     kmeansAssign(emb, k, rounds).orderBy("vec_id")
 
   def kmeansAssign(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame =
-    assignQd(microQd(emb), kmeansCents(emb, k, rounds))
-      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_mic2"))
+    kmeansAssignWith(kmeansCentroids(emb, k, rounds), emb)
 
   /** The (vec_id, q, sq) micro-int frame every k-means stage consumes. */
   private def microQd(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
       .withColumn("sq", dot(col("q"), col("q")))
 
-  private def withSc(cents: DataFrame): DataFrame =
-    cents.withColumn("sc", dot(col("c"), col("c")))
-
-  /** Exact integer distance from every vector of `qd` to every centroid —
-    * the shared leg under both the Lloyd argmin and the PQ/ADC lookup
-    * tables. Centroids broadcast; the corpus side never shuffles.
+  /** Sequential-fold self dot product on the driver — the SAME
+    * left-to-right double accumulation as [[graft.functions.DotExpression]]
+    * (and the DuckDB list_reduce mirror), so a centroid norm computed here
+    * is bit-identical to the one the old distributed `dot(c, c)` produced.
     */
-  private def distAll(qd: DataFrame, cents: DataFrame): DataFrame =
-    qd.crossJoin(broadcast(withSc(cents)))
-      .withColumn("dist",
-        col("sq") + col("sc") - lit(2.0) * dot(col("q"), col("c")))
+  private def selfDot(c: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
 
-  // one Lloyd assignment: winner centroid per vector (argmin dist, ties
-  // to the smaller cid; q rides in the struct — (dist, cid) is already
-  // unique per vec_id, so it never participates in the comparison).
-  private def assignQd(qd: DataFrame, cents: DataFrame): DataFrame =
-    distAll(qd, cents)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"), col("q"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"),
-        col("m.dist").as("dist"), col("m.q").as("q"))
-
-  /** The trained centroid frame (cid, c) after `rounds` Lloyd rounds —
-    * exposed from [[kmeansAssign]] so PQ codebook training ([[pqTopK]])
-    * reuses the exact trainer instead of a near-copy.
+  /** Row-local Lloyd argmin over a DRIVER-SIDE centroid model: one
+    * struct (dist, cid) per centroid, array_min picks the winner with the
+    * SAME (dist, then cid) tie order as the former
+    * `min(struct(dist, cid, q))` hash aggregate. dist is the 3-dot
+    * identity `sq + c.c - 2 q.c` with the centroid self-dot folded on the
+    * driver ([[selfDot]]) and the q.c dot the native codegen fold — every
+    * term bit-identical to the former broadcast-join form, but the
+    * assignment is now a pure projection: NO join and NO corpus shuffle
+    * anywhere in the assignment path (guide §2.4 — the former
+    * `groupBy(vec_id).agg(min(struct(...)))` argmin shuffled the entire
+    * corpus once per Lloyd round).
     */
-  private[ops] def kmeansCents(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private def argminStruct(cents: Seq[(Int, Array[Double])],
+      q: Column, sq: Column): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct((sq + lit(selfDot(c)) - lit(2.0) * dot(q, typedlit(c.toSeq)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Assignment over an explicit centroid model: map-only projection. */
+  private def kmeansAssignWith(cents: Seq[(Int, Array[Double])],
+      emb: DataFrame): DataFrame =
+    if (cents.isEmpty)
+      microQd(emb).filter(lit(false)).select(col("vec_id"),
+        lit(0).cast("int").as("cid"), lit(0L).as("dist_mic2"))
+    else
+      microQd(emb)
+        .withColumn("m", argminStruct(cents, col("q"), col("sq")))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist").cast("long").as("dist_mic2"))
+
+  /** The trained centroid model after `rounds` Lloyd rounds, held on the
+    * DRIVER as k bounded (cid, components) rows — the MLlib shape: a
+    * k-means model is O(k·Dim) regardless of corpus size, so collecting it
+    * is a constant-size transfer (exactly like the broadcast the former
+    * DataFrame form shipped every round), while freeing every round from
+    * distributed joins, window init, posexplode and localCheckpoint jobs.
+    *
+    * Per round the corpus is touched by ONE map-only pass: row-local
+    * argmin ([[argminStruct]]) feeding a hash agg keyed on cid with
+    * map-side partials — `count + Dim long sums` per cluster — whose ≤ k
+    * result rows come back to the driver; the floored-mean centroid update
+    * (`(s - pmod(s, n)) div n`, exact long arithmetic) runs on those k
+    * rows. Empty clusters keep their previous centroid, as before. The
+    * former per-round shape was: corpus crossJoin broadcast + full-corpus
+    * argmin shuffle on vec_id + 64× posexplode + (cid, d) shuffle +
+    * collect_list + join + localCheckpoint. Values are bit-identical
+    * (integer micro units end to end); only the plan changed, so the
+    * frozen DuckDB mirrors still match.
+    *
+    * Deterministic init unchanged: the k vectors with the smallest
+    * h32(vec_id ':km') priority (TakeOrdered), renumbered 1..k.
+    */
+  private[ops] def kmeansCentroids(emb: DataFrame, k: Int,
+      rounds: Int): Seq[(Int, Array[Double])] = {
     val qd = microQd(emb)
     val init = qd
       .withColumn("pri", h32(concat(col("vec_id").cast("string"), lit(":km"))))
-      .orderBy(col("pri"), col("vec_id"))
-      .limit(k)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("pri"), col("vec_id"))))
-      .select(col("cid"), col("q").as("c"))
-    var cents = init.localCheckpoint()
+      .select(col("pri"), col("vec_id"), col("q"))
+      .orderBy(col("pri"), col("vec_id")).limit(k)
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+    var cents: Seq[(Int, Array[Double])] = init.zipWithIndex.map {
+      case (r, i) => (i + 1, r.getSeq[Double](2).toArray)
+    }.toSeq
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
     var r = 0
     while (r < rounds) {
-      val upd = assignQd(qd, cents)
-        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cd", expr("cast((s - pmod(s, n)) div n as double)"))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (0 until dim).map(d =>
+          sum(element_at(col("q"), d + 1).cast("long")).as(s"s$d"))
+      val upd = qd
+        .select(argminStruct(cents, col("q"), col("sq"))
+          .getField("cid").as("cid"), col("q"))
         .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("d"), col("cd")))).as("pc"))
-        .select(col("cid"), col("pc.cd").as("c_new"))
-      cents = cents
-        .join(upd, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("c_new"), col("c")).as("c"))
-        .localCheckpoint()
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val byCid = upd.map { row =>
+        val n = row.getLong(1)
+        val c = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          val s = row.getLong(2 + d)
+          val m = ((s % n) + n) % n // pmod
+          c(d) = (s - m) / n        // exact multiple: long division is exact
+          d += 1
+        }
+        row.getInt(0) -> c
+      }.toMap
+      cents = cents.map { case (cid, c) => (cid, byCid.getOrElse(cid, c)) }
       r += 1
     }
     cents
@@ -672,8 +723,16 @@ object Similarity {
     */
   def trainedIvfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 3,
       kCentroids: Int = 4, rounds: Int = 2): DataFrame = {
-    val asg = kmeansAssign(emb, kCentroids, rounds).select(col("vec_id"), col("cid"))
-    val e = withNorm(emb).join(asg, "vec_id")
+    // cell membership from the driver-side trained model: row-local argmin
+    // replaces the former vec_id equi-join against the assignment frame —
+    // one full corpus shuffle removed from the search path
+    val cents = kmeansCentroids(emb, kCentroids, rounds)
+    val e = withNorm(emb)
+      .withColumn("q", expr("graft_micro_vec(embedding)"))
+      .withColumn("sq", dot(col("q"), col("q")))
+      .withColumn("cid",
+        argminStruct(cents, col("q"), col("sq")).getField("cid"))
+      .drop("q", "sq")
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cid").as("q_cid"), col("nrm").as("q_nrm")))
@@ -732,26 +791,66 @@ object Similarity {
              nQueries: Int = 8, k: Int = 3): DataFrame = {
     require(Dim % mSub == 0, "subspaces must tile the dimension")
     val subDim = Dim / mSub
-    val parts = (0 until mSub).map { s =>
-      val sub = emb.select(col("vec_id"),
-        expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding"))
-      val qd = microQd(sub)
-      val cents = kmeansCents(sub, kCodes, rounds)
-      val codes = assignQd(qd, cents).select(col("vec_id"), col("cid").as(s"c$s"))
-      val dtab = distAll(qd.filter(col("vec_id") < nQueries), cents)
-        .select(col("vec_id").as("q_id"), col("cid").as(s"c$s"),
-          col("dist").as(s"d$s"))
-      (codes, dtab)
+    // per-subspace codebooks from the shared driver-side trainer (micro
+    // quantization commutes with slicing, so training on sliced embeddings
+    // equals slicing the quantized vector)
+    val subCents: IndexedSeq[Seq[(Int, Array[Double])]] = (0 until mSub).map { s =>
+      kmeansCentroids(emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding")),
+        kCodes, rounds)
     }
-    val codesWide = parts.map(_._1).reduce((a, b) => a.join(b, "vec_id"))
-    var wide = codesWide
-    parts.zipWithIndex.foreach { case ((_, dtab), s) =>
-      wide = wide.join(broadcast(dtab),
-        if (s == 0) Seq(s"c$s") else Seq(s"c$s", "q_id"))
+    // ADC lookup tables computed on the DRIVER from the collected query
+    // micro-vectors (nQueries bounded): dist = q.q + c.c - 2 q.c with the
+    // same sequential double folds as the former distributed distAll —
+    // exact integers, bit-identical values. The former shape was mSub
+    // assignment joins (codesWide) + mSub broadcast hash joins (dtabs);
+    // now codes AND distances are ONE map-only projection over the corpus
+    // (guide §3: the search path touches the corpus once, shuffle-free).
+    def subSelfDot(q: Array[Double], lo: Int, hi: Int): Double = {
+      var acc = 0.0; var i = lo
+      while (i < hi) { acc += q(i) * q(i); i += 1 }
+      acc
     }
-    val adist = (0 until mSub).map(s => col(s"d$s")).reduce(_ + _).cast("long")
-    val scored = wide.select(col("q_id"), col("vec_id").as("n_id"),
-      adist.as("adist"))
+    def subCross(q: Array[Double], lo: Int, c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += q(lo + i) * c(i); i += 1 }
+      acc
+    }
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
+      .collect().sortBy(_.getLong(0))
+    val qDists: Seq[(Long, IndexedSeq[Map[Int, Double]])] = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val tabs = (0 until mSub).map { s =>
+        val lo = s * subDim
+        val sqs = subSelfDot(qv, lo, lo + subDim)
+        subCents(s).map { case (cid, c) =>
+          cid -> (sqs + selfDot(c) - 2.0 * subCross(qv, lo, c))
+        }.toMap
+      }
+      (r.getLong(0), tabs)
+    }
+    // one pass: per-subspace row-local code argmin, then per query the
+    // exact ADC sum d0 + d1 + ... (same left-to-right order as the former
+    // column sum) via map-literal lookups
+    val base = emb.select(col("vec_id").as("n_id"),
+      expr("graft_micro_vec(embedding)").as("q"))
+    val withCodes = (0 until mSub).foldLeft(base) { (df, s) =>
+      val qs = slice(col("q"), s * subDim + 1, subDim)
+      df.withColumn(s"qs$s", qs)
+        .withColumn(s"c$s",
+          argminStruct(subCents(s), col(s"qs$s"),
+            dot(col(s"qs$s"), col(s"qs$s"))).getField("cid"))
+    }
+    val perQuery = qDists.map { case (qid, tabs) =>
+      val adist = (0 until mSub)
+        .map(s => element_at(typedlit(tabs(s)), col(s"c$s")))
+        .reduce(_ + _)
+      struct(lit(qid).as("q_id"), adist.cast("long").as("adist"))
+    }
+    val scored = withCodes
+      .select(col("n_id"), explode(array(perQuery: _*)).as("qa"))
+      .select(col("qa.q_id").as("q_id"), col("n_id"), col("qa.adist").as("adist"))
     val nSub = 16
     val wSub = Window.partitionBy(col("q_id"), pmod(col("n_id"), lit(nSub)))
       .orderBy(col("adist"), col("n_id"))
@@ -831,8 +930,19 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, kCentroids: Int = 4, rounds: Int = 2,
                thresh: Double = 0.3, cellCap: Int = 10000): DataFrame = {
-    val asg = kmeansAssign(emb, kCentroids, rounds)
-    val e = withNorm(emb).join(asg.select(col("vec_id"), col("cid")), "vec_id")
+    // one driver-side trained model serves BOTH consumers: the row-local
+    // assignment frame (vec_id, cid, dist_mic2) for the keep rule, and the
+    // row-local cid column on the pair path — the former form re-ran the
+    // whole distributed Lloyd trainer for each consumer and paid a vec_id
+    // equi-join to attach cells
+    val cents = kmeansCentroids(emb, kCentroids, rounds)
+    val asg = kmeansAssignWith(cents, emb)
+    val e = withNorm(emb)
+      .withColumn("q", expr("graft_micro_vec(embedding)"))
+      .withColumn("sq", dot(col("q"), col("q")))
+      .withColumn("cid",
+        argminStruct(cents, col("q"), col("sq")).getField("cid"))
+      .drop("q", "sq")
     val sizes = broadcast(e.groupBy(col("cid")).agg(count(lit(1)).as("cell_n")))
     val keyed = e.join(sizes, "cid")
       .withColumn("jk",

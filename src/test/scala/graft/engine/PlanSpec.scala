@@ -56,15 +56,16 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$p")
   }
 
-  test("s7: kmeans centroids broadcast under the assignment join; argmin is a hash agg") {
+  test("s7: kmeans assignment is a map-only projection over driver-side centroids") {
     val p = plan("s7_kmeans")
-    // the corpus side must never shuffle for the centroid join: the tiny
-    // (k x Dim) centroid frame broadcasts under a nested-loop join
-    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"never a partitioned cross product:\n$p")
-    // argmin = min(struct(dist, cid, q)) hash agg with map-side partials
-    assert(p.contains("partial_min") || p.contains("HashAggregate"),
-      s"argmin must aggregate, not window:\n$p")
+    // r6: centroids are a bounded driver-side model (the MLlib shape), so
+    // the final assignment plan must contain NO join and NO corpus shuffle
+    // at all — row-local argmin (array_min over per-centroid dist structs)
+    // plus the single determinism sort
+    assert(!p.contains("Join"), s"assignment must be join-free:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"no corpus shuffle in the assignment path:\n$p")
+    assert(p.contains("array_min"), s"row-local argmin expected:\n$p")
     assert(!p.contains("lambdafunction"),
       s"quantization is the native graft_micro_vec, not an interpreted HOF:\n$p")
   }
@@ -462,7 +463,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("p8 composed prep: no window over a content hash anywhere in the chain") {
-    val p = plan("p8_end_to_end")
+    // r6: the production path checkpoints the sampled survivors (so the
+    // sizing count and packing share one materialization); the gate runs
+    // on the UNMATERIALIZED chain so every upstream stage stays visible
+    Corpus.ensure(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Prep.endToEnd(docs,
+      Seq("en" -> 0.75, "zh" -> 0.2, "de" -> 0.5, "fr" -> 0.05),
+      defaultRate = 0.35, capPerSource = 15, materialize = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // every window in the composition must be a capped/group-limited or
     // per-shard construction — the content-hash stages are agg+join
     assert(!p.contains("windowspecdefinition(th"), s"exact-dedup stage must stay agg+join:\n$p")
@@ -583,10 +592,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"typed kernel, not an interpreted UDF:\n$p")
   }
 
-  test("s10 pq/adc: lookup tables broadcast into the scan; top-k is the staged group-limit") {
+  test("s10 pq/adc: codes + ADC sums are one join-free scan; top-k is the staged group-limit") {
     val p = plan("s10_pq_adc")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the ADC distance tables must broadcast (map-only search scan):\n$p")
+    // r6: the ADC lookup tables are map LITERALS from the driver-side
+    // codebooks (bounded nQueries x mSub x kCodes), so the whole scoring
+    // scan — sub-vector codes AND per-query distance sums — is a single
+    // join-free projection; only the staged top-k shuffles
+    assert(!p.contains("Join"), s"scoring scan must be join-free:\n$p")
+    assert(p.contains("array_min"), s"row-local code argmin expected:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-(query, sub-bucket) rank must stage the top-k:\n$p")
     assert(!p.contains("ScalaUDF"), s"no interpreted UDFs in the PQ path:\n$p")
@@ -815,7 +828,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("p18 training feed: prefix sum is bucket-partitioned; offsets broadcast") {
-    val p = plan("p18_training_feed")
+    // r6: production path checkpoints fed/seq0; gate the unmaterialized
+    // chain so the mixture semi-join stays visible (see the p8 gate)
+    Corpus.ensure(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = graft.ops.Prep.trainingFeed(docs, materialize = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("windowspecdefinition(pb#"),
       s"the corpus-sized running sum must partition by prefix bucket:\n$p")
     assert(p.contains("BroadcastHashJoin"),

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dump `.explain("formatted")` for a list of SparkEntry queries to files.
+  * Usage: Test/runMain graft.tools.PlanDump <outDir> <suffix> <q1> <q2> ...
+  * (suffix is e.g. "before" / "after"; writes <outDir>/<q>_<suffix>.txt)
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("plan-dump")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.app.Corpus.ensure(spark, sfDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"wrote $n")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"$n failed: $e")
+      }
+    }
+    spark.stop()
+  }
+}
