@@ -95,11 +95,16 @@ object SparkEntry {
       // and missing rest, and land byte-identical to the full extraction
       // (the golden oracle, same as x1)
       val p = pages(s, dir)
+      // prev simulates a STORED prior run, so it is materialized once
+      // (localCheckpoint) exactly as a real run would read it from the
+      // lake — the lazy form re-ran the 80% extraction for BOTH the
+      // anti-join (changed/missing) and semi-join (reuse) legs
       val prev = Pipeline
         .extractWithDigest(p.filter(pmod(xxhash64(col("url")), lit(5)) =!= 0))
         .withColumn("html_x64",
           when(pmod(xxhash64(col("url")), lit(7)) === 0, col("html_x64") + 1)
             .otherwise(col("html_x64")))
+        .localCheckpoint()
       Pipeline.extractIncremental(p, prev)
         .select(col("url"), col("text"), col("nTokens"), col("nLines"), col("nKv"))
         .orderBy(col("url"))

@@ -32,6 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => FingerprintExpression(children.head)
     ))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5bin"),
+      new ExpressionInfo(classOf[Md5BinExpression].getName, "graft_md5bin"),
+      (children: Seq[Expression]) => Md5BinExpression(children.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_h32"),
+      new ExpressionInfo(classOf[H32Expression].getName, "graft_h32"),
+      (children: Seq[Expression]) => H32Expression(children.head)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpression].getName, "graft_dot"),
       (children: Seq[Expression]) => DotExpression(children(0), children(1))

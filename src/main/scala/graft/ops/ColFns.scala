@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object ColFns {
 
-  /** Cross-engine 32-bit hash in [0, 2^32): first 8 hex chars of md5. */
-  def h32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+  /** Cross-engine 32-bit hash in [0, 2^32): first 8 hex chars of md5 —
+    * since r6 the native codegen [[graft.functions.H32Expression]]
+    * (bit-identical to the former `conv(substring(md5(s),1,8),16,10)`
+    * column form, minus the hex-string round trip per call; requires
+    * GraftExtensions on the session, which every entry point registers).
+    */
+  def h32(s: Column): Column = call_function("graft_h32", s)
 
   /** Sequential-fold double dot product of two float/double vectors —
     * the native codegen'd [[graft.functions.DotExpression]] (identical

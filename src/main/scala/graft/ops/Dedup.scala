@@ -45,7 +45,7 @@ object Dedup {
     * (the [[Prep.funnel]] lesson applied here).
     */
   def exact(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), unhex(md5(col("text"))).as("th"))
+    val hashed = docs.select(col("doc_id"), call_function("graft_md5bin", col("text")).as("th"))
     // distinct name on the agg side: a self-derived hashed("th") vs
     // firsts("th") predicate only resolves through dataset-id metadata
     // (and warns); the rename makes the null-safe key pair unambiguous
@@ -947,7 +947,7 @@ object Dedup {
     */
   private def dfCappedCandidates(docs: DataFrame, n: Int, dfMax: Int): DataFrame = {
     val ex = shingleRows(docs, n, distinct = true)
-      .select(col("doc_id"), unhex(md5(col("s"))).as("sh"))
+      .select(col("doc_id"), call_function("graft_md5bin", col("s")).as("sh"))
     val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfMax)
       .select(col("sh"))
@@ -1062,7 +1062,7 @@ object Dedup {
         else (0 to w.length - n).iterator.map(p => (id, p, w.slice(p, p + n).mkString(" ")))
       }
       .toDF("doc_id", "pos", "s")
-      .select(col("doc_id"), col("pos"), unhex(md5(col("s"))).as("sh"))
+      .select(col("doc_id"), col("pos"), call_function("graft_md5bin", col("s")).as("sh"))
     val dup = pos.groupBy(col("sh")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
     val flagged = pos.join(dup, "sh").select(col("doc_id"), col("pos"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1217,7 +1217,7 @@ object Dedup {
     // scale a "line" is a whole paragraph, and shuffling the text twice
     // (agg + join) would dominate; md5 collisions are the usual 2^-64
     // content-dedup risk
-    val hashed = lines.withColumn("lh", unhex(md5(col("line"))))
+    val hashed = lines.withColumn("lh", call_function("graft_md5bin", col("line")))
     val firsts = hashed
       .groupBy(col("lh")).agg(min(col("occ")).as("first_occ"))
     hashed.join(firsts, "lh")

@@ -33,7 +33,7 @@ object Prep {
     // (a failed-gate copy must not shadow its passing duplicates — if the
     // min-id copy fails lang/quality, the next passing copy survives).
     val base = docs
-      .select(col("doc_id"), col("lang"), unhex(md5(col("text"))).as("text_h"),
+      .select(col("doc_id"), col("lang"), call_function("graft_md5bin", col("text")).as("text_h"),
         TextAnalysis.statsCol(col("text")).as("st"))
       .select(col("doc_id"), col("lang"), col("text_h"),
         col("st").getField("n_words").as("n_words"),

@@ -595,9 +595,17 @@ object TextAnalysis {
           (a, b) => concat(a, lit(" "), b)))
         .otherwise(array().cast("array<string>"))
     }
+    // r6: each round's rewrite is materialized (localCheckpoint) before
+    // the next round's bigram count reads it. The former fully-lazy chain
+    // re-executed round r-1's rewrite once for round r's count and again
+    // for round r's rewrite — O(rounds²) corpus passes through the
+    // interpreted zip_with bigram lambda; now each round is exactly one
+    // count pass + one rewrite pass. No driver collect anywhere: the
+    // 1-row winner still rides as a broadcast join.
     var cur = docs.select(col("doc_id"), col("text").as("t"),
       size(wordsOf(col("text"))).cast("long").as("n0"))
-    for (_ <- 1 to rounds) {
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
       val best = cur.select(explode(bigramsOf(col("t"))).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= minCount)
@@ -612,6 +620,10 @@ object TextAnalysis {
               concat(lit(" "), col("m"), lit(" ")))).as("pt"))
         .select(col("doc_id"), col("n0"),
           expr("substring(pt, 2, length(pt)-2)").as("t"))
+      // the LAST round stays lazy: it has a single consumer (the final
+      // projection), and keeping it in the plan preserves the
+      // winner-broadcast/TakeOrdered shape the plan gate asserts
+      if (r < rounds) cur = cur.localCheckpoint()
     }
     cur.select(col("doc_id"), col("t").as("text"),
       (col("n0") - size(wordsOf(col("t"))).cast("long")).as("n_merged"))
