@@ -533,8 +533,14 @@ object Dedup {
     // pipeline (measured: round 1 cost equalled the full pipeline).
     // localCheckpoint is also invisible to CacheManager's plan-keyed
     // lookup, so no cross-invocation sharing can leak in.
-    val undirected = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions come out of ONE explode pass (a self-union would
+    // execute the pair pipeline once per branch unless exchange reuse
+    // happens to fire)
+    val undirected = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // r6: the fixpoint runs over EDGE-INCIDENT nodes only — every other
     // node is a singleton by construction and re-attaches at the end via

@@ -794,10 +794,20 @@ object Similarity {
     // per-subspace codebooks from the shared driver-side trainer (micro
     // quantization commutes with slicing, so training on sliced embeddings
     // equals slicing the quantized vector)
-    val subCents: IndexedSeq[Seq[(Int, Array[Double])]] = (0 until mSub).map { s =>
-      kmeansCentroids(emb.select(col("vec_id"),
-        expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding")),
-        kCodes, rounds)
+    // the mSub trainers are independent job chains; run them concurrently
+    // from a small driver pool (guide §2.6 — overlap independent jobs so
+    // each trainer's tiny collect jobs back-fill the others' idle slots)
+    val subCents: IndexedSeq[Seq[(Int, Array[Double])]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(mSub)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence((0 until mSub).map { s =>
+        Future(kmeansCentroids(emb.select(col("vec_id"),
+          expr(s"slice(embedding, ${s * subDim + 1}, $subDim)").as("embedding")),
+          kCodes, rounds))
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
     // ADC lookup tables computed on the DRIVER from the collected query
     // micro-vectors (nQueries bounded): dist = q.q + c.c - 2 q.c with the
