@@ -727,6 +727,9 @@ object Similarity {
     // replaces the former vec_id equi-join against the assignment frame —
     // one full corpus shuffle removed from the search path
     val cents = kmeansCentroids(emb, kCentroids, rounds)
+    if (cents.isEmpty) // empty corpus: nothing to search (former empty join)
+      return emb.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(1).as("rank"), lit(0L).as("cos_micro")).filter(lit(false))
     val e = withNorm(emb)
       .withColumn("q", expr("graft_micro_vec(embedding)"))
       .withColumn("sq", dot(col("q"), col("q")))
@@ -829,6 +832,10 @@ object Similarity {
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), expr("graft_micro_vec(embedding)").as("q"))
       .collect().sortBy(_.getLong(0))
+    if (subCents.exists(_.isEmpty) || qRows.isEmpty)
+      // empty corpus / no queries: empty result (former empty joins)
+      return emb.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(1).as("rank"), lit(0L).as("adist")).filter(lit(false))
     val qDists: Seq[(Long, IndexedSeq[Map[Int, Double]])] = qRows.toSeq.map { r =>
       val qv = r.getSeq[Double](1).toArray
       val tabs = (0 until mSub).map { s =>
@@ -946,6 +953,11 @@ object Similarity {
     // whole distributed Lloyd trainer for each consumer and paid a vec_id
     // equi-join to attach cells
     val cents = kmeansCentroids(emb, kCentroids, rounds)
+    if (cents.isEmpty) // empty corpus: empty result (former empty join)
+      return kmeansAssignWith(cents, emb)
+        .withColumn("component", col("vec_id"))
+        .select(col("vec_id"), col("cid"), col("component"),
+          col("dist_mic2"), lit(1).cast("int").as("kept"))
     val asg = kmeansAssignWith(cents, emb)
     val e = withNorm(emb)
       .withColumn("q", expr("graft_micro_vec(embedding)"))

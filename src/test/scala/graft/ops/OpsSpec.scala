@@ -523,6 +523,19 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.size < uncapped.size, "skewed cell must actually shrink")
   }
 
+  test("kmeans family: empty input yields empty results with the declared schemas") {
+    // r6: centroids are a driver-side model — an empty corpus must degrade
+    // to empty frames (as the former empty joins did), never an analysis
+    // error from a zero-centroid argmin
+    val empty = embDf()
+    assert(Similarity.kmeans(empty).collect().isEmpty)
+    assert(Similarity.trainedIvfTopK(empty).collect().isEmpty)
+    assert(Similarity.semDedup(empty).collect().isEmpty)
+    assert(Similarity.pqTopK(empty).collect().isEmpty)
+    assert(Similarity.semDedup(empty).columns.toSeq ===
+      Seq("vec_id", "cid", "component", "dist_mic2", "kept"))
+  }
+
   test("kmeans: two tight groups separate; members assign to their own centroid") {
     // two clusters in micro-exact range (|x| <= 2): group A near +0.1*e_i
     // pattern, group B near -0.1 — far apart relative to within-group jitter
