@@ -130,7 +130,22 @@ object Corpus {
       // reference's per-language dataset split, rfund.py:78-90): a lang
       // predicate prunes whole directories at planning time — gated by
       // PlanSpec's PartitionFilters test.
-      pages.write.mode("overwrite").partitionBy("lang").parquet(pagesPath(sfDir))
+      //
+      // File sizing (optimization guide §6 — "small files hurt twice"): the
+      // naive write (defaultParallelism tasks x 8 langs) produced ~257 files
+      // of ~120 KB at sf0.1; every pages-backed query re-paid the listing +
+      // per-file footer reads on each scan (x9 reads pages three times). A
+      // range-partition on (lang, salt) with 4 deterministic salts per lang
+      // yields exactly one file per (lang, salt) — 32 files, which both cuts
+      // the per-scan open overhead 8x and keeps the scan splittable into
+      // defaultParallelism tasks (Spark's bytesPerCore sizing: 32 files of
+      // ~1 MB still plan as 32 splits at the bench's 128m maxPartitionBytes).
+      // The salt is content-derived (xxhash64 of the url), not rand() —
+      // deterministic under task retry (guide §2.5).
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      pages
+        .repartitionByRange(32, col("lang"), pmod(xxhash64(col("url")), lit(4)))
+        .write.mode("overwrite").partitionBy("lang").parquet(pagesPath(sfDir))
     }
     if (!exists(goldenPath(sfDir))) {
       spark.range(0, n.toLong, 1, spark.sparkContext.defaultParallelism)
