@@ -336,7 +336,13 @@ object Dedup {
         h32(concat(col("doc_id").cast("string"), lit(":aud"))).as("pri"))
       .orderBy(col("pri"), col("doc_id")).limit(auditN)
       .select(col("doc_id"), col("text"))
-    val sets = shingleSets(audit, n)
+    // The TakeOrdered limit lands all auditN rows in ONE partition, which
+    // would run the O(auditN^2) truth join below on a single task (measured:
+    // a 1.2 s single-task stage at auditN=256). The audit set is a bounded
+    // sample, but its all-pairs work is the expensive constant — spread it
+    // across the cluster with a tiny deterministic hash repartition (256
+    // rows through one exchange buys full parallelism on the pair stage).
+    val sets = shingleSets(audit.repartition(col("doc_id")), n)
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sha"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("shb"))
     val truth = a.join(broadcast(b), col("id_a") < col("id_b"))
