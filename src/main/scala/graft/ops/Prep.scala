@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import ColFns._
 
@@ -501,37 +501,46 @@ object Prep {
     * allow-under-disallow override, which also exercises prefix (not
     * path-segment) matching: it re-allows /de/doc-1, /de/doc-12, ...
     *
-    * Longest-match is an argmax, NOT a window: per-url
-    * max_by(rule, key) with key = zero-padded length ‖ allow ‖ path is a
-    * partial-aggregable hash agg (map-side combine), so the hot host's
-    * url x rule fan-out never funnels through one window task. The rules
-    * frame is 4 rows/host — host-keyed equi-join, AQE-skew-safe.
+    * Longest-match is ROW-LOCAL (r6): the rule set is derived from the
+    * host string alone, so the argmax over (zero-padded length ‖ allow ‖
+    * path) keys is a `greatest` over four constant-per-rule CASE branches
+    * — one codegen projection, no distinct-hosts pass, no rules join, no
+    * aggregation. The former agg+join form (hosts distinct → 4-way rule
+    * explode → host equi-join → per-url max_by) paid two extra corpus
+    * passes and — worse — made the x9 composition SEMI-JOIN the page
+    * payload against the allowed set, shuffling every page's bytes by url
+    * at corpus scale (the guide §8 anti-pattern: heavy rows moved to make
+    * a lightweight decision). Row-local evaluation makes the fetch gate a
+    * filter the parse kernel reads through, with zero shuffles anywhere.
+    * Urls matching NO rule (e.g. no "/"-rooted path) drop out exactly as
+    * the join form dropped them.
     */
-  def robotsRules(pages: DataFrame): DataFrame = {
-    val pg = pages.select(col("url"),
-      regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1).as("host"),
-      regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
-    val hosts = pg.select(col("host")).distinct()
-    def gate(salt: String, m: Int) = h32(concat(col("host"), lit(salt))) % m === 0
-    val rules = hosts
-      .select(col("host"), explode(array(
-        struct(lit("/").as("rule_path"), lit(1).as("allow"), lit(true).as("on")),
-        struct(lit("/en").as("rule_path"), lit(0).as("allow"), gate(":r1", 3).as("on")),
-        struct(lit("/de").as("rule_path"), lit(0).as("allow"), gate(":r2", 4).as("on")),
-        struct(lit("/de/doc-1").as("rule_path"), lit(1).as("allow"), gate(":r3", 2).as("on"))
-      )).as("r"))
-      .filter(col("r.on"))
-      .select(col("host"), col("r.rule_path").as("rule_path"), col("r.allow").as("allow"))
-    val key = concat(
-      lpad(length(col("rule_path")).cast("string"), 4, "0"), lit(":"),
-      col("allow").cast("string"), lit(":"), col("rule_path"))
-    pg.join(rules, Seq("host"))
-      .filter(col("path").startsWith(col("rule_path")))
-      .groupBy(col("url"), col("host"))
-      .agg(max_by(col("rule_path"), key).as("rule_path"),
-        max_by(col("allow"), key).cast("int").as("allow"))
-      .orderBy(col("url"))
+  private[ops] def robotsWinnerKey(url: Column): Column = {
+    val host = regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1)
+    val path = regexp_extract(url, "^[a-z]+://[^/]+(/.*)$", 1)
+    def gate(salt: String, m: Int) = h32(concat(host, lit(salt))) % m === 0
+    // key layout: 4-digit length ':' allow ':' rule_path — CONSTANT per
+    // rule, so the argmax is greatest() over when()-gated literals; string
+    // order is identical to the former max_by key (same strings).
+    def key(rp: String, allow: Int, on: Column) =
+      when(on && path.startsWith(rp), lit(f"${rp.length}%04d:$allow:$rp"))
+    greatest(
+      key("/", 1, lit(true)),
+      key("/en", 0, gate(":r1", 3)),
+      key("/de", 0, gate(":r2", 4)),
+      key("/de/doc-1", 1, gate(":r3", 2)))
   }
+
+  def robotsRules(pages: DataFrame): DataFrame =
+    pages
+      .select(col("url"),
+        regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1).as("host"),
+        robotsWinnerKey(col("url")).as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("url"), col("host"),
+        expr("substring(k, 8)").as("rule_path"),
+        substring(col("k"), 6, 1).cast("int").as("allow"))
+      .orderBy(col("url"))
 
   /** DuckDB mirror — same constructed rules, same argmax key. */
   def robotsRulesSql(pagesGlob: String): String = {

@@ -32,9 +32,14 @@ import graft.ops.ColFns.{h32, sqlH32}
 object WebPipeline {
 
   def webPipeline(pages: DataFrame, k: Int = 10, nSub: Int = 16): DataFrame = {
-    val allowed = Prep.robotsRules(pages)
-      .filter(col("allow") === 1).select(col("url"))
-    val ext = Pipeline.extract(pages.join(allowed, Seq("url"), "left_semi"))
+    // the robots gate is row-local (Prep.robotsWinnerKey): the former
+    // allowed-set SEMI-JOIN shuffled every page's payload by url to make a
+    // per-row yes/no decision (guide §8 anti-pattern); as a filter the
+    // disallowed pages die in the scan and NOTHING shuffles before the
+    // parse kernel
+    val gated = pages.filter(
+      substring(Prep.robotsWinnerKey(col("url")), 6, 1) === "1")
+    val ext = Pipeline.extract(gated)
       .toDF().select(col("url"), col("host"), col("nKv"))
     val ranked = ext.join(LinkGraph.hostRank(pages), Seq("host"))
       .withColumn("pri", h32(concat(col("url"), lit(":wp"))))

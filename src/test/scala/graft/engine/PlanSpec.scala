@@ -774,13 +774,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"contributions must hash-aggregate:\n$p")
   }
 
-  test("p15 robots rules: longest-match is an argmax hash agg, never a window") {
+  test("p15 robots rules: longest-match is a row-local projection — no join, no agg, no window") {
     val p = plan("p15_robots_rules")
-    assert(!p.contains("Window"),
-      s"per-url longest-match must partial-aggregate, not window:\n$p")
-    assert(p.contains("max_by"), s"winner must be a max_by argmax:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"rules join is host-keyed equi:\n$p")
+    // r6: the constructed rule set derives from the host string alone, so
+    // the argmax is greatest() over constant-per-rule CASE keys — one
+    // codegen projection; the only exchange is the output sort
+    assert(!p.contains("Window"), s"no window in the longest-match:\n$p")
+    assert(!p.contains("Join"), s"no rules join — the decision is row-local:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no shuffle before the output sort:\n$p")
+    assert(p.contains("greatest"), s"winner must be the greatest-key argmax:\n$p")
   }
 
   test("t14 classifier: model joins as broadcast; score sum has map-side partials") {
@@ -834,10 +837,17 @@ class PlanSpec extends AnyFunSuite {
       s"no join/window belongs in a per-page pass:\n$p")
   }
 
-  test("x9 web pipeline: robots gate semi-joins BEFORE the kernel; cap is staged") {
+  test("x9 web pipeline: robots gate filters BEFORE the kernel, row-locally; cap is staged") {
     val p = plan("x9_web_pipeline")
-    assert(p.contains("LeftSemi"),
-      s"disallowed pages must never reach the parse kernel:\n$p")
+    // r6: the allowed-set SEMI-JOIN became a row-local filter
+    // (Prep.robotsWinnerKey) — the former shape shuffled every page's
+    // payload by url just to make a per-row yes/no decision; now the
+    // disallowed pages die in the scan filter and nothing shuffles before
+    // the parse kernel
+    assert(p.contains("greatest"),
+      s"the robots gate must be the row-local winner-key filter:\n$p")
+    assert(!p.contains("LeftSemi"),
+      s"no allowed-set semi-join — the gate is a filter, not a payload shuffle:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"the host cap must push its rank filter map-side:\n$p")
     assert(!p.contains("CartesianProduct"),
