@@ -398,7 +398,7 @@ object SparkEntry {
     }),
     "m6_resize" -> ((s, dir) => {
       import s.implicits._
-      Media.resize(spread(media(s, dir)).as[Media.MediaRow])
+      Media.resize(media(s, dir).as[Media.MediaRow])
     }),
     "m7_image_components" -> ((s, dir) => {
       import s.implicits._
