@@ -322,7 +322,7 @@ object SparkEntry {
     // --- deduplication family ---
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "d2_minhash_lsh" -> ((s, dir) => Dedup.lshCandidatePairs(spread(docs(s, dir)))),
-    "d3_simhash" -> ((s, dir) => Dedup.simhash(spread(docs(s, dir)))),
+    "d3_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "d4_jaccard" -> ((s, dir) => Dedup.jaccardPairs(spread(docs(s, dir)))),
     "d5_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(spread(docs(s, dir)))),
     "d6_dedup_components" -> ((s, dir) => Dedup.dedupComponents(spread(docs(s, dir)))),
